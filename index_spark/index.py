@@ -1,0 +1,223 @@
+"""SortedIndex — the ordered-query surface (reference §2.1/§2.3/§2.4).
+
+Wraps any DataFrame plus a declared composite key and exposes the
+reference's full read surface as lazy DataFrame transforms:
+
+==============================  ==============================================
+reference operator              here
+==============================  ==============================================
+``get(k)``                      :meth:`get`             (Index.scala:813)
+``getAll(keys, mustFindAll)``   :meth:`get_all`         (Index.scala:820)
+``inOrder`` / ``all``           :meth:`in_order`        (Index.scala:583)
+``reverse``                     :meth:`in_order(reverse=True)` (Index.scala:632)
+``head`` / ``tail``             :meth:`head` / :meth:`tail` (QueryableIndex.scala:85,126)
+``asc`` / ``desc`` seeks        :meth:`gt` / :meth:`lt` (QueryableIndex.scala:167,210)
+``gt`` / ``lt`` / ``range``     :meth:`gt` / :meth:`lt` / :meth:`range` (QueryableIndex.scala:253-271,432)
+``prefix``                      :meth:`prefix`          (QueryableIndex.scala:422)
+prefix-bounded ``gt``/``lt``    ``prefix=`` kwarg       (QueryableIndex.scala:273-368)
+``previousKey`` / ``nextKey``   :meth:`previous_key` / :meth:`next_key` (QueryableIndex.scala:71)
+``min`` / ``max`` / ``count``   :meth:`min` / :meth:`max` / :meth:`count` (Index.scala:885-900)
+iterator ``limit`` / ``filter`` ``limit=`` kwarg / :meth:`where` (RichAsyncIndexIterator.scala:13-41)
+``split`` / ``merge`` / ``copy`` :meth:`split` / :meth:`merge` / :meth:`copy` (QueryableIndex.scala:540-679)
+==============================  ==============================================
+
+Physical notes (SURVEY.md §4): the B+Tree descent is replaced by parquet
+row-group min/max skipping + partition pruning — every predicate built here
+is a conjunction/disjunction of simple comparisons, so Catalyst pushes it
+into the scan. Top-k (`reverse seek + limit`) compiles to
+``TakeOrderedAndProjectExec`` — no global sort. At 100 TB the win is the
+same: a range query touches only the partitions whose min/max overlap.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from index_spark.errors import KeyNotFoundError
+from index_spark.keys import as_tuple, key_between, key_eq, key_gt, key_lt, sort_cols
+
+
+class SortedIndex:
+    """Ordered read surface over ``df`` keyed by ``key`` (list of columns).
+
+    Reads return *DataFrames* (lazy); ordering is applied so collected
+    results arrive in key order like the reference's iterators. ``limit``
+    composes with order into Spark's top-k physical operator.
+    """
+
+    def __init__(self, df: DataFrame, key: Sequence[str]):
+        assert key, "key must name at least one column"
+        self.df = df
+        self.key = list(key)
+
+    # ------------------------------------------------------------------ utils
+    def _ordered(self, df: DataFrame, reverse: bool, limit: Optional[int]) -> DataFrame:
+        out = df.orderBy(*sort_cols(self.key, reverse))
+        if limit is not None:
+            out = out.limit(limit)
+        return out
+
+    def where(self, predicate: Column) -> "SortedIndex":
+        """Residual filter (reference per-iterator ``filter`` closure)."""
+        return SortedIndex(self.df.filter(predicate), self.key)
+
+    def copy(self) -> "SortedIndex":
+        """Snapshots are immutable values; copy is free (QueryableIndex.scala:540)."""
+        return SortedIndex(self.df, self.key)
+
+    # ------------------------------------------------------------ point reads
+    def get(self, k: Any) -> DataFrame:
+        """Point lookup. Full-key equality → parquet predicate pushdown."""
+        vals = as_tuple(k)
+        assert len(vals) == len(self.key), "get() requires the full key"
+        return self.df.filter(key_eq(self.key, vals))
+
+    def get_all(self, keys: Sequence[Any], must_find_all: bool = False) -> DataFrame:
+        """Sorted multi-get (semi-join semantics, Index.scala:820-867).
+
+        Single-column keys use ``isin`` (compiles to an ``In`` pushdown
+        filter); composite keys broadcast-semi-join a literal DataFrame.
+        ``must_find_all`` performs the reference's KEY_NOT_FOUND check via an
+        anti-join on the requested keys.
+        """
+        tuples = [as_tuple(k) for k in keys]
+        if len(self.key) == 1:
+            flat = [t[0] for t in tuples]
+            out = self.df.filter(F.col(self.key[0]).isin(flat))
+            if must_find_all:
+                found = {r[0] for r in out.select(self.key[0]).distinct().collect()}
+                missing = [v for v in flat if v not in found]
+                if missing:
+                    raise KeyNotFoundError(missing)
+            return self._ordered(out, reverse=False, limit=None)
+        spark = self.df.sparkSession
+        keys_df = spark.createDataFrame(tuples, schema=self.key)
+        out = self.df.join(F.broadcast(keys_df), on=self.key, how="left_semi")
+        if must_find_all:
+            missing = (
+                keys_df.join(F.broadcast(self.df.select(*self.key).distinct()), on=self.key, how="left_anti")
+                .collect()
+            )
+            if missing:
+                raise KeyNotFoundError([tuple(r) for r in missing])
+        return self._ordered(out, reverse=False, limit=None)
+
+    # ---------------------------------------------------------------- scans
+    def in_order(self, reverse: bool = False, limit: Optional[int] = None) -> DataFrame:
+        """Full scan in key order (``inOrder``/``reverse``)."""
+        return self._ordered(self.df, reverse, limit)
+
+    def head(self, n: int = 1) -> DataFrame:
+        """First n tuples in key order (QueryableIndex.scala:85)."""
+        return self._ordered(self.df, reverse=False, limit=n)
+
+    def tail(self, n: int = 1) -> DataFrame:
+        """Last n tuples, returned in reverse key order (QueryableIndex.scala:126)."""
+        return self._ordered(self.df, reverse=True, limit=n)
+
+    # ---------------------------------------------------------------- seeks
+    def gt(
+        self,
+        term: Any,
+        inclusive: bool = False,
+        reverse: bool = False,
+        prefix: Any = None,
+        limit: Optional[int] = None,
+    ) -> DataFrame:
+        """Keys > term (≥ if inclusive). ``term`` may cover only leading key
+        columns (reference custom ``termComp``). ``prefix`` bounds the scan to
+        one equivalence class (prefix-bounded gt, QueryableIndex.scala:335)."""
+        cond = key_gt(self.key, as_tuple(term), inclusive)
+        if prefix is not None:
+            cond = key_eq(self.key, as_tuple(prefix)) & cond
+        return self._ordered(self.df.filter(cond), reverse, limit)
+
+    def lt(
+        self,
+        term: Any,
+        inclusive: bool = False,
+        reverse: bool = False,
+        prefix: Any = None,
+        limit: Optional[int] = None,
+    ) -> DataFrame:
+        """Keys < term (≤ if inclusive); prefix-bounded variant as in gt."""
+        cond = key_lt(self.key, as_tuple(term), inclusive)
+        if prefix is not None:
+            cond = key_eq(self.key, as_tuple(prefix)) & cond
+        return self._ordered(self.df.filter(cond), reverse, limit)
+
+    def range(
+        self,
+        frm: Any,
+        to: Any,
+        from_inclusive: bool = True,
+        to_inclusive: bool = True,
+        reverse: bool = False,
+        limit: Optional[int] = None,
+    ) -> DataFrame:
+        """Two-sided interval (QueryableIndex.scala:432-454)."""
+        cond = key_between(self.key, as_tuple(frm), as_tuple(to), from_inclusive, to_inclusive)
+        return self._ordered(self.df.filter(cond), reverse, limit)
+
+    def prefix(self, p: Any, reverse: bool = False, limit: Optional[int] = None) -> DataFrame:
+        """All keys in the equivalence class of ``p`` under the prefix
+        comparator = equality on leading columns (QueryableIndex.scala:422)."""
+        return self._ordered(self.df.filter(key_eq(self.key, as_tuple(p))), reverse, limit)
+
+    # ------------------------------------------------------ predecessor etc.
+    def previous_key(self, k: Any) -> DataFrame:
+        """Strict predecessor of k — k itself need not exist
+        (QueryableIndex.scala:71-83). One row (or empty)."""
+        return self.lt(k, inclusive=False, reverse=True, limit=1)
+
+    def next_key(self, k: Any) -> DataFrame:
+        """Strict successor of k."""
+        return self.gt(k, inclusive=False, limit=1)
+
+    def min(self) -> DataFrame:
+        """Smallest tuple (Index.scala:885)."""
+        return self.head(1)
+
+    def max(self) -> DataFrame:
+        """Largest tuple (Index.scala:891)."""
+        return self.tail(1)
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def is_empty(self) -> bool:
+        return self.df.isEmpty()
+
+    # ------------------------------------------------------------ reorg ops
+    def split(self, sample_size: int = 100_000) -> tuple["SortedIndex", "SortedIndex"]:
+        """Split into two indexes of ~equal cardinality at a median key
+        (QueryableIndex.scala:586-679).
+
+        Scale path: the boundary comes from a *fixed-size key sample*
+        (seeded, key columns only), so driver memory is O(sample) no matter
+        the data size — the same sampling idea RangePartitioner uses, but
+        pinned to one deterministic boundary so both halves are consistent
+        across jobs. The reference likewise splits at the root's middle key,
+        which is only approximately the median.
+        """
+        n = self.df.count()
+        if n == 0:
+            return SortedIndex(self.df, self.key), SortedIndex(self.df, self.key)
+        frac = min(1.0, sample_size / n)
+        sample = self.df.select(*self.key).sample(fraction=frac, seed=42).collect()
+        if not sample:
+            sample = self.df.select(*self.key).limit(sample_size).collect()
+        keys_sorted = sorted(tuple(r) for r in sample)
+        boundary = keys_sorted[len(keys_sorted) // 2]
+        left = self.df.filter(key_lt(self.key, boundary))
+        right = self.df.filter(key_gt(self.key, boundary, inclusive=True))
+        return SortedIndex(left, self.key), SortedIndex(right, self.key)
+
+    def merge(self, right: "SortedIndex") -> "SortedIndex":
+        """Merge a (key-disjoint) right index (QueryableIndex.scala:561-584).
+        Disjointness is by construction after :meth:`split`; union is enough —
+        the physical re-sort happens lazily at the next ordered read/write."""
+        return SortedIndex(self.df.unionByName(right.df), self.key)

@@ -1,0 +1,422 @@
+"""Versioned snapshots, batch mutations, and time travel.
+
+Maps the reference's COW machinery to dataset-granularity copy-on-write
+(SURVEY.md §1.4, §3.1): one snapshot version = one immutable sorted parquet
+dataset + a manifest row. Writers produce version N+1 from N; readers hold a
+version and never see in-flight changes (snapshot isolation). The
+``history`` list of ``(ts, version)`` pairs is the reference's temporal
+B+Tree (``TemporalIndex.scala:6-53``) collapsed to a manifest — at 100 TB
+the *data* is huge but the snapshot catalog is tiny, so a manifest lookup
+replaces the history-tree descent at zero cost.
+
+Write layout: ``repartitionByRange(N, key) + sortWithinPartitions(key)`` —
+range-partitioned, key-sorted parquet. Point/range reads then prune on
+parquet row-group min/max, the moral equivalent of the B+Tree descent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from index_spark.commands import BatchResult, Insert, Remove, Update
+from index_spark.errors import (
+    ContextUsedError,
+    DuplicatedKeysError,
+    IndexAlreadyExistsError,
+    IndexNotFoundError,
+    KeyNotFoundError,
+    VersionChangedError,
+)
+from index_spark.index import SortedIndex
+
+VERSION_COL = "__version"
+_MANIFEST = "_manifest.json"
+
+
+def _now_ns(prev: int) -> int:
+    """Strictly-increasing nanotime stand-in (SURVEY.md §7 risk register:
+    do not trust wall-clock monotonicity)."""
+    return max(prev + 1, time.time_ns())
+
+
+class SnapshotStore:
+    """Versioned parquet datasets + JSON manifest under ``base_path``.
+
+    Manifest schema::
+
+        {"index_id": str, "key": [...], "rows_per_partition": int,
+         "versions": [{"version": int, "version_id": str, "ts": int,
+                        "n_rows": int}],
+         "history": [{"ts": int, "version": int}]}
+
+    ``versions`` is every committed snapshot; ``history`` is the subset the
+    user explicitly snapshot()-ed for time travel (reference distinction
+    between save() and TemporalIndex.snapshot(), TemporalIndex.scala:21-27).
+    Single-writer by contract (Index.scala:16) — manifest writes are
+    last-writer-wins, like the reference's descriptor CAS under one writer.
+    """
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base_path = base_path
+
+    # ------------------------------------------------------------- manifest
+    def _manifest_path(self) -> str:
+        return os.path.join(self.base_path, _MANIFEST)
+
+    def exists(self) -> bool:
+        return os.path.exists(self._manifest_path())
+
+    def _read_manifest(self) -> dict:
+        if not self.exists():
+            raise IndexNotFoundError(f"no index at {self.base_path}")
+        with open(self._manifest_path()) as f:
+            return json.load(f)
+
+    def _write_manifest(self, m: dict) -> None:
+        os.makedirs(self.base_path, exist_ok=True)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path())  # atomic on POSIX
+
+    # -------------------------------------------------------------- create
+    def create(
+        self,
+        key: Sequence[str],
+        df: Optional[DataFrame] = None,
+        rows_per_partition: int = 1_000_000,
+        index_id: Optional[str] = None,
+    ) -> "VersionedIndex":
+        """Create an index; optional initial data becomes version 0."""
+        if self.exists():
+            raise IndexAlreadyExistsError(self.base_path)
+        m = {
+            "index_id": index_id or str(uuid.uuid4()),
+            "key": list(key),
+            "rows_per_partition": rows_per_partition,
+            "versions": [],
+            "history": [],
+        }
+        self._write_manifest(m)
+        if df is not None:
+            if VERSION_COL not in df.columns:
+                df = df.withColumn(VERSION_COL, F.lit(str(uuid.uuid4())))
+            self.commit(df, list(key), rows_per_partition)
+        return self.latest()
+
+    def commit(self, df: DataFrame, key: Sequence[str], rows_per_partition: int) -> int:
+        """Write ``df`` as the next snapshot version (sorted, range-partitioned)."""
+        m = self._read_manifest()
+        version = (m["versions"][-1]["version"] + 1) if m["versions"] else 0
+        path = self._version_path(version)
+        n_rows = df.count()
+        n_parts = max(1, -(-n_rows // rows_per_partition))
+        (
+            df.repartitionByRange(n_parts, *[F.col(c) for c in key])
+            .sortWithinPartitions(*key)
+            .write.mode("errorifexists")
+            .parquet(path)
+        )
+        prev_ts = m["versions"][-1]["ts"] if m["versions"] else 0
+        m["versions"].append(
+            {
+                "version": version,
+                "version_id": str(uuid.uuid4()),
+                "ts": _now_ns(prev_ts),
+                "n_rows": n_rows,
+            }
+        )
+        self._write_manifest(m)
+        return version
+
+    def _version_path(self, version: int) -> str:
+        return os.path.join(self.base_path, f"v{version:06d}")
+
+    # --------------------------------------------------------------- reads
+    def read(self, version: int) -> DataFrame:
+        return self.spark.read.parquet(self._version_path(version))
+
+    def latest_version(self) -> int:
+        m = self._read_manifest()
+        if not m["versions"]:
+            raise IndexNotFoundError(f"index at {self.base_path} has no committed version")
+        return m["versions"][-1]["version"]
+
+    def latest(self) -> "VersionedIndex":
+        m = self._read_manifest()
+        v = m["versions"][-1]["version"] if m["versions"] else None
+        return VersionedIndex(self, m["key"], v, m["rows_per_partition"])
+
+    def at_version(self, version: int) -> "VersionedIndex":
+        m = self._read_manifest()
+        return VersionedIndex(self, m["key"], version, m["rows_per_partition"])
+
+    def n_rows(self, version: int) -> int:
+        m = self._read_manifest()
+        for row in m["versions"]:
+            if row["version"] == version:
+                return row["n_rows"]
+        raise IndexNotFoundError(f"version {version}")
+
+    # ------------------------------------------------------------ temporal
+    def record_snapshot(self) -> int:
+        """TemporalIndex.snapshot(): append (ts, latest version) to history."""
+        m = self._read_manifest()
+        if not m["versions"]:
+            raise IndexNotFoundError("nothing to snapshot")
+        prev_ts = m["history"][-1]["ts"] if m["history"] else 0
+        ts = _now_ns(max(prev_ts, m["versions"][-1]["ts"]))
+        m["history"].append({"ts": ts, "version": m["versions"][-1]["version"]})
+        self._write_manifest(m)
+        return ts
+
+    def history(self) -> list[dict]:
+        return self._read_manifest()["history"]
+
+    def find_as_of(self, ts: int) -> Optional[int]:
+        """Greatest history entry with entry.ts <= ts (TemporalIndex.scala:31-38)."""
+        best = None
+        for h in self._read_manifest()["history"]:
+            if h["ts"] <= ts:
+                best = h["version"]
+        return best
+
+
+class VersionedIndex(SortedIndex):
+    """A read/write handle on one snapshot version.
+
+    Reads inherit the full :class:`SortedIndex` surface. Writes validate
+    with joins against the current snapshot, then commit version N+1 —
+    all-or-nothing per :meth:`execute` batch, exactly the reference's
+    transactional contract (Index.scala:1010-1036). A handle is single-use
+    for writing (Index.scala:1012): a successful write returns a *new*
+    handle and marks this one used.
+    """
+
+    def __init__(self, store: SnapshotStore, key: Sequence[str], version: Optional[int], rows_per_partition: int):
+        self.store = store
+        self.version = version
+        self.rows_per_partition = rows_per_partition
+        self._used = False
+        if version is not None:
+            self._empty = False
+            super().__init__(store.read(version), key)
+        else:
+            # Empty index: no committed version yet; schema is unknown until
+            # the first insert, so reads are invalid until then (the
+            # reference's empty tree likewise has no root, Index.scala:162).
+            self._empty = True
+            super().__init__(None, key)  # type: ignore[arg-type]
+
+    # ------------------------------------------------------------ internals
+    def _check_usable(self) -> None:
+        if self._used:
+            raise ContextUsedError("write handle already used; take a fresh one")
+
+    def _rows_to_df(self, rows: list[dict[str, Any]]) -> DataFrame:
+        assert rows, "empty batch"
+        return self.store.spark.createDataFrame(rows)  # type: ignore[arg-type]
+
+    def _current(self) -> Optional[DataFrame]:
+        return None if self._empty else self.df
+
+    @staticmethod
+    def _dup_keys_in_batch(batch: DataFrame, key: list[str]) -> list[tuple]:
+        dups = (
+            batch.groupBy(*key).count().filter(F.col("count") > 1).select(*key).limit(20).collect()
+        )
+        return [tuple(r) for r in dups]
+
+    # ------------------------------------------------------------- mutations
+    def _staged_insert(
+        self, cur: Optional[DataFrame], rows: list[dict[str, Any]], upsert: bool, version: str
+    ) -> DataFrame:
+        key = self.key
+        batch = self._rows_to_df(rows)
+        has_row_upsert = "__upsert" in batch.columns
+        if has_row_upsert:
+            batch = batch.withColumn("__upsert", F.coalesce(F.col("__upsert"), F.lit(upsert)))
+        else:
+            batch = batch.withColumn("__upsert", F.lit(upsert))
+
+        # intra-batch duplicate keys → DUPLICATED_KEYS (Index.scala:283-288)
+        dups = self._dup_keys_in_batch(batch, key)
+        if dups:
+            raise DuplicatedKeysError(dups)
+
+        batch = batch.withColumn(VERSION_COL, F.lit(version))
+
+        if cur is None:
+            return batch.drop("__upsert")
+
+        # non-upsert rows colliding with existing keys → DUPLICATED_KEYS
+        # (leaf-level LEAF_DUPLICATE_KEY, Leaf.scala:31-53)
+        existing_keys = cur.select(*key)
+        collisions = (
+            batch.filter(~F.col("__upsert"))
+            .join(existing_keys, on=key, how="left_semi")
+            .select(*key)
+            .limit(20)
+            .collect()
+        )
+        if collisions:
+            raise DuplicatedKeysError([tuple(r) for r in collisions])
+
+        # COW: keep current rows whose key is not overwritten, add the batch.
+        batch_keys = batch.select(*key)
+        kept = cur.join(F.broadcast(batch_keys), on=key, how="left_anti")
+        return kept.unionByName(batch.drop("__upsert"))
+
+    def _staged_update(self, cur: Optional[DataFrame], rows: list[dict[str, Any]], version: str) -> DataFrame:
+        key = self.key
+        batch = self._rows_to_df(rows)
+        has_expect = "__expected_version" in batch.columns
+        dups = self._dup_keys_in_batch(batch, key)
+        if dups:
+            raise DuplicatedKeysError(dups)
+        if cur is None:
+            raise KeyNotFoundError([tuple(r[k] for k in key) for r in rows[:20]])
+
+        # existence check (KEY_NOT_FOUND, Leaf.scala:82)
+        missing = (
+            batch.join(cur.select(*key), on=key, how="left_anti").select(*key).limit(20).collect()
+        )
+        if missing:
+            raise KeyNotFoundError([tuple(r) for r in missing])
+
+        # optimistic CC (VERSION_CHANGED, Leaf.scala:62-71)
+        if has_expect:
+            conflicts = (
+                batch.filter(F.col("__expected_version").isNotNull())
+                .select(*key, "__expected_version")
+                .join(cur.select(*key, VERSION_COL), on=key, how="inner")
+                .filter(F.col("__expected_version") != F.col(VERSION_COL))
+                .select(*key)
+                .limit(20)
+                .collect()
+            )
+            if conflicts:
+                raise VersionChangedError([tuple(r) for r in conflicts])
+            batch = batch.drop("__expected_version")
+
+        batch = batch.withColumn(VERSION_COL, F.lit(version))
+        kept = cur.join(F.broadcast(batch.select(*key)), on=key, how="left_anti")
+        return kept.unionByName(batch.select(*kept.columns))
+
+    def _staged_remove(self, cur: Optional[DataFrame], keys: list[dict[str, Any]]) -> DataFrame:
+        key = self.key
+        batch = self._rows_to_df(keys)
+        has_expect = "__expected_version" in batch.columns
+        dups = self._dup_keys_in_batch(batch, key)
+        if dups:
+            raise DuplicatedKeysError(dups)
+        if cur is None:
+            raise KeyNotFoundError([tuple(r[k] for k in key) for r in keys[:20]])
+        missing = (
+            batch.join(cur.select(*key), on=key, how="left_anti").select(*key).limit(20).collect()
+        )
+        if missing:
+            raise KeyNotFoundError([tuple(r) for r in missing])
+        if has_expect:
+            conflicts = (
+                batch.filter(F.col("__expected_version").isNotNull())
+                .select(*key, "__expected_version")
+                .join(cur.select(*key, VERSION_COL), on=key, how="inner")
+                .filter(F.col("__expected_version") != F.col(VERSION_COL))
+                .select(*key)
+                .limit(20)
+                .collect()
+            )
+            if conflicts:
+                raise VersionChangedError([tuple(r) for r in conflicts])
+        return cur.join(F.broadcast(batch.select(*key)), on=key, how="left_anti")
+
+    # ---------------------------------------------------------------- public
+    def execute(self, commands: list, version: Optional[str] = None) -> "VersionedIndex":
+        """Apply a sequential command batch as ONE transaction → version N+1.
+
+        Stops at the first error (nothing committed — the staged DataFrame is
+        discarded), and the whole batch shares one writer-version string:
+        reference semantics at Index.scala:1010-1036 /
+        QueriesRandomSpec.scala:211-239.
+        """
+        self._check_usable()
+        version = version or str(uuid.uuid4())
+        staged = self._current()
+        for cmd in commands:
+            if isinstance(cmd, Insert):
+                staged = self._staged_insert(staged, cmd.rows, cmd.upsert, version)
+            elif isinstance(cmd, Update):
+                staged = self._staged_update(staged, cmd.rows, version)
+            elif isinstance(cmd, Remove):
+                staged = self._staged_remove(staged, cmd.keys)
+            else:
+                raise TypeError(f"unknown command {cmd!r}")
+        assert staged is not None
+        new_version = self.store.commit(staged, self.key, self.rows_per_partition)
+        self._used = True
+        return self.store.at_version(new_version)
+
+    def insert(self, rows: list[dict[str, Any]], upsert: bool = False, version: Optional[str] = None) -> "VersionedIndex":
+        return self.execute([Insert(rows, upsert)], version)
+
+    def update(self, rows: list[dict[str, Any]], version: Optional[str] = None) -> "VersionedIndex":
+        return self.execute([Update(rows)], version)
+
+    def remove(self, keys: list[dict[str, Any]], version: Optional[str] = None) -> "VersionedIndex":
+        return self.execute([Remove(keys)], version)
+
+    def try_execute(self, commands: list, version: Optional[str] = None) -> BatchResult:
+        """Result-typed variant mirroring the reference's BatchResult."""
+        try:
+            nxt = self.execute(commands, version)
+            return BatchResult(success=True, n=len(commands), version=str(nxt.version))
+        except (DuplicatedKeysError, KeyNotFoundError, VersionChangedError) as e:
+            return BatchResult(success=False, error=e.code, details=e.details)
+
+    # ---------------------------------------------------------------- reads
+    def count(self) -> int:
+        """O(1) from the manifest (reference maintained counter, Index.scala:899)."""
+        if self._empty:
+            return 0
+        return self.store.n_rows(self.version)  # type: ignore[arg-type]
+
+
+class TemporalIndex:
+    """Time-travel facade (reference ``TemporalIndex.scala``).
+
+    ``execute`` mutates latest; ``snapshot()`` pins the current version into
+    history; ``find_index(t)`` resolves the greatest snapshot at-or-before t
+    and returns a full read surface on it.
+    """
+
+    def __init__(self, store: SnapshotStore):
+        self.store = store
+
+    def latest(self) -> VersionedIndex:
+        return self.store.latest()
+
+    def execute(self, commands: list, version: Optional[str] = None) -> VersionedIndex:
+        return self.store.latest().execute(commands, version)
+
+    def snapshot(self) -> int:
+        """Returns the history timestamp (reference returns (ts, result))."""
+        return self.store.record_snapshot()
+
+    def find(self, t: int) -> Optional[int]:
+        """Snapshot *version* as-of t, or None before the first snapshot."""
+        return self.store.find_as_of(t)
+
+    def find_index(self, t: Optional[int] = None) -> Optional[VersionedIndex]:
+        if t is None:
+            return self.store.latest()
+        v = self.store.find_as_of(t)
+        return None if v is None else self.store.at_version(v)

@@ -1,0 +1,193 @@
+"""SortedIndex query surface vs a plain-Python sorted model.
+
+Mirrors the reference's differential-testing strategy (SURVEY.md §5:
+QueriesRandomSpec compares every query against slices of a sorted in-memory
+model computed with the same comparators)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from index_spark.index import SortedIndex
+
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def model(orders):
+    rows = orders.select("o_orderkey", "o_totalprice").collect()
+    return sorted([(r.o_orderkey, r.o_totalprice) for r in rows])
+
+
+@pytest.fixture(scope="module")
+def idx(orders):
+    return SortedIndex(orders, ["o_orderkey"])
+
+
+def keys_of(df):
+    return [r.o_orderkey for r in df.select("o_orderkey").collect()]
+
+
+def test_in_order_matches_model(idx, model):
+    assert keys_of(idx.in_order()) == [k for k, _ in model]
+
+
+def test_reverse(idx, model):
+    assert keys_of(idx.in_order(reverse=True)) == [k for k, _ in reversed(model)]
+
+
+def test_get_point(idx, model):
+    k = model[len(model) // 2][0]
+    got = idx.get(k).collect()
+    assert len(got) == 1 and got[0].o_orderkey == k
+
+
+def test_get_missing(idx, model):
+    missing = max(k for k, _ in model) + 1
+    assert idx.get(missing).count() == 0
+
+
+def test_get_all_semi_join(idx, model):
+    rng = random.Random(SEED)
+    want = sorted(rng.sample([k for k, _ in model], 17))
+    got = keys_of(idx.get_all(want))
+    assert got == want
+
+
+def test_get_all_must_find_all_raises(idx, model):
+    from index_spark.errors import KeyNotFoundError
+
+    missing = max(k for k, _ in model) + 7
+    with pytest.raises(KeyNotFoundError) as ei:
+        idx.get_all([model[0][0], missing], must_find_all=True)
+    assert missing in ei.value.keys
+
+
+def test_gt_inclusive_exclusive(idx, model):
+    ks = [k for k, _ in model]
+    term = ks[len(ks) // 3]
+    assert keys_of(idx.gt(term)) == [k for k in ks if k > term]
+    assert keys_of(idx.gt(term, inclusive=True)) == [k for k in ks if k >= term]
+
+
+def test_lt_reverse(idx, model):
+    ks = [k for k, _ in model]
+    term = ks[2 * len(ks) // 3]
+    expect = [k for k in ks if k <= term][::-1]
+    assert keys_of(idx.lt(term, inclusive=True, reverse=True)) == expect
+
+
+def test_range_all_inclusivities(idx, model):
+    ks = [k for k, _ in model]
+    lo, hi = ks[len(ks) // 4], ks[3 * len(ks) // 4]
+    for fi in (True, False):
+        for ti in (True, False):
+            expect = [
+                k
+                for k in ks
+                if (k >= lo if fi else k > lo) and (k <= hi if ti else k < hi)
+            ]
+            assert keys_of(idx.range(lo, hi, fi, ti)) == expect
+
+
+def test_head_tail_min_max(idx, model):
+    ks = [k for k, _ in model]
+    assert keys_of(idx.head(3)) == ks[:3]
+    assert keys_of(idx.tail(3)) == ks[-1:-4:-1]
+    assert keys_of(idx.min()) == [ks[0]]
+    assert keys_of(idx.max()) == [ks[-1]]
+
+
+def test_previous_next_key_absent_term(idx, model):
+    ks = [k for k, _ in model]
+    # pick a term that does not exist (between two present keys if possible)
+    term = ks[10] + 1 if ks[10] + 1 not in set(ks) else ks[10]
+    prev = [k for k in ks if k < term]
+    nxt = [k for k in ks if k > term]
+    assert keys_of(idx.previous_key(term)) == ([prev[-1]] if prev else [])
+    assert keys_of(idx.next_key(term)) == ([nxt[0]] if nxt else [])
+
+
+def test_limit_topk(idx, model):
+    ks = [k for k, _ in model]
+    assert keys_of(idx.in_order(reverse=True, limit=5)) == ks[-1:-6:-1]
+
+
+def test_residual_filter(idx, model):
+    flt = idx.where(F.col("o_totalprice") > 100000.0)
+    expect = sorted(k for k, p in model if p > 100000.0)
+    assert keys_of(flt.in_order()) == expect
+
+
+def test_split_merge_roundtrip(idx, model):
+    ks = [k for k, _ in model]
+    left, right = idx.split()
+    lk, rk = keys_of(left.in_order()), keys_of(right.in_order())
+    assert lk + rk == ks  # disjoint, ordered, complete
+    assert lk and rk  # both non-empty (balanced-ish split)
+    merged = left.merge(right)
+    assert keys_of(merged.in_order()) == ks
+
+
+class TestCompositeKeys:
+    """lineitem keyed by (l_orderkey, l_linenumber) — F2-style prefix+term."""
+
+    @pytest.fixture(scope="class")
+    def cidx(self, lineitem):
+        return SortedIndex(lineitem, ["l_orderkey", "l_linenumber"])
+
+    @pytest.fixture(scope="class")
+    def cmodel(self, lineitem):
+        rows = lineitem.select("l_orderkey", "l_linenumber").collect()
+        return sorted((r.l_orderkey, r.l_linenumber) for r in rows)
+
+    @staticmethod
+    def pairs(df):
+        return [(r.l_orderkey, r.l_linenumber) for r in df.select("l_orderkey", "l_linenumber").collect()]
+
+    def test_prefix_scan(self, cidx, cmodel):
+        ok = cmodel[len(cmodel) // 2][0]
+        expect = [t for t in cmodel if t[0] == ok]
+        assert self.pairs(cidx.prefix(ok)) == expect
+
+    def test_prefix_reverse(self, cidx, cmodel):
+        ok = cmodel[len(cmodel) // 2][0]
+        expect = [t for t in cmodel if t[0] == ok][::-1]
+        assert self.pairs(cidx.prefix(ok, reverse=True)) == expect
+
+    def test_prefix_bounded_gt(self, cidx, cmodel):
+        ok = cmodel[len(cmodel) // 3][0]
+        expect = [t for t in cmodel if t[0] == ok and t > (ok, 2)]
+        assert self.pairs(cidx.gt((ok, 2), prefix=ok)) == expect
+
+    def test_prefix_bounded_lt_inclusive(self, cidx, cmodel):
+        ok = cmodel[len(cmodel) // 3][0]
+        expect = [t for t in cmodel if t[0] == ok and t <= (ok, 3)]
+        assert self.pairs(cidx.lt((ok, 3), inclusive=True, prefix=ok)) == expect
+
+    def test_partial_term_gt(self, cidx, cmodel):
+        """A term over only the first key column (reference custom termComp)."""
+        ok = cmodel[len(cmodel) // 2][0]
+        expect = [t for t in cmodel if t[0] > ok]
+        assert self.pairs(cidx.gt(ok)) == expect
+
+    def test_composite_range(self, cidx, cmodel):
+        lo = cmodel[len(cmodel) // 4]
+        hi = cmodel[3 * len(cmodel) // 4]
+        expect = [t for t in cmodel if lo <= t < hi]
+        assert self.pairs(cidx.range(lo, hi, True, False)) == expect
+
+    def test_composite_get(self, cidx, cmodel):
+        t = cmodel[7]
+        got = self.pairs(cidx.get(t))
+        assert got == [t]
+
+    def test_composite_get_all(self, cidx, cmodel):
+        # (l_orderkey, l_linenumber) is not unique in the fixture: get_all
+        # must return every row whose key matches (multi-get is a semi-join,
+        # not a row sample).
+        rng = random.Random(SEED)
+        want_keys = set(rng.sample(cmodel, 9))
+        expect = [t for t in cmodel if t in want_keys]
+        assert self.pairs(cidx.get_all(sorted(want_keys))) == expect

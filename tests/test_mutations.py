@@ -1,0 +1,182 @@
+"""Versioned mutation semantics vs a plain-dict model.
+
+Mirrors the reference's MainSpec / QueriesRandomSpec methodology
+(SURVEY.md §5): random batches incl. deliberate failures; atomicity
+(all-or-nothing per execute); final full scan == model."""
+
+import random
+
+import pytest
+
+from index_spark.commands import Insert, Remove, Update
+from index_spark.errors import (
+    ContextUsedError,
+    DuplicatedKeysError,
+    KeyNotFoundError,
+    VersionChangedError,
+)
+from index_spark.snapshots import SnapshotStore
+
+SEED = 7
+
+
+def kv(k, v):
+    return {"key": k, "value": v}
+
+
+@pytest.fixture()
+def store(spark, tmp_base):
+    return SnapshotStore(spark, tmp_base + "/idx")
+
+
+def scan(vidx):
+    return [(r.key, r.value) for r in vidx.in_order().select("key", "value").collect()]
+
+
+def versions_of(vidx):
+    return {r.key: r["__version"] for r in vidx.in_order().collect()}
+
+
+def test_insert_and_scan(store):
+    idx = store.create(["key"])
+    idx = idx.insert([kv("b", "2"), kv("a", "1"), kv("c", "3")])
+    assert scan(idx) == [("a", "1"), ("b", "2"), ("c", "3")]
+
+
+def test_insert_duplicate_in_batch_fails_atomically(store):
+    idx = store.create(["key"], df=None)
+    idx = idx.insert([kv("a", "1")])
+    with pytest.raises(DuplicatedKeysError):
+        idx.insert([kv("x", "1"), kv("x", "2")])
+    # nothing committed; a fresh handle still sees only "a"
+    assert scan(store.latest()) == [("a", "1")]
+
+
+def test_insert_existing_without_upsert_fails(store):
+    idx = store.create(["key"]).insert([kv("a", "1")])
+    with pytest.raises(DuplicatedKeysError):
+        idx.insert([kv("a", "9")])
+    assert scan(store.latest()) == [("a", "1")]
+
+
+def test_upsert_overwrites(store):
+    idx = store.create(["key"]).insert([kv("a", "1"), kv("b", "2")])
+    idx = idx.insert([kv("a", "9"), kv("c", "3")], upsert=True)
+    assert scan(idx) == [("a", "9"), ("b", "2"), ("c", "3")]
+
+
+def test_per_row_upsert_flag(store):
+    idx = store.create(["key"]).insert([kv("a", "1")])
+    rows = [dict(kv("a", "9"), __upsert=True), dict(kv("d", "4"), __upsert=False)]
+    idx = idx.insert(rows)
+    assert scan(idx) == [("a", "9"), ("d", "4")]
+
+
+def test_update_missing_key_fails(store):
+    idx = store.create(["key"]).insert([kv("a", "1")])
+    with pytest.raises(KeyNotFoundError):
+        idx.update([kv("nope", "x")])
+
+
+def test_update_version_check(store):
+    idx = store.create(["key"]).insert([kv("a", "1")], version="v1")
+    # correct expected version succeeds
+    idx2 = idx.update([dict(kv("a", "2"), __expected_version="v1")], version="v2")
+    assert scan(idx2) == [("a", "2")]
+    assert versions_of(idx2)["a"] == "v2"
+    # stale expected version fails
+    with pytest.raises(VersionChangedError):
+        idx2.update([dict(kv("a", "3"), __expected_version="v1")])
+
+
+def test_remove_and_version_check(store):
+    idx = store.create(["key"]).insert([kv("a", "1"), kv("b", "2")], version="v1")
+    with pytest.raises(VersionChangedError):
+        idx.remove([{"key": "a", "__expected_version": "wrong"}])
+    idx2 = idx.remove([{"key": "a", "__expected_version": "v1"}])
+    assert scan(idx2) == [("b", "2")]
+    with pytest.raises(KeyNotFoundError):
+        idx2.remove([{"key": "zz"}])
+
+
+def test_execute_multi_command_atomic(store):
+    """Batch = insert + update + remove in one tx; a failing later command
+    aborts the earlier ones (QueriesRandomSpec.scala:211-239)."""
+    idx = store.create(["key"]).insert([kv("a", "1"), kv("b", "2")])
+    bad = [
+        Insert([kv("c", "3")]),
+        Update([kv("a", "10")]),
+        Remove([{"key": "does-not-exist"}]),  # fails → whole batch aborted
+    ]
+    with pytest.raises(KeyNotFoundError):
+        idx.execute(bad)
+    assert scan(store.latest()) == [("a", "1"), ("b", "2")]
+
+    good = [Insert([kv("c", "3")]), Update([kv("a", "10")]), Remove([{"key": "b"}])]
+    idx2 = store.latest().execute(good, version="tx9")
+    assert scan(idx2) == [("a", "10"), ("c", "3")]
+    vs = versions_of(idx2)
+    assert vs["a"] == "tx9" and vs["c"] == "tx9"  # shared batch version
+
+
+def test_try_execute_returns_result(store):
+    idx = store.create(["key"]).insert([kv("a", "1")])
+    res = idx.try_execute([Insert([kv("a", "dup")])])
+    assert not res.success and res.error == "DUPLICATED_KEYS"
+
+
+def test_write_handle_single_use(store):
+    idx = store.create(["key"])
+    idx2 = idx.insert([kv("a", "1")])
+    with pytest.raises(ContextUsedError):
+        idx.insert([kv("b", "2")])
+    assert idx2.count() == 1
+
+
+def test_count_from_manifest(store):
+    idx = store.create(["key"]).insert([kv(c, c) for c in "abcdef"])
+    assert idx.count() == 6
+
+
+def test_randomized_against_model(store):
+    """100-ish random mutation batches in lockstep with a dict model
+    (MainSpec.scala:184-206 analog, scaled for wall-clock)."""
+    rng = random.Random(SEED)
+    model: dict[str, tuple[str, str]] = {}  # key -> (value, version)
+    idx = store.create(["key"])
+    keyspace = [f"k{i:03d}" for i in range(60)]
+    for batch_no in range(12):
+        version = f"b{batch_no}"
+        op = rng.choice(["insert", "upsert", "update", "remove"])
+        ks = rng.sample(keyspace, rng.randint(1, 8))
+        try:
+            if op == "insert":
+                rows = [kv(k, f"{k}@{version}") for k in ks]
+                idx = idx.insert(rows, version=version)
+                for k in ks:
+                    assert k not in model
+                    model[k] = (f"{k}@{version}", version)
+            elif op == "upsert":
+                rows = [kv(k, f"{k}@{version}") for k in ks]
+                idx = idx.insert(rows, upsert=True, version=version)
+                for k in ks:
+                    model[k] = (f"{k}@{version}", version)
+            elif op == "update":
+                rows = [kv(k, f"{k}@{version}") for k in ks]
+                idx = idx.update(rows, version=version)
+                for k in ks:
+                    assert k in model
+                    model[k] = (f"{k}@{version}", version)
+            else:
+                idx = idx.remove([{"key": k} for k in ks])
+                for k in ks:
+                    assert k in model
+                    del model[k]
+        except DuplicatedKeysError:
+            assert op == "insert" and any(k in model for k in ks)
+            idx = store.latest()
+        except KeyNotFoundError:
+            assert op in ("update", "remove") and any(k not in model for k in ks)
+            idx = store.latest()
+    expect = sorted((k, v) for k, (v, _) in model.items())
+    assert scan(store.latest()) == expect
