@@ -1,0 +1,173 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All hot-path functions are pure `pyspark.sql.functions` compositions —
+JVM-side, whole-stage-codegen'd, no Python in the loop. Each has an exact
+ANSI-SQL twin used by the DuckDB oracle (see ``__spark_entry__.py``), which
+pins the semantics: tokenization is ``regexp_extract_all(text, '\\S+')`` in
+both engines (split-based tokenizers disagree about boundary empties across
+engines, extract-based ones cannot).
+
+SimHash is the one Pandas-UDF (Arrow-vectorized) function here: 64 per-bit
+majority counters do not express well as column ops, and a numpy
+implementation processes a whole Arrow batch per call.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Small multilingual stopword markers (public knowledge). Used for both
+# quality scoring and the language-ID heuristic.
+STOPWORDS_EN = ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"]
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "with", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans"],
+    "es": ["el", "los", "las", "es", "una", "por", "para"],
+    "it": ["il", "che", "di", "non", "per", "una", "sono"],
+    "pt": ["o", "que", "de", "em", "para", "uma", "com"],
+    "nl": ["de", "het", "een", "van", "niet", "met", "ik"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens via regexp extraction (never yields empties)."""
+    return F.regexp_extract_all(col, F.lit(r"\S+"), 0)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    kept = F.length(F.regexp_replace(col, r"[^!-/:-@\[-`{-~]", ""))
+    return kept / F.greatest(F.length(col), F.lit(1))
+
+
+def upper_ratio(col: Column) -> Column:
+    kept = F.length(F.regexp_replace(col, r"[^A-Z]", ""))
+    return kept / F.greatest(F.length(col), F.lit(1))
+
+
+def digit_ratio(col: Column) -> Column:
+    kept = F.length(F.regexp_replace(col, r"[^0-9]", ""))
+    return kept / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_ratio(col: Column, stopwords: Sequence[str] = tuple(STOPWORDS_EN)) -> Column:
+    """Fraction of tokens that are (lowercased) stopwords."""
+    toks = tokens(F.lower(col))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: long-enough, low punctuation/digit
+    noise, sane mean token length, some stopwords (prose-likeness).
+    Weights are public-folklore heuristics (C4/Gopher-style rules)."""
+    len_ok = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
+    digit_pen = F.lit(1.0) - F.least(digit_ratio(col) * 4, F.lit(1.0))
+    mtl = mean_token_len(col)
+    mtl_ok = F.when((mtl >= 3) & (mtl <= 12), F.lit(1.0)).otherwise(F.lit(0.4))
+    sw_ok = F.least(stopword_ratio(col) * 5, F.lit(1.0))
+    return (len_ok + punct_pen + digit_pen + mtl_ok + sw_ok) / 5
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Marker-stopword hit count per language over lowercased tokens."""
+    toks = tokens(F.lower(col))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        m = F.array(*[F.lit(w) for w in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(m, t)))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language by marker hits ('und' if nothing matched).
+    CJK scripts have no space-separated stopwords — a character-class check
+    routes them to 'zh' first. Deterministic tie-break: language name
+    ascending (struct compare: score first, then lang)."""
+    scores = lang_scores(col)
+    pairs = F.array(
+        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in sorted(scores.items())]
+    )
+    best = F.array_max(pairs)
+    cjk = F.length(F.regexp_replace(col, r"[^一-鿿]", "")) > 0
+    return (
+        F.when(cjk, F.lit("zh"))
+        .when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase + collapse whitespace — canonical form for fingerprints."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint = md5 of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of the normalized text (the MinHash
+    input). Empty/short docs yield their full token string as one shingle."""
+    toks = tokens(normalize_text(col))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(grams)
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (md5-based token hashes).
+
+    Pandas UDF: Arrow batches in, numpy bit-count majority per batch.
+    Cited semantics: Charikar (2002) random-hyperplane sketch, the standard
+    near-dup signature. Output is a signed int64 (Spark LongType)."""
+
+    def one(s: str) -> int:
+        if not s:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in s.lower().split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
+            acc += np.where(bits.astype(np.int64) > 0, 1, -1)
+        out = np.uint64(0)
+        for i, v in enumerate(acc):
+            if v > 0:
+                out |= np.uint64(1) << np.uint64(63 - i)
+        return int(out.astype(np.int64))
+
+    return text.map(one)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two int64 SimHash values (JVM-side bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))

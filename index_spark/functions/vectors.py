@@ -1,0 +1,42 @@
+"""Vector column functions (embedding similarity) — JVM-side only.
+
+``F.zip_with`` + ``F.aggregate`` keep the arithmetic inside whole-stage
+codegen; accumulation is an explicit left-to-right DOUBLE fold, which makes
+results bit-identical to a sequential sum (and therefore to the DuckDB
+oracle's ``list_sum(list_transform(range(...)))`` form). No Python, no UDF,
+no Arrow transfer in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def euclidean(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )

@@ -1,0 +1,78 @@
+"""As-of (point-in-time) join — the operator Spark lacks natively.
+
+Semantics: for each left row, attach the latest right row with
+``right.ts <= left.ts`` within the same key group (the reference's
+``TemporalIndex.find(t)`` generalized from one timeline to one-per-key,
+``TemporalIndex.scala:31-38``).
+
+Implementation is the union-and-carry-forward trick — pure DataFrame ops,
+one shuffle on (key, ts), no Python:
+
+1. tag left rows (side=1) and right rows (side=0), union by (key, ts),
+2. window per key ordered by (ts, side): ``last(right payload, ignorenulls)``
+   carries the most recent right values forward,
+3. keep left rows.
+
+Right rows sort before left rows at equal ts (side 0 < 1) so ties are
+inclusive, matching ``<=``. Cost: one shuffle of (keys + carried columns);
+contrast a naive range join (O(n·m) per key) or per-group
+``applyInPandas``+merge_asof (Arrow transfer of both sides). Skewed keys
+ride on AQE skew-join handling of the window shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join. ``right_cols`` defaults to all non-key, non-ts
+    columns of ``right``; they appear suffixed on the output."""
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != right_ts]
+    carried = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
+
+    lhs = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rhs = (
+        right.select(
+            *on,
+            F.col(right_ts).alias(f"{right_ts}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        )
+        .withColumn("__side", F.lit(0))
+        .withColumn("__ts", F.col(f"{right_ts}{suffix}"))
+    )
+    lhs_aligned = lhs
+    for c in carried:
+        lhs_aligned = lhs_aligned.withColumn(c, F.lit(None))
+    rhs_aligned = rhs
+    for c in left.columns:
+        if c not in rhs_aligned.columns:
+            rhs_aligned = rhs_aligned.withColumn(c, F.lit(None))
+    both = lhs_aligned.select(*left.columns, "__side", "__ts", *carried).unionByName(
+        rhs_aligned.select(*left.columns, "__side", "__ts", *carried)
+    )
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = both.select(
+        *left.columns,
+        "__side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")

@@ -29,6 +29,13 @@ def get_spark(
       engines (DuckDB oracle parity).
     - Arrow enabled: pandas interchange + Pandas UDFs use Arrow batches.
     """
+    # Python workers must be able to import this package even when the
+    # driver process runs outside the repo (PYTHONPATH propagates to the
+    # worker daemon via the JVM environment — must be set pre-launch).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in os.environ.get("PYTHONPATH", ""):
+        os.environ["PYTHONPATH"] = repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions if shuffle_partitions is not None else cpus
