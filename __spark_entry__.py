@@ -1,38 +1,69 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query at sf0.001 (smoke: >0 rows, stable schema).
+- ``queries()``: one entry per implemented operator from SURVEY.md §2 plus
+  the training-data pipeline operators; each callable (spark, sf_dir) → DataFrame.
+- ``oracle_sql()``: the exact ANSI-SQL twin of every query, runnable by
+  DuckDB over the same parquet views.
+
+Implementation lives in ``index_spark.plans.driver_queries`` (kept there so
+the engine package owns its driver surface; this file stays a thin shim).
+Determinism rules for the value-hash gate are documented in that module.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: ordered-index range scan (reference §3.2) feeding broadcast
+    joins and an exact-cents aggregation — revenue by nation for the order-key
+    range (100, 1200], top-priced order per nation attached via window."""
+    from pyspark.sql import Window
+
+    from index_spark.index import SortedIndex
+    from index_spark.sources import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    nation = load_table(spark, SF_SMOKE, "nation")
+
+    idx = SortedIndex(orders, ["o_orderkey"])
+    scanned = idx.range(100, 1200, from_inclusive=False, to_inclusive=True)
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    joined = (
+        scanned.join(F.broadcast(cust), scanned.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    per_nation = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(cents).cast("double") / 100).alias("revenue"),
+        F.max("o_totalprice").alias("max_order_price"),
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("n_name"))
+    return per_nation.select(
+        "n_name", "n_orders", "revenue", "max_order_price", F.row_number().over(w).alias("rank")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from index_spark.plans import build_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from index_spark.plans import build_oracles
+
+    return build_oracles()

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: times every driver-facing query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count + a cheap write-free sink via
+``toLocalIterator`` drain would be slower; we use ``df.count()`` after a
+``df.collect()``-free materialization: ``count()`` forces the full plan but
+avoids driver-side row transfer for wide results). Queries whose *result* is
+the payload (top-k, point gets) are tiny, so count() is equally fine there.
+
+A warmup pass on sf0.001 primes the JVM/codegen so per-query numbers reflect
+steady-state execution, not first-query JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARMUP_DIR = "/root/testdata/sf0.001"
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from index_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    queries = entrymod.queries()
+
+    # Warmup: run three representative shapes at sf0.001 (scan, join+agg, text)
+    for wname in ("range_scan", "q5_nation_revenue", "doc_fingerprint"):
+        if wname in queries and os.path.isdir(WARMUP_DIR):
+            try:
+                queries[wname](spark, WARMUP_DIR).count()
+            except Exception:
+                pass
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.time()
+        try:
+            fn(spark, SF_DIR).count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:
+            print(f"# bench error in {name}: {type(e).__name__}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    out = {
+        "metric": "catalog_total_wall",
+        "value": round(sum(ok.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(SF_DIR),
+        "n_queries": len(timings),
+        "n_errors": len(timings) - len(ok),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

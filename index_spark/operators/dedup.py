@@ -65,12 +65,13 @@ def minhash_signature(col: Column, num_hashes: int = 16, shingle_k: int = 3) -> 
     """Array of ``num_hashes`` min-hash values (md5-hex strings) over word
     shingles. seed_i is mixed in by prefixing the shingle."""
     sh = word_shingles(col, shingle_k)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"s{i}:"), s))))
-            for i in range(num_hashes)
-        ]
-    )
+
+    def one_min(seed: int):
+        # Unary lambda on purpose: F.transform treats a two-argument lambda
+        # as (element, index), which would clobber the seed.
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"s{seed}:"), s))))
+
+    return F.array(*[one_min(i) for i in range(num_hashes)])
 
 
 def minhash_bands(sig: Column, bands: int, rows: int) -> Column:

@@ -1,0 +1,992 @@
+"""Driver-facing query catalog + DuckDB oracle twins.
+
+Every entry exercises one operator from SURVEY.md §2 (reference surface) or
+one training-data pipeline operator, over the driver fixtures. Design rules
+that keep the value-hash gate deterministic across Spark and DuckDB:
+
+- **money aggregates** use the integer-cents trick: the fixtures carry
+  2-decimal money, so ``CAST(round(x*100) AS BIGINT)`` is exact and integer
+  sums are order-independent — no floating accumulation anywhere.
+- **float scores** (cosine, jaccard, ratios) are computed as *sequential*
+  left-to-right double folds in both engines (Spark ``F.aggregate`` /
+  DuckDB ``list_sum(list_transform(...))``), then ``round(·, 6)``.
+- **hashes**: minhash uses lexicographic MIN over md5 hex strings — the
+  identical expression exists in both engines, so the whole MinHash+LSH
+  pipeline replays exactly in SQL.
+- **timestamps** compare as BIGINT epoch-µs (``ts_us`` column ↔ DuckDB
+  ``epoch_us(ts)``); dates as DATE.
+- **top-k** always carries a deterministic tie-break key.
+
+Spark callables take (spark, sf_dir) and return a DataFrame; they use the
+engine's own operator implementations (SortedIndex, VersionedIndex, datoms,
+dedup, similarity, asof) so the gate checks the real code paths.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from index_spark.datoms import DatomStore, datoms_from_table
+from index_spark.functions import text as TX
+from index_spark.functions.vectors import cosine
+from index_spark.index import SortedIndex
+from index_spark.operators import dedup as DD
+from index_spark.operators.asof import asof_join
+from index_spark.sources import load_table
+
+# ---------------------------------------------------------------- constants
+T_ASOF_US = 1_704_800_000_000_000  # 2024-01-09T09:33:20Z, inside the events range
+MINHASH_N, MINHASH_BANDS = 16, 8
+HIGH_HEX = ["8", "9", "a", "b", "c", "d", "e", "f"]
+LANGS = sorted(TX.LANG_MARKERS)  # de en es fr it nl pt
+
+# cents helpers (exact integer money)
+def _cents(c):
+    return F.round(c * 100).cast("long")
+
+
+def _sum_cents(c, alias):
+    return (F.sum(_cents(c)).cast("double") / 100).alias(alias)
+
+
+SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+SQL_TOKS_LOWER = "regexp_extract_all(lower(text), '\\S+')"
+
+
+def _sql_cents(col: str) -> str:
+    return f"CAST(round({col}*100) AS BIGINT)"
+
+
+def _sql_sum_cents(col: str, alias: str) -> str:
+    return f"CAST(sum({_sql_cents(col)}) AS DOUBLE)/100 AS {alias}"
+
+
+# =========================================================================
+# Spark query callables
+# =========================================================================
+
+def _orders_idx(spark, sf_dir):
+    return SortedIndex(load_table(spark, sf_dir, "orders"), ["o_orderkey"])
+
+
+def _li_idx(spark, sf_dir):
+    return SortedIndex(load_table(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"])
+
+
+# ---- §2.1 point reads ----------------------------------------------------
+def q_point_get(spark, sf_dir):
+    return _orders_idx(spark, sf_dir).get(1000).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def q_multi_get(spark, sf_dir):
+    keys = [3, 141, 592, 653, 589, 793, 238, 462]
+    return _orders_idx(spark, sf_dir).get_all(keys).select("o_orderkey", "o_totalprice")
+
+
+def q_get_all_missing(spark, sf_dir):
+    """mustFindAll's KEY_NOT_FOUND check = anti-join of requested vs present."""
+    orders = load_table(spark, sf_dir, "orders")
+    req = spark.createDataFrame([(10,), (20,), (999999999,)], "requested_key long")
+    return req.join(
+        orders.select(F.col("o_orderkey").alias("requested_key")), "requested_key", "left_anti"
+    )
+
+
+# ---- §2.3 scans / seeks --------------------------------------------------
+def q_range_scan(spark, sf_dir):
+    return (
+        _orders_idx(spark, sf_dir)
+        .range(100, 200, from_inclusive=False, to_inclusive=True)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_gt_scan(spark, sf_dir):
+    return _orders_idx(spark, sf_dir).gt(14900).select("o_orderkey", "o_orderstatus")
+
+
+def q_lt_scan_reverse(spark, sf_dir):
+    return (
+        _orders_idx(spark, sf_dir)
+        .lt(50, inclusive=False, reverse=True)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_prefix_scan(spark, sf_dir):
+    return _li_idx(spark, sf_dir).prefix(42).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+def q_prefix_bounded_gt(spark, sf_dir):
+    return (
+        _li_idx(spark, sf_dir)
+        .gt((42, 2), prefix=42)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+def q_composite_range(spark, sf_dir):
+    return (
+        _li_idx(spark, sf_dir)
+        .range((100, 2), (105, 3), from_inclusive=True, to_inclusive=False)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    )
+
+
+def q_top_k(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_next_key(spark, sf_dir):
+    return _orders_idx(spark, sf_dir).next_key(777).select("o_orderkey")
+
+
+def q_previous_key(spark, sf_dir):
+    return _orders_idx(spark, sf_dir).previous_key(777).select("o_orderkey")
+
+
+def q_min_max_count(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---- §2.4 split / merge --------------------------------------------------
+def q_split_median(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    n = orders.count()
+    return (
+        orders.select("o_orderkey", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == (n + 1) // 2)
+        .select(F.col("o_orderkey").alias("median_key"))
+    )
+
+
+def q_merge_halves(spark, sf_dir):
+    idx = _orders_idx(spark, sf_dir)
+    left = SortedIndex(idx.lt(7500), idx.key)
+    right = SortedIndex(idx.gt(7500, inclusive=True), idx.key)
+    merged = left.merge(right)
+    return merged.df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        _sum_cents(F.col("o_totalprice"), "total"),
+    )
+
+
+# ---- §2.2 mutation semantics (through the real VersionedIndex) -----------
+def q_upsert_batch(spark, sf_dir):
+    """End-to-end COW upsert: snapshot orders into a real store, execute an
+    upsert batch (price bump on keys %97==0, five brand-new negative keys),
+    read back the final state. The oracle replays the same algebra in SQL."""
+    from index_spark.snapshots import SnapshotStore
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    d = tempfile.mkdtemp(prefix="idxq_")
+    try:
+        store = SnapshotStore(spark, d + "/orders_idx")
+        h = store.create(["o_orderkey"], df=orders, rows_per_partition=500_000)
+        batch = [
+            {"o_orderkey": r.o_orderkey, "o_totalprice": r.o_totalprice + 1000.0}
+            for r in orders.filter(F.col("o_orderkey") % 97 == 0).collect()
+        ] + [{"o_orderkey": -k, "o_totalprice": 0.0} for k in range(1, 6)]
+        h2 = h.insert(batch, upsert=True, version="tx2")
+        out = h2.df.agg(
+            F.count(F.lit(1)).alias("n"),
+            _sum_cents(F.col("o_totalprice"), "total"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # materialize before rmtree
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_dup_key_check(spark, sf_dir):
+    """DUPLICATED_KEYS validation join: keys occurring >1 in a batch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def q_version_changed_check(spark, sf_dir):
+    """Optimistic-CC conflict join: expected version 'O' vs stored status."""
+    orders = load_table(spark, sf_dir, "orders")
+    batch = orders.filter(F.col("o_orderkey") < 100).select(
+        "o_orderkey", F.lit("O").alias("expected_version")
+    )
+    cur = orders.select("o_orderkey", F.col("o_orderstatus").alias("current_version"))
+    return (
+        batch.join(cur, "o_orderkey")
+        .filter(F.col("expected_version") != F.col("current_version"))
+        .select("o_orderkey", "current_version")
+    )
+
+
+# ---- §2.5 temporal -------------------------------------------------------
+def q_asof_lookup(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("ts_us") <= T_ASOF_US).agg(F.max("ts_us").alias("as_of_ts_us"))
+
+
+def q_asof_state(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+    return (
+        ev.filter(F.col("ts_us") <= T_ASOF_US)
+        .select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+
+
+def q_asof_join_events(spark, sf_dir):
+    """Each purchase ← latest signup at-or-before it (per user)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts_us")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts_us")
+    out = asof_join(purchases, signups, on=["user_id"], left_ts="ts_us", right_ts="ts_us")
+    return out.select("event_id", F.col("ts_us_right").alias("signup_ts_us"))
+
+
+def q_window_lag(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.filter(F.col("user_id") < 20)
+        .select("event_id", F.lag("ts_us").over(w).alias("prev_ts_us"))
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), _sum_cents(F.col("value"), "total"))
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Session counts per user (30-minute inactivity gap)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    flagged = ev.select(
+        "user_id",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0).alias("new_s"),
+    )
+    return flagged.groupBy("user_id").agg(F.sum("new_s").cast("long").alias("n_sessions"))
+
+
+# ---- datoms --------------------------------------------------------------
+def _part_datoms(spark, sf_dir):
+    return datoms_from_table(
+        load_table(spark, sf_dir, "part"),
+        entity_attr="part",
+        id_col="p_partkey",
+        text_attrs=["p_name", "p_brand", "p_type"],
+        num_attrs=["p_size", "p_retailprice"],
+    )
+
+
+def q_datoms_count_by_attr(spark, sf_dir):
+    return _part_datoms(spark, sf_dir).groupBy("a").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_datoms_avet_lookup(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    brand = part.agg(F.min("p_brand")).first()[0]
+    ds = DatomStore(_part_datoms(spark, sf_dir))
+    return ds.entities_by_attr_value("part/p_brand", brand)
+
+
+def q_datoms_vaet_refchase(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    target = li.agg(F.min("l_partkey")).first()[0]
+    li_d = datoms_from_table(
+        li.withColumn("li_id", F.monotonically_increasing_id()),
+        entity_attr="lineitem",
+        id_col="li_id",
+        ref_attrs={"l_partkey": "part", "l_suppkey": "supplier"},
+    )
+    ds = DatomStore(li_d)
+    return ds.referencing(f"part:{target}").groupBy("a").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_datoms_eavt_entity(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    target = li.agg(F.min("l_partkey")).first()[0]
+    ds = DatomStore(_part_datoms(spark, sf_dir))
+    return ds.entity(f"part:{target}").select("a", "v_text", "v_num")
+
+
+# ---- analytics (Spark-free categories exercising the fixtures) -----------
+def q_q1_pricing(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_cents = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+            _sum_cents(F.col("l_extendedprice"), "sum_base_price"),
+            (F.sum(disc_cents).cast("double") / 10000).alias("sum_disc_price"),
+            (F.sum(F.round("l_quantity").cast("long")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_q3_revenue_topk(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_cents = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+            & (F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01")))
+        )
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg((F.sum(rev_cents).cast("double") / 10000).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_q5_nation_revenue(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_cents = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+        )
+        .groupBy("n_name")
+        .agg((F.sum(rev_cents).cast("double") / 10000).alias("revenue"))
+    )
+
+
+def q_group_topk(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.filter(F.col("o_custkey") < 50)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_rollup_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), _sum_cents(F.col("o_totalprice"), "total")
+    )
+
+
+def q_distinct_parts(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") < 200)
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+    )
+
+
+# ---- dedup / text --------------------------------------------------------
+def _docs_with_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(exact)
+
+
+def _docs_with_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz tail marker")).alias("text"),
+    )
+    return docs.unionByName(near)
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    return DD.exact_duplicates(_docs_with_dups(spark, sf_dir))
+
+
+def q_dedup_survivors(spark, sf_dir):
+    return DD.exact_dedup(_docs_with_dups(spark, sf_dir)).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    sig = DD.minhash_signature(F.col("text"), MINHASH_N)
+    return docs.select("doc_id", sig.getItem(0).alias("sig0"), sig.getItem(5).alias("sig5"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    docs = _docs_with_near_dups(spark, sf_dir)
+    cands = DD.minhash_candidates(docs, num_hashes=MINHASH_N, bands=MINHASH_BANDS)
+    verified = DD.jaccard_pairs(docs, cands).filter(F.col("jaccard") >= 0.5)
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    pairs = (
+        docs.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(docs.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    out = DD.jaccard_pairs(docs, pairs).filter(F.col("jaccard") >= 0.02)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash16(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = TX.tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    def bit_hits(j: int):
+        # NB: the predicate lambda must be unary — F.filter treats a
+        # two-argument lambda as (element, index).
+        return F.size(F.filter(toks, lambda t: F.substring(F.md5(t), j + 1, 1).isin(HIGH_HEX)))
+
+    sig = F.lit(0)
+    for j in range(16):
+        hits = bit_hits(j)
+        sig = sig + F.when(hits * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
+    return docs.select("doc_id", sig.cast("long").alias("sig"))
+
+
+def q_text_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).cast("long").alias("n_tokens"),
+        TX.char_count(t).cast("long").alias("n_chars"),
+        F.round(TX.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(TX.quality_score(t), 6).alias("quality"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = TX.token_count(F.col("text")).cast("long")
+    return docs.agg(
+        F.sum(n_tok).alias("total_tokens"),
+        F.round(F.sum(n_tok).cast("double") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+    )
+
+
+# ---- similarity ----------------------------------------------------------
+def q_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        emb.select("vec_id", F.round(cosine(F.col("embedding"), q), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def q_ivf_label_topk(spark, sf_dir):
+    """IVF probe with cells = label column: prune to the query's cell, then
+    exact top-k inside (partition-pruned ANN shape)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding", "label").first()
+    q = F.array(*[F.lit(float(x)) for x in row.embedding])
+    return (
+        emb.filter(F.col("label") == row.label)
+        .select("vec_id", F.round(cosine(F.col("embedding"), q), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 100).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    scaled = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * F.lit(1.000001)).alias("embedding"),
+    )
+    allv = base.unionByName(scaled)
+    out = DD.embedding_near_dups(allv, vec_col="embedding", id_col="vec_id", threshold=0.95)
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+# ---- multimodal ----------------------------------------------------------
+def q_multimodal_meta(spark, sf_dir):
+    from index_spark.multimodal import documents_as_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("checksum"),
+    )
+
+
+def q_frame_plan(spark, sf_dir):
+    from index_spark.multimodal import documents_as_media, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(documents_as_media(docs), every_n=24).select("doc_id", "frame_idx")
+
+
+def q_events_type_summary(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        _sum_cents(F.col("value"), "total"),
+    )
+
+
+# =========================================================================
+# DuckDB oracle twins
+# =========================================================================
+
+def _sql_lang_pred() -> str:
+    toks = SQL_TOKS_LOWER
+    score_exprs = []
+    for lang in LANGS:
+        markers = ", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang])
+        score_exprs.append(f"len(list_filter({toks}, t -> t IN ({markers}))) AS s_{lang}")
+    g = "greatest(" + ", ".join(f"s_{l}" for l in LANGS) + ")"
+    case = "CASE WHEN cjk THEN 'zh' WHEN " + g + " = 0 THEN 'und' "
+    for lang in sorted(LANGS, reverse=True)[:-1]:
+        case += f"WHEN s_{lang} = {g} THEN '{lang}' "
+    case += f"ELSE '{LANGS[0]}' END"
+    return f"""
+    SELECT doc_id, {case} AS lang_pred FROM (
+      SELECT doc_id, {", ".join(score_exprs)},
+             len(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 AS cjk
+      FROM documents)
+    """
+
+
+def _sql_shingles(src: str = "documents") -> str:
+    """CTE body producing (doc_id, sh) distinct word-3-gram shingles."""
+    return f"""
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(w)-2, 1)+1),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+      FROM (SELECT doc_id, regexp_extract_all({SQL_NORM}, '\\S+') AS w FROM {src})
+    """
+
+
+def _sql_minhash_sig() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('s{i}:' || s)))" for i in range(MINHASH_N)
+    )
+    return f"[{mins}]"
+
+
+def _sql_simhash16() -> str:
+    toks = SQL_TOKS_LOWER
+    high = ", ".join(f"'{h}'" for h in HIGH_HEX)
+    bits = " + ".join(
+        f"(CASE WHEN 2*len(list_filter(w, t -> substr(md5(t), {j+1}, 1) IN ({high}))) > len(w) "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"SELECT doc_id, CAST({bits} AS BIGINT) AS sig FROM (SELECT doc_id, {toks} AS w FROM documents) WHERE doc_id < 50"
+
+
+def _sql_cosine(e1: str, e2: str) -> str:
+    d = f"list_sum(list_transform(range(1, len({e1})+1), i -> CAST({e1}[i] AS DOUBLE) * CAST({e2}[i] AS DOUBLE)))"
+    n1 = f"sqrt(list_sum(list_transform({e1}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    n2 = f"sqrt(list_sum(list_transform({e2}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"{d} / ({n1} * {n2})"
+
+
+_QUALITY_SQL = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  round(CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1), 6) AS punct_ratio,
+  round(CAST(len(list_filter({SQL_TOKS_LOWER},
+        t -> t IN ({", ".join("'" + w + "'" for w in TX.STOPWORDS_EN)}))) AS DOUBLE)
+        / greatest(len({SQL_TOKS_LOWER}), 1), 6) AS stopword_ratio,
+  round((
+      least(length(text) / 500.0, 1.0)
+    + (1.0 - least(CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) * 4, 1.0))
+    + (1.0 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) * 4, 1.0))
+    + (CASE WHEN (CAST(list_sum(list_transform(regexp_extract_all(text, '\\S+'), t -> length(t))) AS DOUBLE)
+               / greatest(len(regexp_extract_all(text, '\\S+')), 1)) BETWEEN 3 AND 12
+        THEN 1.0 ELSE 0.4 END)
+    + least(CAST(len(list_filter({SQL_TOKS_LOWER},
+        t -> t IN ({", ".join("'" + w + "'" for w in TX.STOPWORDS_EN)}))) AS DOUBLE)
+        / greatest(len({SQL_TOKS_LOWER}), 1) * 5, 1.0)
+  ) / 5, 6) AS quality
+FROM documents WHERE doc_id < 100
+"""
+
+
+def build_oracles() -> dict[str, str]:
+    rev_cents = f"{_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')})"
+    dup_docs = (
+        "SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0"
+    )
+    near_docs = (
+        "SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 200000, text || ' zz tail marker' FROM documents WHERE doc_id % 25 = 0"
+    )
+    fp = f"md5({SQL_NORM})"
+    jacc = (
+        "round(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)"
+        " / greatest(len(list_distinct(list_concat(s1.sh, s2.sh))), 1), 6)"
+    )
+    return {
+        # --- reference surface
+        "point_get": "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 1000",
+        "multi_get": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey IN (3,141,592,653,589,793,238,462)",
+        "get_all_missing": (
+            "SELECT CAST(k AS BIGINT) AS requested_key FROM (VALUES (10),(20),(999999999)) t(k) "
+            "WHERE k NOT IN (SELECT o_orderkey FROM orders)"
+        ),
+        "range_scan": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200",
+        "gt_scan": "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey > 14900",
+        "lt_scan_reverse": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 50",
+        "prefix_scan": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_orderkey = 42"
+        ),
+        "prefix_bounded_gt": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE l_orderkey = 42 AND l_linenumber > 2"
+        ),
+        "composite_range": (
+            "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem "
+            "WHERE (l_orderkey > 100 OR (l_orderkey = 100 AND l_linenumber >= 2)) "
+            "AND (l_orderkey < 105 OR (l_orderkey = 105 AND l_linenumber < 3))"
+        ),
+        "top_k": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+        ),
+        "next_key": "SELECT o_orderkey FROM orders WHERE o_orderkey > 777 ORDER BY o_orderkey LIMIT 1",
+        "previous_key": "SELECT o_orderkey FROM orders WHERE o_orderkey < 777 ORDER BY o_orderkey DESC LIMIT 1",
+        "min_max_count": (
+            "SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, "
+            "CAST(count(*) AS BIGINT) AS n FROM orders"
+        ),
+        "split_median": (
+            "SELECT o_orderkey AS median_key FROM "
+            "(SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) rn, count(*) OVER () n FROM orders) "
+            "WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)"
+        ),
+        "merge_halves": (
+            "SELECT CAST(count(*) AS BIGINT) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, "
+            f"{_sql_sum_cents('o_totalprice', 'total')} FROM orders"
+        ),
+        # --- mutations
+        "upsert_batch": (
+            "WITH batch AS ("
+            "  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice FROM orders WHERE o_orderkey % 97 = 0"
+            "  UNION ALL SELECT * FROM (VALUES (-1, 0.0), (-2, 0.0), (-3, 0.0), (-4, 0.0), (-5, 0.0)) t(o_orderkey, o_totalprice)"
+            "), final AS ("
+            "  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)"
+            "  UNION ALL SELECT * FROM batch)"
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            f"{_sql_sum_cents('o_totalprice', 'total')}, min(o_orderkey) AS min_key FROM final"
+        ),
+        "dup_key_check": (
+            "SELECT l_orderkey, l_linenumber, CAST(count(*) AS BIGINT) AS n FROM lineitem "
+            "GROUP BY 1, 2 HAVING count(*) > 1"
+        ),
+        "version_changed_check": (
+            "SELECT o_orderkey, o_orderstatus AS current_version FROM orders "
+            "WHERE o_orderkey < 100 AND o_orderstatus <> 'O'"
+        ),
+        # --- temporal
+        "asof_lookup": f"SELECT max(epoch_us(ts)) AS as_of_ts_us FROM events WHERE epoch_us(ts) <= {T_ASOF_US}",
+        "asof_state": (
+            "SELECT user_id, event_id, value FROM ("
+            "  SELECT user_id, event_id, value, row_number() OVER "
+            "    (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) rn "
+            f"  FROM events WHERE epoch_us(ts) <= {T_ASOF_US}) WHERE rn = 1"
+        ),
+        "asof_join_events": (
+            "SELECT p.event_id, "
+            "  (SELECT max(epoch_us(s.ts)) FROM events s WHERE s.event_type = 'signup' "
+            "   AND s.user_id = p.user_id AND epoch_us(s.ts) <= epoch_us(p.ts)) AS signup_ts_us "
+            "FROM events p WHERE p.event_type = 'purchase'"
+        ),
+        "window_lag": (
+            "SELECT event_id, lag(epoch_us(ts)) OVER "
+            "  (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts_us "
+            "FROM events WHERE user_id < 20"
+        ),
+        "events_hourly": (
+            "SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type, "
+            f"CAST(count(*) AS BIGINT) AS n, {_sql_sum_cents('value', 'total')} "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "sessionize": (
+            "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM ("
+            "  SELECT user_id, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000 THEN 1 ELSE 0 END new_s"
+            "  FROM (SELECT user_id, ts, lag(epoch_us(ts)) OVER "
+            "        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) prev FROM events)"
+            ") GROUP BY user_id"
+        ),
+        # --- datoms
+        "datoms_count_by_attr": (
+            "SELECT 'part/p_name' AS a, CAST(count(*) AS BIGINT) AS n FROM part WHERE p_name IS NOT NULL "
+            "UNION ALL SELECT 'part/p_brand', CAST(count(*) AS BIGINT) FROM part WHERE p_brand IS NOT NULL "
+            "UNION ALL SELECT 'part/p_type', CAST(count(*) AS BIGINT) FROM part WHERE p_type IS NOT NULL "
+            "UNION ALL SELECT 'part/p_size', CAST(count(*) AS BIGINT) FROM part WHERE p_size IS NOT NULL "
+            "UNION ALL SELECT 'part/p_retailprice', CAST(count(*) AS BIGINT) FROM part WHERE p_retailprice IS NOT NULL"
+        ),
+        "datoms_avet_lookup": (
+            "SELECT 'part:' || CAST(p_partkey AS VARCHAR) AS e FROM part "
+            "WHERE p_brand = (SELECT min(p_brand) FROM part)"
+        ),
+        "datoms_vaet_refchase": (
+            "SELECT 'lineitem/l_partkey' AS a, CAST(count(*) AS BIGINT) AS n FROM lineitem "
+            "WHERE l_partkey = (SELECT min(l_partkey) FROM lineitem)"
+        ),
+        "datoms_eavt_entity": (
+            "WITH k AS (SELECT min(l_partkey) AS pk FROM lineitem), "
+            "p AS (SELECT * FROM part, k WHERE p_partkey = k.pk) "
+            "SELECT 'part/p_brand' AS a, p_brand AS v_text, CAST(NULL AS DOUBLE) AS v_num FROM p "
+            "UNION ALL SELECT 'part/p_name', p_name, CAST(NULL AS DOUBLE) FROM p "
+            "UNION ALL SELECT 'part/p_retailprice', CAST(NULL AS VARCHAR), CAST(p_retailprice AS DOUBLE) FROM p "
+            "UNION ALL SELECT 'part/p_size', CAST(NULL AS VARCHAR), CAST(p_size AS DOUBLE) FROM p "
+            "UNION ALL SELECT 'part/p_type', p_type, CAST(NULL AS DOUBLE) FROM p"
+        ),
+        # --- analytics
+        "q1_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            f"{_sql_sum_cents('l_extendedprice', 'sum_base_price')}, "
+            f"CAST(sum({rev_cents}) AS DOUBLE)/10000 AS sum_disc_price, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)/count(*) AS avg_qty, "
+            "CAST(count(*) AS BIGINT) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02' GROUP BY 1, 2"
+        ),
+        "q3_revenue_topk": (
+            "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            f"CAST(sum({rev_cents}) AS DOUBLE)/10000 AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+        ),
+        "q5_nation_revenue": (
+            "SELECT n_name, "
+            f"CAST(sum({rev_cents}) AS DOUBLE)/10000 AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY 1"
+        ),
+        "group_topk": (
+            "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+            "  SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER "
+            "    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn "
+            "  FROM orders WHERE o_custkey < 50) WHERE rn <= 2"
+        ),
+        "rollup_orders": (
+            "SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+            f"{_sql_sum_cents('o_totalprice', 'total')} "
+            "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
+        ),
+        "distinct_parts": (
+            "SELECT l_orderkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts "
+            "FROM lineitem WHERE l_orderkey < 200 GROUP BY 1"
+        ),
+        # --- dedup / text
+        "dedup_exact_groups": (
+            f"SELECT {fp} AS fp, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dupes "
+            f"FROM ({dup_docs}) GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "dedup_survivors": (
+            f"SELECT CAST(count(*) AS BIGINT) AS n FROM ("
+            f"  SELECT min(doc_id) FROM ({dup_docs}) GROUP BY {fp})"
+        ),
+        "minhash_signatures": (
+            f"SELECT doc_id, sig[1] AS sig0, sig[6] AS sig5 FROM ("
+            f"  SELECT doc_id, {_sql_minhash_sig()} AS sig FROM ({_sql_shingles()})"
+            f") WHERE doc_id < 20"
+        ),
+        "minhash_lsh_pairs": (
+            f"WITH alldocs AS ({near_docs}), "
+            f"sh AS ({_sql_shingles('alldocs')}), "
+            f"sig AS (SELECT doc_id, {_sql_minhash_sig()} AS sig FROM sh), "
+            "bands AS (SELECT doc_id, b, md5(concat_ws('|', sig[2*b+1], sig[2*b+2])) AS h "
+            "          FROM sig CROSS JOIN range(0, 8) t(b)), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b FROM bands a "
+            "          JOIN bands bb ON a.b = bb.b AND a.h = bb.h AND a.doc_id < bb.doc_id) "
+            f"SELECT id_a, id_b, {jacc} AS jaccard "
+            "FROM pairs JOIN sh s1 ON s1.doc_id = id_a JOIN sh s2 ON s2.doc_id = id_b "
+            "WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)"
+            " / greatest(len(list_distinct(list_concat(s1.sh, s2.sh))), 1) >= 0.5"
+        ),
+        "ngram_jaccard_pairs": (
+            f"WITH sh AS ({_sql_shingles()}) "
+            f"SELECT s1.doc_id AS id_a, s2.doc_id AS id_b, {jacc} AS jaccard "
+            "FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id "
+            "WHERE s1.doc_id < 60 AND s2.doc_id < 60 "
+            "AND CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)"
+            " / greatest(len(list_distinct(list_concat(s1.sh, s2.sh))), 1) >= 0.02"
+        ),
+        "simhash16": _sql_simhash16(),
+        "text_quality": _QUALITY_SQL,
+        "lang_id": _sql_lang_pred(),
+        "doc_fingerprint": f"SELECT doc_id, {fp} AS fp FROM documents",
+        "token_stats": (
+            "SELECT CAST(sum(n) AS BIGINT) AS total_tokens, "
+            "round(CAST(sum(n) AS DOUBLE)/count(*), 6) AS avg_tokens "
+            "FROM (SELECT len(regexp_extract_all(text, '\\S+')) AS n FROM documents)"
+        ),
+        # --- similarity
+        "cosine_topk": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            f"SELECT vec_id, round({_sql_cosine('embedding', 'qe')}, 6) AS score "
+            "FROM embeddings, q ORDER BY score DESC, vec_id ASC LIMIT 10"
+        ),
+        "ivf_label_topk": (
+            "WITH q AS (SELECT embedding AS qe, label AS ql FROM embeddings WHERE vec_id = 0) "
+            f"SELECT vec_id, round({_sql_cosine('embedding', 'qe')}, 6) AS score "
+            "FROM embeddings, q WHERE label = ql ORDER BY score DESC, vec_id ASC LIMIT 5"
+        ),
+        "embedding_near_dups": (
+            "WITH base AS ("
+            "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+            "  FROM embeddings WHERE vec_id < 100 "
+            "  UNION ALL "
+            "  SELECT vec_id + 1000, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(1.000001 AS DOUBLE)) "
+            "  FROM embeddings WHERE vec_id < 10) "
+            "SELECT id_a, id_b, round(c, 6) AS cos FROM ("
+            f"  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_sql_cosine('a.v', 'b.v')} AS c "
+            "   FROM base a JOIN base b ON a.vec_id < b.vec_id) WHERE c >= 0.95"
+        ),
+        # --- multimodal
+        "multimodal_meta": (
+            "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' "
+            "ELSE 'video' END AS media_type, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS checksum "
+            "FROM documents"
+        ),
+        "frame_plan": (
+            "SELECT doc_id, CAST(unnest(generate_series(0, greatest(CAST(doc_id % 240 AS INTEGER) - 1, 0), 24)) AS INTEGER) AS frame_idx "
+            "FROM documents WHERE doc_id % 3 = 2"
+        ),
+        "events_type_summary": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+            f"{_sql_sum_cents('value', 'total')} FROM events GROUP BY 1"
+        ),
+    }
+
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "point_get": q_point_get,
+        "multi_get": q_multi_get,
+        "get_all_missing": q_get_all_missing,
+        "range_scan": q_range_scan,
+        "gt_scan": q_gt_scan,
+        "lt_scan_reverse": q_lt_scan_reverse,
+        "prefix_scan": q_prefix_scan,
+        "prefix_bounded_gt": q_prefix_bounded_gt,
+        "composite_range": q_composite_range,
+        "top_k": q_top_k,
+        "next_key": q_next_key,
+        "previous_key": q_previous_key,
+        "min_max_count": q_min_max_count,
+        "split_median": q_split_median,
+        "merge_halves": q_merge_halves,
+        "upsert_batch": q_upsert_batch,
+        "dup_key_check": q_dup_key_check,
+        "version_changed_check": q_version_changed_check,
+        "asof_lookup": q_asof_lookup,
+        "asof_state": q_asof_state,
+        "asof_join_events": q_asof_join_events,
+        "window_lag": q_window_lag,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "datoms_count_by_attr": q_datoms_count_by_attr,
+        "datoms_avet_lookup": q_datoms_avet_lookup,
+        "datoms_vaet_refchase": q_datoms_vaet_refchase,
+        "datoms_eavt_entity": q_datoms_eavt_entity,
+        "q1_pricing": q_q1_pricing,
+        "q3_revenue_topk": q_q3_revenue_topk,
+        "q5_nation_revenue": q_q5_nation_revenue,
+        "group_topk": q_group_topk,
+        "rollup_orders": q_rollup_orders,
+        "distinct_parts": q_distinct_parts,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_survivors": q_dedup_survivors,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash16": q_simhash16,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_stats": q_token_stats,
+        "cosine_topk": q_cosine_topk,
+        "ivf_label_topk": q_ivf_label_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "multimodal_meta": q_multimodal_meta,
+        "frame_plan": q_frame_plan,
+        "events_type_summary": q_events_type_summary,
+    }

@@ -37,8 +37,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+        # ts_us matches DuckDB's epoch_us(ts): DuckDB truncates the parquet
+        # NANOS column to microseconds on read. Integral `div` keeps the
+        # division exact — float division drifts by 1µs on ~20% of rows.
+        return (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_us", F.expr("ts_ns div 1000"))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
         )
     return spark.read.parquet(path)
 
