@@ -63,28 +63,46 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ------------------------------------------------------------------- minhash
 def minhash_signature(col: Column, num_hashes: int = 16, shingle_k: int = 3) -> Column:
     """Array of ``num_hashes`` min-hash values (md5-hex strings) over word
-    shingles. seed_i is mixed in by prefixing the shingle."""
+    shingles. seed_i is mixed in by prefixing the shingle.
+
+    Built as ONE ``aggregate`` fold over the shingle array: for each shingle
+    compute its ``num_hashes`` seed-md5s, element-wise ``least`` into the
+    accumulator. The shingle subexpression is referenced exactly once, so
+    the (expensive) shingle pipeline runs once per row. The obvious
+    spelling — ``F.array`` of per-seed ``array_min(transform(sh, md5))`` —
+    re-evaluates the shingle pipeline per seed (higher-order-function bodies
+    get no common-subexpression elimination), a measured 60×+ slowdown once
+    banding re-inlines the signature again.
+
+    '|' never appears in md5 hex and 'g' sorts after every hex digit, so
+    the "g" init is an identity for ``least`` and banding's '|' join is
+    unambiguous. Values equal the oracle's per-seed
+    ``list_min(list_transform(sh, md5))`` — same set, same min."""
     sh = word_shingles(col, shingle_k)
-
-    def one_min(seed: int):
-        # Unary lambda on purpose: F.transform treats a two-argument lambda
-        # as (element, index), which would clobber the seed.
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"s{seed}:"), s))))
-
-    return F.array(*[one_min(i) for i in range(num_hashes)])
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    return F.aggregate(
+        sh,
+        F.array_repeat(F.lit("g"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.md5(F.concat(F.lit("s"), i.cast("string"), F.lit(":"), s))),
+            lambda a, b: F.least(a, b),
+        ),
+    )
 
 
 def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
-    """Band the signature: band_j = md5(concat of its r member hashes).
-    Returns array<struct<band:int, h:string>> for exploding into buckets."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.md5(F.concat_ws("|", *[sig.getItem(j * rows + r) for r in range(rows)])).alias("h"),
-            )
-            for j in range(bands)
-        ]
+    """Band the signature: band_j = md5('|'-join of its r member hashes).
+    Returns array<struct<band:int, h:string>> for exploding into buckets.
+    Same single-``transform`` construction as :func:`minhash_signature` so
+    ``sig`` is referenced once, not once per band."""
+    idx = F.array(*[F.lit(j) for j in range(bands)])
+    return F.transform(
+        idx,
+        lambda j: F.struct(
+            j.alias("band"),
+            F.md5(F.array_join(F.slice(sig, j * rows + 1, rows), "|")).alias("h"),
+        ),
     )
 
 
@@ -102,9 +120,16 @@ def minhash_candidates(
     self-join → distinct pairs. The only exchanged payload is
     (id, band, 32-char hash)."""
     rows = num_hashes // bands
-    sigs = df.select(
+    # Two steps on purpose: the signature must be a materialized attribute
+    # BEFORE the explode. Inlining it into the generator expression makes
+    # Spark re-evaluate the whole shingle+md5 pipeline per emitted band —
+    # O(bands × seeds) re-evaluation per row (measured 60×+ slowdown).
+    with_sig = df.select(
         F.col(id_col).alias("id"),
-        F.explode(minhash_bands(minhash_signature(F.col(text_col), num_hashes, shingle_k), bands, rows)).alias("bh"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
+    )
+    sigs = with_sig.select(
+        "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bh")
     ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
     a = sigs.alias("a")
     b = sigs.alias("b")
