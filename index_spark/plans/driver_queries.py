@@ -10,9 +10,10 @@ that keep the value-hash gate deterministic across Spark and DuckDB:
 - **float scores** (cosine, jaccard, ratios) are computed as *sequential*
   left-to-right double folds in both engines (Spark ``F.aggregate`` /
   DuckDB ``list_sum(list_transform(...))``), then ``round(·, 6)``.
-- **hashes**: minhash uses lexicographic MIN over md5 hex strings — the
-  identical expression exists in both engines, so the whole MinHash+LSH
-  pipeline replays exactly in SQL.
+- **hashes**: minhash = one md5 per shingle (7-hex-char prefix → int) +
+  universal linear permutations mod a >2^32 prime — every step has the
+  identical expression in both engines ('0x…'::BIGINT ↔ F.conv), so the
+  whole MinHash+LSH pipeline replays exactly in SQL.
 - **timestamps** compare as BIGINT epoch-µs (``ts_us`` column ↔ DuckDB
   ``epoch_us(ts)``); dates as DATE.
 - **top-k** always carries a deterministic tie-break key.
@@ -627,8 +628,12 @@ def _sql_shingles(src: str = "documents") -> str:
 
 
 def _sql_minhash_sig() -> str:
+    """Exact SQL twin of DD.minhash_signature: per shingle one md5 → 32-bit
+    hex-prefix int, then the same (a_i·h + b_i) mod p permutations."""
+    h = "(('0x' || substr(md5(s),1,7))::BIGINT)"
     mins = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('s{i}:' || s)))" for i in range(MINHASH_N)
+        f"list_min(list_transform(sh, s -> ({a} * {h} + {b}) % {DD.MINHASH_PRIME}))"
+        for a, b in DD.minhash_ab(MINHASH_N)
     )
     return f"[{mins}]"
 
