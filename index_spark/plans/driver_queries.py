@@ -585,6 +585,32 @@ def q_frame_plan(spark, sf_dir):
     return frame_sample(documents_as_media(docs), every_n=24).select("doc_id", "frame_idx")
 
 
+# ---- streaming (availableNow-drained, same oracles as the batch twins) ---
+def q_stream_hourly(spark, sf_dir):
+    """Structured Streaming tumbling-window agg over the events file stream;
+    drained with availableNow, so the final state must equal the batch/SQL
+    answer. Exercises readStream → watermark → window → memory sink."""
+    import uuid as _uuid
+
+    from index_spark.streaming import hourly_counts, read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(hourly_counts(stream), "sh" + _uuid.uuid4().hex[:10])
+
+
+def q_stream_sessionize(spark, sf_dir):
+    """session_window sessions computed on the stream (one stateful agg),
+    rolled up to per-user session counts in batch. Must match the lag-based
+    ``sessionize`` oracle exactly."""
+    import uuid as _uuid
+
+    from index_spark.streaming import read_events_stream, run_available_now, sessionized
+
+    stream = read_events_stream(spark, sf_dir)
+    sessions = run_available_now(sessionized(stream), "ss" + _uuid.uuid4().hex[:10])
+    return sessions.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
 def q_events_type_summary(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -939,6 +965,19 @@ def build_oracles() -> dict[str, str]:
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
             f"{_sql_sum_cents('value', 'total')} FROM events GROUP BY 1"
         ),
+        # --- streaming (finite stream drained with availableNow == batch)
+        "stream_hourly": (
+            "SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type, "
+            f"CAST(count(*) AS BIGINT) AS n, {_sql_sum_cents('value', 'total')} "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "stream_sessionize": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions FROM ("
+            "  SELECT user_id, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000 THEN 1 ELSE 0 END new_s"
+            "  FROM (SELECT user_id, ts, lag(epoch_us(ts)) OVER "
+            "        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) prev FROM events)"
+            ") WHERE new_s = 1 GROUP BY user_id"
+        ),
     }
 
 
@@ -994,4 +1033,6 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "frame_plan": q_frame_plan,
         "events_type_summary": q_events_type_summary,
+        "stream_hourly": q_stream_hourly,
+        "stream_sessionize": q_stream_sessionize,
     }

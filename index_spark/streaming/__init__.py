@@ -1,0 +1,9 @@
+from index_spark.streaming.events import (  # noqa: F401
+    hourly_counts,
+    read_events_stream,
+    run_available_now,
+    sessionized,
+    sessionized_counts,
+    stream_into_snapshots,
+    user_running_state,
+)

@@ -1,0 +1,190 @@
+"""Structured Streaming surface of the engine.
+
+The reference has no streaming (SURVEY.md §2.9 — "temporal" there means
+snapshot versioning, not stream time). This module is the forward-looking
+extension the task calls for, built on idiomatic Structured Streaming:
+
+- ``read_events_stream``  — file-source stream over the driver's events
+  parquet (schema pinned from a batch read; ``maxFilesPerTrigger`` bounds
+  micro-batch size at scale).
+- ``hourly_counts``       — watermarked tumbling-window aggregation. Late
+  rows beyond the watermark are dropped; state for closed windows is
+  evicted, so executor state is bounded no matter how long the stream runs.
+- ``sessionized_counts``  — ``session_window`` (30-min inactivity gap)
+  per-user sessions; the streaming twin of the batch ``sessionize`` query.
+- ``user_running_state``  — custom stateful operator via
+  ``applyInPandasWithState``: per-user running event count + last-seen
+  timestamp with an idle-timeout that emits and evicts state (the shape any
+  bespoke streaming operator takes when windows/aggs can't express it).
+- ``stream_into_snapshots`` — ``foreachBatch`` CDC sink: every micro-batch
+  becomes one versioned COW commit in a :class:`~index_spark.snapshots.
+  SnapshotStore`, so the streaming path produces exactly the immutable
+  snapshot lineage the batch engine reads (time travel over a live feed).
+
+Scale notes: windowed aggregations shuffle on (window, key) — the same
+partial-agg + final-agg shape as batch, with AQE coalescing; state-store
+size is bounded by watermark eviction; ``foreachBatch`` writes are
+per-micro-batch atomic because SnapshotStore commits are all-or-nothing.
+
+All functions accept batch DataFrames too (window/session_window are
+batch-legal), which is how the driver's DuckDB oracle checks them: the
+streaming plan run with ``availableNow`` over a finite source must equal
+the batch plan over the same files.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from index_spark.sources import load_table
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: Optional[int] = None
+) -> DataFrame:
+    """File-source stream over ``events.parquet`` with the engine's canonical
+    events projection (``ts`` µs-truncated timestamp + ``ts_us`` bigint,
+    matching :func:`index_spark.sources.load_table`)."""
+    # schema pinned from a batch read of the same files (file streams
+    # require an explicit schema); with nanosAsLong the raw ts is LongType.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file streams require a *directory* source; glob-filter down to the
+    # events file(s) inside the scale-factor dir.
+    reader = spark.readStream.schema(raw_schema).option("pathGlobFilter", "events.parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    return (
+        df.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour counts + value sum per event_type, late data beyond
+    ``watermark`` dropped. Works on stream and batch DataFrames alike."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100).alias("total"),
+        )
+        .select(F.unix_micros(F.col("w.start")).alias("hour_us"), "event_type", "n", "total")
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Per-(user, session) event counts via ``session_window`` (inactivity
+    gap). ONE stateful aggregation — streaming-legal in complete mode; the
+    roll-up to per-user session counts is a separate (batch) step because
+    chaining a second stateful agg onto a session window is not supported
+    in a single streaming query."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(F.session_window("ts", gap).alias("sw"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def sessionized_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Batch roll-up: number of sessions per user (30-min inactivity gap).
+    Matches the lag-based ``sessionize`` driver query exactly — a session
+    boundary is a gap strictly greater than ``gap``."""
+    return sessionized(events, gap).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+
+
+_STATE_SCHEMA = "n_events BIGINT, last_ts_us BIGINT"
+_OUT_SCHEMA = "user_id BIGINT, n_events BIGINT, last_ts_us BIGINT, closed BOOLEAN"
+
+
+def _user_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running per-user (event count, last ts); on idle timeout emit the
+    final row flagged closed and evict the state."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, last = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_events": n, "last_ts_us": last, "closed": True}]
+        )
+        return
+    n, last = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            last = max(last, int(pdf["ts_us"].max()))
+    state.update((n, last))
+    state.setTimeoutDuration(60_000)  # 60 s idle → close
+    yield pd.DataFrame([{"user_id": user_id, "n_events": n, "last_ts_us": last, "closed": False}])
+
+
+def user_running_state(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals with idle eviction
+    (``applyInPandasWithState`` — Arrow-batched, update-mode output)."""
+    return (
+        events.select("user_id", "ts_us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_state_fn,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete", timeout_s: int = 120
+) -> DataFrame:
+    """Drain a finite stream with the availableNow trigger into a memory
+    sink; returns the completed result as a batch DataFrame.
+
+    ``complete`` for aggregations (a finite stream's final windows never
+    cross the watermark, so append mode would silently drop them);
+    ``update`` for stateful operators; ``append`` for row streams."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return stream_df.sparkSession.table(query_name)
+
+
+def stream_into_snapshots(
+    events: DataFrame, store, key: list[str], timeout_s: int = 120
+) -> int:
+    """CDC sink: each micro-batch upserts into a SnapshotStore as one COW
+    commit (version N+1), giving time travel over the live feed. Returns the
+    number of committed micro-batches."""
+    from index_spark.commands import Insert
+
+    n_batches = {"n": 0}
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = [r.asDict() for r in batch_df.collect()]
+        if not rows:
+            return
+        handle = store.latest()
+        handle.execute([Insert(rows, upsert=True)], version=f"stream-batch-{batch_id}")
+        store.record_snapshot()
+        n_batches["n"] += 1
+
+    q = events.writeStream.foreachBatch(commit_batch).trigger(availableNow=True).start()
+    q.awaitTermination(timeout_s)
+    return n_batches["n"]

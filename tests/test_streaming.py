@@ -1,0 +1,108 @@
+"""Structured Streaming surface: a finite stream drained with availableNow
+must agree with the equivalent batch plan over the same files (the streaming
+twin of the engine's DuckDB-oracle strategy)."""
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from index_spark.snapshots import SnapshotStore
+from index_spark.sources import load_table
+from index_spark.streaming import (
+    hourly_counts,
+    read_events_stream,
+    run_available_now,
+    sessionized,
+    sessionized_counts,
+    stream_into_snapshots,
+    user_running_state,
+)
+
+
+def _name() -> str:
+    return "t" + uuid.uuid4().hex[:12]
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_source_matches_batch(spark, sf_dir, events_batch):
+    stream = read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    out = run_available_now(stream, _name(), output_mode="append")
+    assert _rows(out, ["event_id", "ts_us"]) == _rows(events_batch, ["event_id", "ts_us"])
+
+
+def test_hourly_counts_stream_equals_batch(spark, sf_dir, events_batch):
+    stream = read_events_stream(spark, sf_dir)
+    got = run_available_now(hourly_counts(stream), _name(), output_mode="complete")
+    want = hourly_counts(events_batch)
+    cols = ["hour_us", "event_type", "n", "total"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sessionized_stream_equals_batch_and_lag_oracle(spark, sf_dir, events_batch):
+    stream = read_events_stream(spark, sf_dir)
+    sessions = run_available_now(sessionized(stream), _name(), output_mode="complete")
+    got = sessions.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
+    want = sessionized_counts(events_batch)
+    assert _rows(got, ["user_id", "n_sessions"]) == _rows(want, ["user_id", "n_sessions"])
+
+    # and the session_window semantics must match the lag-based definition
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    lag_based = (
+        events_batch.select(
+            "user_id",
+            F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0).alias("new_s"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_s").cast("long").alias("n_sessions"))
+    )
+    assert _rows(want, ["user_id", "n_sessions"]) == _rows(lag_based, ["user_id", "n_sessions"])
+
+
+def test_user_running_state(spark, sf_dir, events_batch):
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(user_running_state(stream), _name(), output_mode="update")
+    # one final (non-closed) update row per user per micro-batch; the last
+    # row per user carries the full running count
+    last = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("last_ts_us").alias("last_ts_us"))
+    )
+    want = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("ts_us").alias("last_ts_us")
+    )
+    cols = ["user_id", "n_events", "last_ts_us"]
+    assert _rows(last, cols) == _rows(want, cols)
+
+
+def test_stream_into_snapshots_time_travel(spark, sf_dir, tmp_base, events_batch):
+    few = events_batch.select("event_id", "user_id", "ts_us").filter(F.col("user_id") < 5)
+    store = SnapshotStore(spark, tmp_base + "/ev_idx")
+    store.create(["event_id"], df=few.limit(0), rows_per_partition=100_000)
+
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1).select(
+        "event_id", "user_id", "ts_us"
+    ).filter(F.col("user_id") < 5)
+    n_batches = stream_into_snapshots(stream, store, key=["event_id"])
+    assert n_batches >= 1
+    assert len(store.history()) == n_batches
+
+    latest = store.latest()
+    assert latest.count() == few.count()
+    # as-of the first snapshot ts: at most the rows of the first batch
+    first_ts = store.history()[0]["ts"]
+    v = store.find_as_of(first_ts)
+    assert v is not None
+    assert store.at_version(v).count() <= few.count()
