@@ -97,10 +97,15 @@ class SortedIndex:
         keys_df = spark.createDataFrame(tuples, schema=self.key)
         out = self.df.join(F.broadcast(keys_df), on=self.key, how="left_semi")
         if must_find_all:
-            missing = (
-                keys_df.join(F.broadcast(self.df.select(*self.key).distinct()), on=self.key, how="left_anti")
-                .collect()
+            # scale shape: broadcast the (small) request set into the big
+            # scan, then anti-join the (small) found set back — never
+            # broadcast the index's own key set.
+            found = (
+                self.df.select(*self.key)
+                .join(F.broadcast(keys_df), on=self.key, how="left_semi")
+                .distinct()
             )
+            missing = keys_df.join(F.broadcast(found), on=self.key, how="left_anti").collect()
             if missing:
                 raise KeyNotFoundError([tuple(r) for r in missing])
         return self._ordered(out, reverse=False, limit=None)

@@ -90,12 +90,18 @@ def q_multi_get(spark, sf_dir):
 
 
 def q_get_all_missing(spark, sf_dir):
-    """mustFindAll's KEY_NOT_FOUND check = anti-join of requested vs present."""
+    """mustFindAll's KEY_NOT_FOUND check. Scale shape: broadcast the (tiny)
+    request set INTO the big scan to collect found keys, then anti-join the
+    (tiny) found set back — both broadcasts are small-side. The naive
+    ``req.join(orders, anti)`` builds a broadcast of every orders key."""
     orders = load_table(spark, sf_dir, "orders")
     req = spark.createDataFrame([(10,), (20,), (999999999,)], "requested_key long")
-    return req.join(
-        orders.select(F.col("o_orderkey").alias("requested_key")), "requested_key", "left_anti"
+    found = (
+        orders.select(F.col("o_orderkey").alias("requested_key"))
+        .join(F.broadcast(req), "requested_key")
+        .distinct()
     )
+    return req.join(F.broadcast(found), "requested_key", "left_anti")
 
 
 # ---- §2.3 scans / seeks --------------------------------------------------
