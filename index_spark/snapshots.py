@@ -94,14 +94,18 @@ class SnapshotStore:
         df: Optional[DataFrame] = None,
         rows_per_partition: int = 1_000_000,
         index_id: Optional[str] = None,
+        max_n_items: Optional[int] = None,
     ) -> "VersionedIndex":
-        """Create an index; optional initial data becomes version 0."""
+        """Create an index; optional initial data becomes version 0.
+        ``max_n_items`` is the reference's capacity bound (``maxNItems``,
+        ``IndexContext`` — index.proto:68-78) gating split/merge."""
         if self.exists():
             raise IndexAlreadyExistsError(self.base_path)
         m = {
             "index_id": index_id or str(uuid.uuid4()),
             "key": list(key),
             "rows_per_partition": rows_per_partition,
+            "max_n_items": max_n_items,
             "versions": [],
             "history": [],
         }
@@ -111,6 +115,9 @@ class SnapshotStore:
                 df = df.withColumn(VERSION_COL, F.lit(str(uuid.uuid4())))
             self.commit(df, list(key), rows_per_partition)
         return self.latest()
+
+    def max_n_items(self) -> Optional[int]:
+        return self._read_manifest().get("max_n_items")
 
     def commit(self, df: DataFrame, key: Sequence[str], rows_per_partition: int) -> int:
         """Write ``df`` as the next snapshot version (sorted, range-partitioned)."""
@@ -388,6 +395,52 @@ class VersionedIndex(SortedIndex):
         if self._empty:
             return 0
         return self.store.n_rows(self.version)  # type: ignore[arg-type]
+
+    # -------------------------------------------- capacity predicates (§2.4)
+    # Reference QueryableIndex.scala:521-538 — all O(1) via manifest counts.
+    def is_full(self) -> bool:
+        mx = self.store.max_n_items()
+        return mx is not None and self.count() >= mx
+
+    def has_minimum(self) -> bool:
+        """At least half capacity (reference hasMinimum = n >= maxNItems/2)."""
+        mx = self.store.max_n_items()
+        return mx is None or self.count() >= mx // 2
+
+    def has_enough(self) -> bool:
+        """Strictly above the minimum — can lend without underflowing."""
+        mx = self.store.max_n_items()
+        return mx is None or self.count() > mx // 2
+
+    # ----------------------------------------- persistent split/merge (§2.4)
+    def split_into(self, left_path: str, right_path: str) -> tuple["VersionedIndex", "VersionedIndex"]:
+        """Split this snapshot into TWO independent persisted indexes at a
+        median key (reference ``split()``, QueryableIndex.scala:586-679 —
+        there the split point is the root's middle key, likewise only an
+        approximate median). The source index is untouched; both children
+        inherit key/capacity config, each with a fresh index id."""
+        left_idx, right_idx = self.split()
+        mx = self.store.max_n_items()
+        left = SnapshotStore(self.store.spark, left_path).create(
+            self.key, df=left_idx.df, rows_per_partition=self.rows_per_partition, max_n_items=mx
+        )
+        right = SnapshotStore(self.store.spark, right_path).create(
+            self.key, df=right_idx.df, rows_per_partition=self.rows_per_partition, max_n_items=mx
+        )
+        return left, right
+
+    def merge_from(self, right: "VersionedIndex", dest_path: str) -> "VersionedIndex":
+        """Merge a key-disjoint right index into a NEW persisted index
+        (reference ``merge()``, QueryableIndex.scala:561-584: the combined
+        count must fit maxNItems; both sources survive unchanged)."""
+        mx = self.store.max_n_items()
+        total = self.count() + right.count()
+        if mx is not None and total > mx:
+            raise ValueError(f"merge would exceed max_n_items: {total} > {mx}")
+        merged = self.df.unionByName(right.df)
+        return SnapshotStore(self.store.spark, dest_path).create(
+            self.key, df=merged, rows_per_partition=self.rows_per_partition, max_n_items=mx
+        )
 
 
 class TemporalIndex:
