@@ -570,6 +570,32 @@ def q_embedding_near_dups(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
+def q_ivf_trained_topk(spark, sf_dir):
+    """Full IVF path: Lloyd-trained centroids → cell assignment → nprobe=2
+    probe → exact top-k within probed cells. No oracle (k-means is not
+    SQL-replicable) → driver records the rows-only check; exactness of the
+    in-cell scoring is covered by cosine_topk's hash-matched oracle."""
+    from index_spark.operators.similarity import assign_cells, ivf_topk, train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cents = train_centroids(emb, n_cells=8, iters=2)
+    indexed = assign_cells(emb, cents)
+    return ivf_topk(indexed, cents, qvec, k=10, nprobe=2)
+
+
+def q_lsh_sign_topk(spark, sf_dir):
+    """Random-hyperplane sign-LSH ANN with 1-bit multiprobe. Rows-only
+    (seeded gaussian planes are not SQL-replicable)."""
+    from index_spark.operators.similarity import lsh_bucket, lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    dim = len(row.embedding)
+    bucketed = lsh_bucket(emb, dim=dim, n_planes=8)
+    return lsh_topk(bucketed, row.embedding, dim=dim, k=10, n_planes=8)
+
+
 # ---- multimodal ----------------------------------------------------------
 def q_multimodal_meta(spark, sf_dir):
     from index_spark.multimodal import documents_as_media
@@ -589,6 +615,16 @@ def q_frame_plan(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return frame_sample(documents_as_media(docs), every_n=24).select("doc_id", "frame_idx")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """mapInPandas feature extraction over opaque media payloads (decode is
+    the deterministic fake — numpy RNG isn't SQL-replicable → rows-only)."""
+    from index_spark.multimodal import documents_as_media, extract_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    feats = extract_features(documents_as_media(docs))
+    return feats.select("doc_id", "checksum", F.element_at("feat", 1).alias("f0"))
 
 
 # ---- streaming (availableNow-drained, same oracles as the batch twins) ---
@@ -1038,6 +1074,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_meta": q_multimodal_meta,
         "frame_plan": q_frame_plan,
+        "multimodal_features": q_multimodal_features,
+        "ivf_trained_topk": q_ivf_trained_topk,
+        "lsh_sign_topk": q_lsh_sign_topk,
         "events_type_summary": q_events_type_summary,
         "stream_hourly": q_stream_hourly,
         "stream_sessionize": q_stream_sessionize,
