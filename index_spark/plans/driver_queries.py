@@ -405,6 +405,61 @@ def q_q5_nation_revenue(spark, sf_dir):
     )
 
 
+def q_q6_filter_agg(spark, sf_dir):
+    """TPC-H Q6 shape: pure pushed-filter scan + single aggregate (exact
+    integer-cents revenue: (ext·100)·(disc·100)/10000)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice")) * _cents(F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg((F.sum(rev).cast("double") / 10000).alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_semi_join_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi-join (orders having a big-quantity line),
+    grouped by priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") > 45).select(F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        orders.join(big, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_anti_join_parts(spark, sf_dir):
+    """Anti-join shape (Q16 flavor): parts never ordered, counted by brand."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    ordered = li.filter(F.col("l_quantity") > 49).select(F.col("l_partkey").alias("p_partkey"))
+    return (
+        part.join(ordered, "p_partkey", "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_unordered"))
+    )
+
+
+def q_q13_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: left outer join + two-level aggregation (orders per
+    customer → customer count per order count)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
 def q_group_topk(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -910,6 +965,28 @@ def build_oracles() -> dict[str, str]:
             "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' "
             "GROUP BY 1"
         ),
+        "q6_filter_agg": (
+            f"SELECT CAST(sum({_sql_cents('l_extendedprice')} * {_sql_cents('l_discount')}) AS DOUBLE)/10000 AS revenue, "
+            "CAST(count(*) AS BIGINT) AS n FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+        ),
+        "semi_join_priority": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count FROM orders "
+            "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45) "
+            "GROUP BY 1"
+        ),
+        "anti_join_parts": (
+            "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_unordered FROM part "
+            "WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 49) "
+            "GROUP BY 1"
+        ),
+        "q13_custdist": (
+            "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM ("
+            "  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count "
+            "  FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1"
+            ") GROUP BY 1"
+        ),
         "group_topk": (
             "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
             "  SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER "
@@ -1056,6 +1133,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": q_q1_pricing,
         "q3_revenue_topk": q_q3_revenue_topk,
         "q5_nation_revenue": q_q5_nation_revenue,
+        "q6_filter_agg": q_q6_filter_agg,
+        "semi_join_priority": q_semi_join_priority,
+        "anti_join_parts": q_anti_join_parts,
+        "q13_custdist": q_q13_custdist,
         "group_topk": q_group_topk,
         "rollup_orders": q_rollup_orders,
         "distinct_parts": q_distinct_parts,
