@@ -120,3 +120,31 @@ class DatomStore:
         """All facts of one entity (optionally one attribute) in EAVT order."""
         p = (e,) if a is None else (e, a)
         return self.eavt.prefix(p)
+
+    # ------------------------------------------------------------ scale path
+    def materialize(self, base_path: str, rows_per_partition: int = 5_000_000) -> "DatomStore":
+        """Write the three covering orders as range-partitioned, key-sorted
+        parquet (the reference's three physical B+Trees, test.proto index_tpe;
+        here: three clustered copies so each access pattern prunes on its own
+        sort key). Returns a DatomStore reading the materialized EAVT copy,
+        with AVET/VAET views re-pointed at their clustered datasets."""
+        from index_spark.snapshots import SnapshotStore
+
+        layouts = {
+            "eavt": self.eavt,
+            "avet": self.avet,
+            "vaet": self.vaet,
+        }
+        for name, idx in layouts.items():
+            SnapshotStore(self.datoms.sparkSession, f"{base_path}/{name}").create(
+                idx.key, df=idx.df, rows_per_partition=rows_per_partition
+            )
+        spark = self.datoms.sparkSession
+        out = DatomStore(SnapshotStore(spark, f"{base_path}/eavt").latest().df)
+        out.avet = SortedIndex(
+            SnapshotStore(spark, f"{base_path}/avet").latest().df, out.avet.key
+        )
+        out.vaet = SortedIndex(
+            SnapshotStore(spark, f"{base_path}/vaet").latest().df, out.vaet.key
+        )
+        return out

@@ -196,6 +196,29 @@ class SnapshotStore:
                 best = h["version"]
         return best
 
+    # -------------------------------------------------------------- vacuum
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Garbage-collect snapshot data (SURVEY.md §7 risk register:
+        one COW version per batch proliferates files).
+
+        Keeps the last ``keep_last`` versions plus every version pinned by
+        the time-travel ``history``; deletes the parquet data of the rest
+        and drops their manifest rows. Returns the removed version numbers.
+        Single-writer contract applies — do not vacuum concurrently with a
+        writer holding an older base version."""
+        import shutil as _shutil
+
+        m = self._read_manifest()
+        versions = [row["version"] for row in m["versions"]]
+        pinned = set(versions[-keep_last:]) if keep_last > 0 else set()
+        pinned |= {h["version"] for h in m["history"]}
+        removed = [v for v in versions if v not in pinned]
+        for v in removed:
+            _shutil.rmtree(self._version_path(v), ignore_errors=True)
+        m["versions"] = [row for row in m["versions"] if row["version"] in pinned]
+        self._write_manifest(m)
+        return removed
+
 
 class VersionedIndex(SortedIndex):
     """A read/write handle on one snapshot version.

@@ -83,3 +83,39 @@ def test_ref_datoms_shape(li_datoms):
     refs = li_datoms.filter(F.col("value_tpe") == REF)
     r = refs.first()
     assert r.v_text.startswith(("part:", "supplier:")) and r.v_num is None
+
+
+def test_materialized_covering_orders(spark, tmp_base, sf_dir):
+    """materialize() writes three clustered copies; every access pattern
+    must return the same rows as the in-memory store, and the AVET probe
+    must reach the scan as a pushed filter on its leading sort key."""
+    from index_spark.datoms import DatomStore, datoms_from_table
+    from index_spark.sources import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    datoms = datoms_from_table(
+        part, entity_attr="part", id_col="p_partkey",
+        text_attrs=["p_brand"], num_attrs=["p_size"],
+    )
+    mem = DatomStore(datoms)
+    mat = mem.materialize(tmp_base + "/datoms", rows_per_partition=1000)
+
+    brand = part.agg({"p_brand": "min"}).first()[0]
+    q_mem = sorted(r.e for r in mem.entities_by_attr_value("part/p_brand", brand).collect())
+    q_mat = sorted(r.e for r in mat.entities_by_attr_value("part/p_brand", brand).collect())
+    assert q_mem == q_mat and q_mat
+
+    e = q_mat[0]
+    cols = ["e", "a", "v_text", "v_num", "t", "value_tpe"]  # materialized copies add __version
+    assert sorted(map(tuple, mem.entity(e).select(*cols).collect())) == sorted(
+        map(tuple, mat.entity(e).select(*cols).collect())
+    )
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        mat.avet.prefix(("part/p_brand", brand)).explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [" in plan and "EqualTo(a,part/p_brand)" in plan

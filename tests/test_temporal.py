@@ -54,3 +54,30 @@ def test_latest_vs_snapshot_isolation(temporal):
     # history pin still sees only "a"; latest sees both
     assert scan(temporal.find_index(ts)) == [("a", "1")]
     assert scan(temporal.latest()) == [("a", "1"), ("b", "2")]
+
+
+def test_vacuum_keeps_pinned_and_latest(spark, tmp_base):
+    """GC drops unpinned snapshot versions; history-pinned and latest
+    survive and remain readable."""
+    import os
+
+    import pytest as _pytest
+
+    from index_spark.errors import IndexNotFoundError
+    from index_spark.snapshots import SnapshotStore, TemporalIndex
+
+    store = SnapshotStore(spark, tmp_base + "/vac")
+    idx = store.create(["k"], df=spark.createDataFrame([(0, "v0")], "k int, v string"))
+    ti = TemporalIndex(store)
+    pinned_ts = ti.snapshot()  # pins version 0
+    for i in range(1, 5):
+        idx = store.latest().insert([{"k": i, "v": f"v{i}"}])
+    assert store.latest_version() == 4
+
+    removed = store.vacuum(keep_last=1)
+    assert sorted(removed) == [1, 2, 3]  # v0 pinned by history, v4 latest
+    assert store.latest().count() == 5
+    assert ti.find_index(pinned_ts).count() == 1
+    assert not os.path.exists(store._version_path(2))
+    with _pytest.raises(IndexNotFoundError):
+        store.n_rows(2)
