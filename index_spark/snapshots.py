@@ -120,18 +120,26 @@ class SnapshotStore:
         return self._read_manifest().get("max_n_items")
 
     def commit(self, df: DataFrame, key: Sequence[str], rows_per_partition: int) -> int:
-        """Write ``df`` as the next snapshot version (sorted, range-partitioned)."""
+        """Write ``df`` as the next snapshot version (sorted, range-partitioned).
+
+        One evaluation of the staged plan: the write itself. Partition count
+        comes from AQE (range exchange + advisory-size coalescing) rather
+        than a pre-write ``count()`` — counting first would evaluate the
+        whole staged mutation plan (validation joins included) twice. The
+        manifest's O(1) row count is read back from parquet footers
+        (metadata-only job). ``rows_per_partition`` survives as the bound
+        for callers that pre-know cardinality; physical sizing at scale is
+        AQE's advisory partition size."""
         m = self._read_manifest()
         version = (m["versions"][-1]["version"] + 1) if m["versions"] else 0
         path = self._version_path(version)
-        n_rows = df.count()
-        n_parts = max(1, -(-n_rows // rows_per_partition))
         (
-            df.repartitionByRange(n_parts, *[F.col(c) for c in key])
+            df.repartitionByRange(*[F.col(c) for c in key])
             .sortWithinPartitions(*key)
             .write.mode("errorifexists")
             .parquet(path)
         )
+        n_rows = self.spark.read.parquet(path).count()
         prev_ts = m["versions"][-1]["ts"] if m["versions"] else 0
         m["versions"].append(
             {
