@@ -682,6 +682,25 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select("doc_id", "checksum", F.element_at("feat", 1).alias("f0"))
 
 
+def q_sql_interface(spark, sf_dir):
+    """Plain-SQL entry point: register the fixture tables as views and run a
+    join+agg through spark.sql — the engine-level demonstration that SQL
+    (parser, planner, the whole §2.9 surface) comes free from Spark. The
+    statement is written in the ANSI subset both engines parse, so the
+    oracle runs the IDENTICAL string."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_INTERFACE_STMT)
+
+
+SQL_INTERFACE_STMT = (
+    "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS total "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "WHERE o_orderstatus = 'O' GROUP BY c_mktsegment"
+)
+
+
 # ---- streaming (availableNow-drained, same oracles as the batch twins) ---
 def q_stream_hourly(spark, sf_dir):
     """Structured Streaming tumbling-window agg over the events file stream;
@@ -1084,6 +1103,7 @@ def build_oracles() -> dict[str, str]:
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
             f"{_sql_sum_cents('value', 'total')} FROM events GROUP BY 1"
         ),
+        "sql_interface": SQL_INTERFACE_STMT,
         # --- streaming (finite stream drained with availableNow == batch)
         "stream_hourly": (
             "SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type, "
@@ -1159,6 +1179,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_trained_topk": q_ivf_trained_topk,
         "lsh_sign_topk": q_lsh_sign_topk,
         "events_type_summary": q_events_type_summary,
+        "sql_interface": q_sql_interface,
         "stream_hourly": q_stream_hourly,
         "stream_sessionize": q_stream_sessionize,
     }
