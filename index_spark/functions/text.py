@@ -121,6 +121,43 @@ def lang_id(col: Column) -> Column:
     )
 
 
+# GPT-2-flavor pretokenizer (Radford et al. 2019 pattern, simplified:
+# contractions | letter runs | digit runs | punctuation runs). \p{L}/\p{N}
+# classes behave identically in Java regex (Spark) and RE2 (DuckDB) —
+# verified on the fixtures — so the oracle replays it exactly.
+BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pretokenization (the unit a BPE vocab would merge over) —
+    the serious token-count estimate for training-data budgeting, vs the
+    whitespace :func:`tokens`."""
+    return F.regexp_extract_all(col, F.lit(BPE_PAT), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
+ROLL_B = 1_000_003  # polynomial base
+ROLL_M = 4_294_967_311  # prime > 2^32; acc·B + h < 2^53 — no int64 overflow
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Rabin-Karp-style rolling polynomial fingerprint over BPE-ish tokens:
+    h = fold((acc·B + md5_28bit(token)) mod M). Order-sensitive (unlike a
+    bag-of-tokens hash) and incrementally extendable — the classic
+    content-defined fingerprint family. One md5 per token; the fold is a
+    single ``aggregate``, and DuckDB's ``list_reduce`` replays it exactly
+    (fold-from-zero and reduce-from-first coincide: (0·B + h1) mod M = h1)."""
+    th = lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")  # noqa: E731
+    return F.aggregate(
+        bpe_tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(ROLL_B) + th(t)) % F.lit(ROLL_M),
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """Lowercase + collapse whitespace — canonical form for fingerprints."""
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))

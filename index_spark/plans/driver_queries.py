@@ -59,6 +59,9 @@ SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 SQL_TOKS_LOWER = "regexp_extract_all(lower(text), '\\S+')"
 
 
+_SQL_BPE_PAT = TX.BPE_PAT.replace("'", "''")  # SQL string-literal escaping
+
+
 def _sql_cents(col: str) -> str:
     return f"CAST(round({col}*100) AS BIGINT)"
 
@@ -576,6 +579,24 @@ def q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    """BPE-ish token counts (the training-budget estimate) per doc + corpus
+    totals via GPT-2-flavor pretokenization."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = TX.bpe_token_count(F.col("text")).cast("long")
+    return docs.agg(
+        F.sum(n).alias("total_bpe_tokens"),
+        F.max(n).alias("max_doc_tokens"),
+        F.round(F.sum(n).cast("double") / F.count(F.lit(1)), 6).alias("avg_bpe_tokens"),
+    )
+
+
+def q_rolling_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling polynomial fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.rolling_fingerprint(F.col("text")).alias("rfp"))
+
+
 def q_token_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n_tok = TX.token_count(F.col("text")).cast("long")
@@ -1060,6 +1081,18 @@ def build_oracles() -> dict[str, str]:
         "text_quality": _QUALITY_SQL,
         "lang_id": _sql_lang_pred(),
         "doc_fingerprint": f"SELECT doc_id, {fp} AS fp FROM documents",
+        "bpe_token_stats": (
+            f"SELECT CAST(sum(n) AS BIGINT) AS total_bpe_tokens, "
+            "CAST(max(n) AS BIGINT) AS max_doc_tokens, "
+            "round(CAST(sum(n) AS DOUBLE)/count(*), 6) AS avg_bpe_tokens FROM ("
+            f"  SELECT len(regexp_extract_all(text, '{_SQL_BPE_PAT}')) AS n FROM documents)"
+        ),
+        "rolling_fingerprint": (
+            "SELECT doc_id, CASE WHEN len(toks) = 0 THEN 0 ELSE "
+            "list_reduce(list_transform(toks, t -> ('0x' || substr(md5(t),1,7))::BIGINT), "
+            f"(a, b) -> (a * {TX.ROLL_B} + b) % {TX.ROLL_M}) END AS rfp "
+            f"FROM (SELECT doc_id, regexp_extract_all(text, '{_SQL_BPE_PAT}') AS toks FROM documents)"
+        ),
         "token_stats": (
             "SELECT CAST(sum(n) AS BIGINT) AS total_tokens, "
             "round(CAST(sum(n) AS DOUBLE)/count(*), 6) AS avg_tokens "
@@ -1169,6 +1202,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "bpe_token_stats": q_bpe_token_stats,
+        "rolling_fingerprint": q_rolling_fingerprint,
         "token_stats": q_token_stats,
         "cosine_topk": q_cosine_topk,
         "ivf_label_topk": q_ivf_label_topk,

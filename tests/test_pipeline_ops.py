@@ -228,3 +228,27 @@ def test_decode_stub_raises_without_fake():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", fake=False)
+
+
+def test_bpe_tokens_and_rolling_fingerprint(spark):
+    from pyspark.sql import functions as F
+
+    from index_spark.functions.text import bpe_token_count, bpe_tokens, rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [("don't panic, 42 times!",), ("panic don't, 42 times!",), ("",)],
+        "text string",
+    )
+    rows = df.select(
+        bpe_tokens(F.col("text")).alias("t"),
+        bpe_token_count(F.col("text")).alias("n"),
+        rolling_fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    # contraction split + punctuation runs as their own tokens
+    assert rows[0].t == ["don", "'t", "panic", ",", "42", "times", "!"]
+    assert rows[0].n == 7
+    # order-sensitive: same bag of tokens, different order => different hash
+    assert sorted(rows[0].t) == sorted(rows[1].t)
+    assert rows[0].fp != rows[1].fp
+    # empty text folds to the init value
+    assert rows[2].fp == 0
