@@ -191,3 +191,31 @@ class TestCompositeKeys:
         want_keys = set(rng.sample(cmodel, 9))
         expect = [t for t in cmodel if t in want_keys]
         assert self.pairs(cidx.get_all(sorted(want_keys))) == expect
+
+
+def test_custom_comparator_as_computed_key(spark):
+    """Reference per-query comparators (termComp/prefixComp differing from
+    the build ordering — QueriesRandomSpec.scala:257-263 suffix comparator)
+    map to SortedIndex over computed key columns: here querying by the
+    SUFFIX (last 4 chars) of a string key, and by a reversed composite."""
+    from pyspark.sql import functions as F
+
+    from index_spark.index import SortedIndex
+
+    rows = [(f"{p}{s:04d}",) for p in ("aa", "bb", "cc") for s in range(20)]
+    df = spark.createDataFrame(rows, "key string")
+
+    # suffix comparator: order/query by the last 4 chars
+    with_suffix = df.withColumn("suffix", F.substring("key", -4, 4))
+    idx = SortedIndex(with_suffix, ["suffix"])
+    got = [r.key for r in idx.prefix("0007").collect()]
+    assert sorted(got) == ["aa0007", "bb0007", "cc0007"]
+    rng = [r.suffix for r in idx.range("0003", "0005").select("suffix").collect()]
+    assert rng == sorted(rng) and set(rng) == {"0003", "0004", "0005"}
+
+    # reversed-composite comparator: same rows, opposite column order
+    df2 = spark.createDataFrame([(1, 10), (1, 20), (2, 10), (2, 20)], "a int, b int")
+    by_ba = SortedIndex(df2, ["b", "a"])
+    assert [tuple(r) for r in by_ba.in_order().select("b", "a").collect()] == [
+        (10, 1), (10, 2), (20, 1), (20, 2)
+    ]

@@ -106,3 +106,49 @@ def test_stream_into_snapshots_time_travel(spark, sf_dir, tmp_base, events_batch
     v = store.find_as_of(first_ts)
     assert v is not None
     assert store.at_version(v).count() <= few.count()
+
+
+def test_watermark_drops_late_rows_across_restarts(spark, tmp_base):
+    """Real late-data semantics: run 1 processes rows up to t=100s and
+    persists watermark 90s in the checkpoint; run 2 (same checkpoint) sees
+    a too-late row (t=20s, dropped) and an in-watermark row (t=95s,
+    accepted). Also proves watermark/state recovery across restarts —
+    availableNow equivalence tests cannot see either behavior."""
+    src = tmp_base + "/late_src"
+    ckpt = tmp_base + "/late_ckpt"
+
+    def write_rows(rows):
+        df = spark.createDataFrame(rows, "id long, ts_us long").withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us"))
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+        return df.schema
+
+    def run_once(schema):
+        got: list = []
+        stream = (
+            spark.readStream.schema(schema).parquet(src)
+            .withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "10 seconds").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.collect_list("id").alias("ids"))
+            .select(F.unix_micros(F.col("w.start")).alias("start_us"), "n", "ids")
+        )
+        q = (
+            stream.writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    schema = write_rows([(1, 0), (2, 100_000_000)])
+    run_once(schema)
+    write_rows([(3, 20_000_000), (4, 95_000_000)])
+    out2 = run_once(schema)
+
+    seen = {r.start_us: sorted(r.ids) for r in out2}
+    # in-watermark row accepted into its window
+    assert 4 in seen.get(90_000_000, [])
+    # too-late row (20s << watermark 90s) dropped — window never materializes
+    assert 20_000_000 not in seen
+    assert all(3 not in ids for ids in seen.values())
