@@ -1,0 +1,68 @@
+"""Physical-plan invariants for the driver catalog — the scale properties
+README claims, enforced as regressions: filters reach the scan, top-k never
+global-sorts, dimension joins broadcast, nothing degrades to a nested-loop
+or cartesian join."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as em
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = em.queries()
+
+    def plan_of(name: str) -> str:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            qs[name](spark, sf_dir).explain("formatted")
+        return buf.getvalue()
+
+    return plan_of
+
+
+def test_range_scan_pushdown(plans):
+    p = plans("range_scan")
+    assert "GreaterThan(o_orderkey,100)" in p  # predicate at the scan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in p  # pruned columns
+
+
+def test_point_get_pushdown(plans):
+    assert "EqualTo(o_orderkey,1000)" in plans("point_get")
+
+
+def test_multi_get_in_filter_pushdown(plans):
+    assert "In(o_orderkey, [" in plans("multi_get")
+
+
+def test_top_k_compiles_to_take_ordered(plans):
+    p = plans("top_k")
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p  # no global sort stage
+
+
+def test_q5_broadcasts_dimensions(plans):
+    p = plans("q5_nation_revenue")
+    assert p.count("BroadcastHashJoin") >= 3  # cust, nation (+ orders side per AQE)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # the date filter reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_composite_range_pushdown(plans):
+    p = plans("composite_range")
+    # lexicographic expansion keeps simple comparisons pushable
+    assert "PushedFilters: [" in p and "l_orderkey" in p.split("PushedFilters")[1][:300]
+
+
+def test_no_cartesian_anywhere_in_core_queries(plans):
+    for name in [
+        "gt_scan", "prefix_scan", "semi_join_priority", "anti_join_parts",
+        "q13_custdist", "q1_pricing", "q3_revenue_topk", "events_hourly",
+    ]:
+        p = plans(name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
