@@ -60,6 +60,7 @@ SQL_TOKS_LOWER = "regexp_extract_all(lower(text), '\\S+')"
 
 
 _SQL_BPE_PAT = TX.BPE_PAT.replace("'", "''")  # SQL string-literal escaping
+_SQL_NTOK = ("len(regexp_extract_all(text, '\\S+'))", "n")
 
 
 def _sql_cents(col: str) -> str:
@@ -295,6 +296,18 @@ def q_events_hourly(spark, sf_dir):
             F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"), "event_type"
         )
         .agg(F.count(F.lit(1)).alias("n"), _sum_cents(F.col("value"), "total"))
+    )
+
+
+def q_sliding_window(spark, sf_dir):
+    """2-hour windows sliding by 1 hour: each event lands in exactly two
+    windows. The oracle replays it as a UNION ALL of the two shifted
+    hour-truncations — same bucket set, same aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _sum_cents(F.col("value"), "total"))
+        .select(F.unix_micros(F.col("w.start")).alias("start_us"), "event_type", "n", "total")
     )
 
 
@@ -673,6 +686,26 @@ def q_lsh_sign_topk(spark, sf_dir):
 
 
 # ---- multimodal ----------------------------------------------------------
+def q_pipeline_end_to_end(spark, sf_dir):
+    """The flagship training-data pipeline composed end-to-end: corpus with
+    injected duplicates → exact dedup (min-id survivor) → quality gate
+    (length + punctuation) → language breakdown with token budgets. Every
+    stage is the engine's own operator; the oracle replays the whole chain
+    as SQL CTEs, so the hash match certifies the composition, not just the
+    pieces."""
+    docs = _docs_with_dups(spark, sf_dir)
+    surv = DD.exact_dedup(docs)
+    t = F.col("text")
+    filtered = surv.filter((TX.token_count(t) >= 20) & (TX.punct_ratio(t) < 0.2))
+    return (
+        filtered.select(
+            TX.lang_id(t).alias("lang_pred"), TX.token_count(t).cast("long").alias("n")
+        )
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").cast("long").alias("total_tokens"))
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     from index_spark.multimodal import documents_as_media
 
@@ -761,7 +794,10 @@ def q_events_type_summary(spark, sf_dir):
 # DuckDB oracle twins
 # =========================================================================
 
-def _sql_lang_pred() -> str:
+def _sql_lang_pred(src: str = "documents", extra_cols: list[tuple[str, str]] | None = None) -> str:
+    """Lang-ID CASE over lowercased-token marker hits; ``extra_cols`` is a
+    list of (expression, alias) carried through (e.g. a token count for
+    downstream aggregation)."""
     toks = SQL_TOKS_LOWER
     score_exprs = []
     for lang in LANGS:
@@ -772,11 +808,14 @@ def _sql_lang_pred() -> str:
     for lang in sorted(LANGS, reverse=True)[:-1]:
         case += f"WHEN s_{lang} = {g} THEN '{lang}' "
     case += f"ELSE '{LANGS[0]}' END"
+    extra_cols = extra_cols or []
+    inner_extra = "".join(f", {expr} AS {alias}" for expr, alias in extra_cols)
+    outer_extra = "".join(f", {alias}" for _, alias in extra_cols)
     return f"""
-    SELECT doc_id, {case} AS lang_pred FROM (
+    SELECT doc_id, {case} AS lang_pred{outer_extra} FROM (
       SELECT doc_id, {", ".join(score_exprs)},
-             len(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 AS cjk
-      FROM documents)
+             len(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 AS cjk{inner_extra}
+      FROM {src})
     """
 
 
@@ -945,6 +984,14 @@ def build_oracles() -> dict[str, str]:
             f"CAST(count(*) AS BIGINT) AS n, {_sql_sum_cents('value', 'total')} "
             "FROM events GROUP BY 1, 2"
         ),
+        "sliding_window": (
+            "SELECT start_us, event_type, CAST(count(*) AS BIGINT) AS n, "
+            f"{_sql_sum_cents('value', 'total')} FROM ("
+            "  SELECT epoch_us(date_trunc('hour', ts)) AS start_us, event_type, value FROM events"
+            "  UNION ALL"
+            "  SELECT epoch_us(date_trunc('hour', ts) - INTERVAL 1 HOUR), event_type, value FROM events"
+            ") GROUP BY 1, 2"
+        ),
         "sessionize": (
             "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM ("
             "  SELECT user_id, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000 THEN 1 ELSE 0 END new_s"
@@ -1098,6 +1145,18 @@ def build_oracles() -> dict[str, str]:
             "round(CAST(sum(n) AS DOUBLE)/count(*), 6) AS avg_tokens "
             "FROM (SELECT len(regexp_extract_all(text, '\\S+')) AS n FROM documents)"
         ),
+        "pipeline_end_to_end": (
+            f"WITH alldocs AS ({dup_docs}), "
+            "surv AS (SELECT * FROM alldocs WHERE doc_id IN ("
+            f"  SELECT min(doc_id) FROM alldocs GROUP BY {fp})), "
+            "filt AS (SELECT doc_id, text FROM surv "
+            "  WHERE len(regexp_extract_all(text, '\\S+')) >= 20 "
+            "  AND CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)"
+            "      / greatest(length(text), 1) < 0.2), "
+            f"lang AS ({_sql_lang_pred('filt', extra_cols=[_SQL_NTOK])}) "
+            "SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n) AS BIGINT) AS total_tokens FROM lang GROUP BY 1"
+        ),
         # --- similarity
         "cosine_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
@@ -1178,6 +1237,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "window_lag": q_window_lag,
         "events_hourly": q_events_hourly,
+        "sliding_window": q_sliding_window,
         "sessionize": q_sessionize,
         "datoms_count_by_attr": q_datoms_count_by_attr,
         "datoms_avet_lookup": q_datoms_avet_lookup,
@@ -1208,6 +1268,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ivf_label_topk": q_ivf_label_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "pipeline_end_to_end": q_pipeline_end_to_end,
         "multimodal_meta": q_multimodal_meta,
         "frame_plan": q_frame_plan,
         "multimodal_features": q_multimodal_features,
