@@ -494,6 +494,53 @@ def q_rollup_orders(spark, sf_dir):
     )
 
 
+def q_cube_orders(spark, sf_dir):
+    """CUBE over (status, priority) — all four grouping combinations."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), _sum_cents(F.col("o_totalprice"), "total")
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT (reference has only disjoint-union merge, §2.9):
+    customers active in 1996 ∩ 1997, minus the BUILDING segment."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def active(year):
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.to_timestamp(F.lit(f"{year}-01-01")))
+                & (F.col("o_orderdate") < F.to_timestamp(F.lit(f"{year + 1}-01-01")))
+            )
+            .select(F.col("o_custkey").alias("c_custkey"))
+            .distinct()
+        )
+
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return active(1996).intersect(active(1997)).exceptAll(building.distinct())
+
+
+def q_scalar_functions(spark, sf_dir):
+    """Scalar-function sampler (§2.9: the reference has no function library;
+    Spark's is free): string / date / math expressions with exact twins."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+        F.length("o_orderstatus").alias("st_len"),
+        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("tag"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.abs(F.col("o_orderkey") - 50).cast("long").alias("dist50"),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).cast("long").alias("mod7"),
+        F.greatest(F.col("o_orderkey"), F.lit(42)).alias("gmax"),
+        _cents(F.col("o_totalprice")).alias("price_cents"),
+    )
+
+
 def q_distinct_parts(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -1085,6 +1132,31 @@ def build_oracles() -> dict[str, str]:
             f"{_sql_sum_cents('o_totalprice', 'total')} "
             "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
         ),
+        "cube_orders": (
+            "SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+            f"{_sql_sum_cents('o_totalprice', 'total')} "
+            "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+        ),
+        "set_ops": (
+            "WITH a96 AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders "
+            "  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'), "
+            "a97 AS (SELECT DISTINCT o_custkey FROM orders "
+            "  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'), "
+            "bld AS (SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') "
+            "SELECT c_custkey FROM a96 INTERSECT SELECT o_custkey FROM a97 "
+            "EXCEPT SELECT c_custkey FROM bld"
+        ),
+        "scalar_functions": (
+            "SELECT o_orderkey, upper(substr(o_orderpriority, 1, 3)) AS prio3, "
+            "CAST(length(o_orderstatus) AS INT) AS st_len, "
+            "concat_ws('-', o_orderstatus, o_orderpriority) AS tag, "
+            "CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo, "
+            "CAST(day(o_orderdate) AS INT) AS dom, "
+            "abs(o_orderkey - 50) AS dist50, o_orderkey % 7 AS mod7, "
+            "greatest(o_orderkey, 42) AS gmax, "
+            f"{_sql_cents('o_totalprice')} AS price_cents "
+            "FROM orders WHERE o_orderkey <= 100"
+        ),
         "distinct_parts": (
             "SELECT l_orderkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts "
             "FROM lineitem WHERE l_orderkey < 200 GROUP BY 1"
@@ -1252,6 +1324,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_custdist": q_q13_custdist,
         "group_topk": q_group_topk,
         "rollup_orders": q_rollup_orders,
+        "cube_orders": q_cube_orders,
+        "set_ops": q_set_ops,
+        "scalar_functions": q_scalar_functions,
         "distinct_parts": q_distinct_parts,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_survivors": q_dedup_survivors,
