@@ -42,8 +42,10 @@ def main() -> int:
     spark = get_spark(app_name="bench")
     queries = entrymod.queries()
 
-    # Warmup: run three representative shapes at sf0.001 (scan, join+agg, text)
-    for wname in ("range_scan", "q5_nation_revenue", "doc_fingerprint"):
+    # Warmup at sf0.001: scan, join+agg, text expression, and one Pandas-UDF
+    # query (spins up the Python worker pool + Arrow once, so per-query
+    # numbers reflect steady state, not first-UDF startup)
+    for wname in ("range_scan", "q5_nation_revenue", "doc_fingerprint", "minhash_lsh_pairs"):
         if wname in queries and os.path.isdir(WARMUP_DIR):
             try:
                 queries[wname](spark, WARMUP_DIR).count()
