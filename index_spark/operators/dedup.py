@@ -253,6 +253,55 @@ def jaccard_pairs(
     )
 
 
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """End-to-end LSH near-dup pairs with ONE UDF pass over the corpus.
+
+    The (shingles, signature) projection is computed once and persisted;
+    both self-join sides of candidate generation and both sides of Jaccard
+    verification read it from cache — vs. four UDF evaluations when the
+    stages are composed independently. The cache entry lives with the
+    returned plan (Spark LRU-evicts under pressure); at 100 TB you'd
+    materialize the projection to storage instead (same shape)."""
+    rows = num_hashes // bands
+    enriched = (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingle_minhash_udf(num_hashes, shingle_k)(F.col(text_col)).alias("ss"),
+        )
+        .select("id", F.col("ss.sh").alias("sh"), F.col("ss.sig").alias("sig"))
+        .persist()
+    )
+    banded = enriched.select(
+        "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bh")
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = enriched.select("id", "sh")
+    joined = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / F.greatest(union, F.lit(1))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -119,6 +119,21 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the IVF index: vectors written ``partitionBy(cell)`` so a
+    probe is *partition pruning* (directory-level skip), not a filter scan.
+    This is the 100 TB shape — ``ivf_topk`` against the returned DataFrame
+    shows ``PartitionFilters: [cell IN (...)]`` in the physical plan and
+    never opens non-probed cells' files."""
+    assign_cells(df, centroids, vec_col).write.partitionBy("cell").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 # ------------------------------------------------------------------ sign-LSH
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)

@@ -584,8 +584,9 @@ def q_minhash_signatures(spark, sf_dir):
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     docs = _docs_with_near_dups(spark, sf_dir)
-    cands = DD.minhash_candidates(docs, num_hashes=MINHASH_N, bands=MINHASH_BANDS)
-    verified = DD.jaccard_pairs(docs, cands).filter(F.col("jaccard") >= 0.5)
+    verified = DD.minhash_near_dup_pairs(
+        docs, threshold=0.5, num_hashes=MINHASH_N, bands=MINHASH_BANDS
+    )
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

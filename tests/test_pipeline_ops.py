@@ -252,3 +252,27 @@ def test_bpe_tokens_and_rolling_fingerprint(spark):
     assert rows[0].fp != rows[1].fp
     # empty text folds to the init value
     assert rows[2].fp == 0
+
+
+def test_ivf_partitioned_index_prunes(spark, embeddings, tmp_base):
+    """The materialized IVF index must answer probes via partition pruning:
+    the scan's PartitionFilters carries the cell predicate, so non-probed
+    cells' files are never opened."""
+    import io
+    from contextlib import redirect_stdout
+
+    cents = SIM.train_centroids(embeddings, n_cells=4, iters=2)
+    indexed = SIM.build_ivf_index(embeddings, cents, tmp_base + "/ivf")
+    q = embeddings.select("embedding").first()[0]
+
+    exact = [r.vec_id for r in SIM.brute_force_topk(embeddings, q, k=5).collect()]
+    approx_df = SIM.ivf_topk(indexed, cents, q, k=5, nprobe=2)
+    approx = [r.vec_id for r in approx_df.collect()]
+    assert exact[0] == approx[0]
+    assert len(set(exact) & set(approx)) >= 3
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        approx_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [cell" in plan
