@@ -113,33 +113,83 @@ class SnapshotStore:
         if df is not None:
             if VERSION_COL not in df.columns:
                 df = df.withColumn(VERSION_COL, F.lit(str(uuid.uuid4())))
-            self.commit(df, list(key), rows_per_partition)
+            # initial load: one count of the raw input (no staged joins to
+            # double-evaluate here) buys an exact partition layout
+            n_parts = max(1, -(-df.count() // rows_per_partition))
+            self.commit(df, list(key), rows_per_partition, n_partitions=n_parts)
         return self.latest()
 
     def max_n_items(self) -> Optional[int]:
         return self._read_manifest().get("max_n_items")
 
-    def commit(self, df: DataFrame, key: Sequence[str], rows_per_partition: int) -> int:
+    def _file_stats(self, path: str, key: Sequence[str]) -> list[dict]:
+        """Per-file (path, key min/max, rows) for the files under ``path`` —
+        the manifest-level analog of parquet row-group stats, enabling
+        file-level COW (only files whose key range a batch touches get
+        rewritten). One column-pruned scan of freshly-written (page-warm)
+        files."""
+        df = self.spark.read.parquet(path)
+        rows = (
+            df.groupBy(F.input_file_name().alias("p"))
+            .agg(
+                *[F.min(c).alias(f"min_{c}") for c in key],
+                *[F.max(c).alias(f"max_{c}") for c in key],
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        return [
+            {
+                "path": r.p.replace("file://", ""),
+                "min": [r[f"min_{c}"] for c in key],
+                "max": [r[f"max_{c}"] for c in key],
+                "n_rows": r.n,
+            }
+            for r in rows
+        ]
+
+    def commit(
+        self,
+        df: DataFrame,
+        key: Sequence[str],
+        rows_per_partition: int,
+        n_partitions: Optional[int] = None,
+        carry_files: Optional[list[dict]] = None,
+    ) -> int:
         """Write ``df`` as the next snapshot version (sorted, range-partitioned).
 
         One evaluation of the staged plan: the write itself. Partition count
-        comes from AQE (range exchange + advisory-size coalescing) rather
-        than a pre-write ``count()`` — counting first would evaluate the
-        whole staged mutation plan (validation joins included) twice. The
+        comes from AQE (range exchange + advisory-size coalescing) unless
+        ``n_partitions`` is given — counting first would evaluate the whole
+        staged mutation plan (validation joins included) twice. The
         manifest's O(1) row count is read back from parquet footers
-        (metadata-only job). ``rows_per_partition`` survives as the bound
-        for callers that pre-know cardinality; physical sizing at scale is
-        AQE's advisory partition size."""
+        (metadata-only job), and per-file key min/max stats are recorded to
+        enable file-level COW. ``carry_files`` are untouched files from the
+        base version referenced (not copied) into the new version."""
         m = self._read_manifest()
         version = (m["versions"][-1]["version"] + 1) if m["versions"] else 0
         path = self._version_path(version)
-        (
-            df.repartitionByRange(*[F.col(c) for c in key])
-            .sortWithinPartitions(*key)
-            .write.mode("errorifexists")
-            .parquet(path)
+        part_cols = [F.col(c) for c in key]
+        ranged = (
+            df.repartitionByRange(n_partitions, *part_cols)
+            if n_partitions
+            else df.repartitionByRange(*part_cols)
         )
-        n_rows = self.spark.read.parquet(path).count()
+        ranged.sortWithinPartitions(*key).write.mode("errorifexists").parquet(path)
+        files = self._file_stats(path, key) + list(carry_files or [])
+        try:  # key min/max must survive the JSON manifest round-trip
+            json.dumps([f["min"] + f["max"] for f in files])
+        except TypeError:
+            # non-JSON-able key type → dir-level version only. carry_files
+            # would be silently dropped — refuse (cannot happen via
+            # upsert_partial, which requires a stats-bearing base).
+            assert not carry_files, "file-level COW requires JSON-able key stats"
+            files = None
+        n_rows = (
+            sum(f["n_rows"] for f in files)
+            if files is not None
+            else self.spark.read.parquet(path).count()
+        )
         prev_ts = m["versions"][-1]["ts"] if m["versions"] else 0
         m["versions"].append(
             {
@@ -147,6 +197,7 @@ class SnapshotStore:
                 "version_id": str(uuid.uuid4()),
                 "ts": _now_ns(prev_ts),
                 "n_rows": n_rows,
+                "files": files,
             }
         )
         self._write_manifest(m)
@@ -156,7 +207,19 @@ class SnapshotStore:
         return os.path.join(self.base_path, f"v{version:06d}")
 
     # --------------------------------------------------------------- reads
+    def _version_row(self, version: int) -> dict:
+        for row in self._read_manifest()["versions"]:
+            if row["version"] == version:
+                return row
+        raise IndexNotFoundError(f"version {version}")
+
     def read(self, version: int) -> DataFrame:
+        row = self._version_row(version)
+        files = row.get("files")
+        if files:
+            # file-level COW: a version is a file LIST (possibly spanning
+            # older version directories), not necessarily one directory.
+            return self.spark.read.parquet(*[f["path"] for f in files])
         return self.spark.read.parquet(self._version_path(version))
 
     def latest_version(self) -> int:
@@ -210,10 +273,13 @@ class SnapshotStore:
         one COW version per batch proliferates files).
 
         Keeps the last ``keep_last`` versions plus every version pinned by
-        the time-travel ``history``; deletes the parquet data of the rest
-        and drops their manifest rows. Returns the removed version numbers.
-        Single-writer contract applies — do not vacuum concurrently with a
-        writer holding an older base version."""
+        the time-travel ``history``. With file-level COW a kept version may
+        reference files living under a dropped version's directory, so
+        deletion is per-FILE: only files referenced by no kept version are
+        removed. Returns the removed version numbers. Single-writer
+        contract applies — do not vacuum concurrently with a writer
+        holding an older base version."""
+        import glob as _glob
         import shutil as _shutil
 
         m = self._read_manifest()
@@ -221,8 +287,26 @@ class SnapshotStore:
         pinned = set(versions[-keep_last:]) if keep_last > 0 else set()
         pinned |= {h["version"] for h in m["history"]}
         removed = [v for v in versions if v not in pinned]
+
+        referenced: set[str] = set()
+        for row in m["versions"]:
+            if row["version"] not in pinned:
+                continue
+            files = row.get("files")
+            if files:
+                referenced |= {os.path.abspath(f["path"]) for f in files}
+            else:  # legacy dir-level version: everything under its dir
+                referenced |= {
+                    os.path.abspath(p)
+                    for p in _glob.glob(os.path.join(self._version_path(row["version"]), "*"))
+                }
         for v in removed:
-            _shutil.rmtree(self._version_path(v), ignore_errors=True)
+            vdir = self._version_path(v)
+            for p in _glob.glob(os.path.join(vdir, "*")):
+                if os.path.abspath(p) not in referenced:
+                    os.remove(p) if os.path.isfile(p) else _shutil.rmtree(p, ignore_errors=True)
+            if not any(os.path.abspath(p) in referenced for p in _glob.glob(os.path.join(vdir, "*"))):
+                _shutil.rmtree(vdir, ignore_errors=True)
         m["versions"] = [row for row in m["versions"] if row["version"] in pinned]
         self._write_manifest(m)
         return removed
@@ -261,7 +345,23 @@ class VersionedIndex(SortedIndex):
 
     def _rows_to_df(self, rows: list[dict[str, Any]]) -> DataFrame:
         assert rows, "empty batch"
-        return self.store.spark.createDataFrame(rows)  # type: ignore[arg-type]
+        batch = self.store.spark.createDataFrame(rows)  # type: ignore[arg-type]
+        return self._align_types(batch)
+
+    def _align_types(self, batch: DataFrame) -> DataFrame:
+        """Cast batch columns to the current snapshot's types. Python ints
+        infer as LongType; without the cast a union would silently widen
+        the stored type — and under file-level COW the new files would
+        disagree with carried files (parquet INT32 vs INT64 read error)."""
+        if self._empty:
+            return batch
+        cur_types = dict(self.df.dtypes)
+        return batch.select(
+            *[
+                F.col(c).cast(cur_types[c]).alias(c) if c in cur_types else F.col(c)
+                for c in batch.columns
+            ]
+        )
 
     def _current(self) -> Optional[DataFrame]:
         return None if self._empty else self.df
@@ -405,6 +505,54 @@ class VersionedIndex(SortedIndex):
 
     def insert(self, rows: list[dict[str, Any]], upsert: bool = False, version: Optional[str] = None) -> "VersionedIndex":
         return self.execute([Insert(rows, upsert)], version)
+
+    def upsert_partial(self, rows: list[dict[str, Any]], version: Optional[str] = None) -> "VersionedIndex":
+        """File-level COW upsert: rewrite ONLY the files whose key range the
+        batch touches; carry every other file into the new version by
+        reference (Delta-style, at manifest granularity).
+
+        At 100 TB this is the difference between rewriting the dataset and
+        rewriting the handful of range partitions a batch lands in. Touched
+        files are found driver-side against the manifest's per-file min/max
+        (the file-level analog of the reference's root→leaf descent).
+        Falls back to a full :meth:`insert` when file stats are unavailable
+        (legacy versions, non-JSON-able key types) or the index is empty."""
+        self._check_usable()
+        version = version or str(uuid.uuid4())
+        key = self.key
+        row_meta = None if self._empty else self.store._version_row(self.version)  # type: ignore[arg-type]
+        files = (row_meta or {}).get("files")
+        if not files:
+            return self.insert(rows, upsert=True, version=version)
+
+        batch = self._rows_to_df(rows)
+        dups = self._dup_keys_in_batch(batch, key)
+        if dups:
+            raise DuplicatedKeysError(dups)
+        batch = batch.withColumn(VERSION_COL, F.lit(version))
+
+        batch_keys = [tuple(r[k] for k in key) for r in rows]
+        lo, hi = min(batch_keys), max(batch_keys)
+
+        def overlaps(f: dict) -> bool:
+            fmin, fmax = tuple(f["min"]), tuple(f["max"])
+            if fmax < lo or fmin > hi:
+                return False
+            return any(fmin <= bk <= fmax for bk in batch_keys)
+
+        touched = [f for f in files if overlaps(f)]
+        untouched = [f for f in files if not overlaps(f)]
+        if touched:
+            cur_touched = self.store.spark.read.parquet(*[f["path"] for f in touched])
+            kept = cur_touched.join(F.broadcast(batch.select(*key)), on=key, how="left_anti")
+            staged = kept.unionByName(batch.select(*kept.columns))
+        else:
+            staged = batch
+        new_version = self.store.commit(
+            staged, key, self.rows_per_partition, carry_files=untouched
+        )
+        self._used = True
+        return self.store.at_version(new_version)
 
     def update(self, rows: list[dict[str, Any]], version: Optional[str] = None) -> "VersionedIndex":
         return self.execute([Update(rows)], version)

@@ -61,3 +61,44 @@ def test_tuple_versions_survive_split(spark, tmp_base):
     side = left if 7 in _keys(left) else right
     row = side.get(7).select("v", "__version").first()
     assert row.v == "y" and row["__version"] == "tx-update"
+
+
+def test_upsert_partial_file_level_cow(spark, tmp_base):
+    """File-level COW: a narrow upsert rewrites only the files whose key
+    range it touches; every other file is carried into the new version by
+    reference, and results equal full-rewrite semantics."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"v{i}") for i in range(400)]
+    store = SnapshotStore(spark, tmp_base + "/cow")
+    idx = store.create(
+        ["k"],
+        df=spark.createDataFrame(rows, "k int, v string"),
+        rows_per_partition=50,  # → 8 range-partitioned files
+    )
+    base_files = {f["path"] for f in store._version_row(0)["files"]}
+    assert len(base_files) == 8
+
+    # narrow batch: keys 10..14 (one file's range) + one brand-new key
+    batch = [{"k": k, "v": f"new{k}"} for k in range(10, 15)] + [{"k": 1000, "v": "new1000"}]
+    idx2 = idx.upsert_partial(batch, version="cow-tx")
+
+    new_meta = store._version_row(idx2.version)
+    new_files = {f["path"] for f in new_meta["files"]}
+    carried = base_files & new_files
+    assert len(carried) >= 6  # most files reused by reference
+
+    # results == full-rewrite semantics
+    got = {r.k: r.v for r in idx2.in_order().collect()}
+    want = {i: f"v{i}" for i in range(400)} | {k: f"new{k}" for k in range(10, 15)} | {1000: "new1000"}
+    assert got == want
+    assert idx2.count() == 401  # manifest count exact
+
+    # updated rows carry the batch version; carried rows keep theirs
+    vs = {r.k: r["__version"] for r in idx2.in_order().select("k", "__version").collect()}
+    assert vs[10] == "cow-tx" and vs[1000] == "cow-tx" and vs[399] != "cow-tx"
+
+    # file-aware vacuum: dropping v0 must keep files v1 still references
+    removed = store.vacuum(keep_last=1)
+    assert removed == [0]
+    assert {r.k for r in store.latest().in_order().collect()} == set(want)
