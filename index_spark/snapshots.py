@@ -517,19 +517,40 @@ class VersionedIndex(SortedIndex):
         (the file-level analog of the reference's root→leaf descent).
         Falls back to a full :meth:`insert` when file stats are unavailable
         (legacy versions, non-JSON-able key types) or the index is empty."""
+        return self._partial_mutate(rows, version, mode="upsert")
+
+    def update_partial(self, rows: list[dict[str, Any]], version: Optional[str] = None) -> "VersionedIndex":
+        """File-level COW update: same touched-files shape as
+        :meth:`upsert_partial` with the reference's update semantics —
+        every key must exist (KEY_NOT_FOUND) and optional per-row
+        ``__expected_version`` is checked (VERSION_CHANGED). The existence
+        check against only the touched files is sound because files
+        partition the key space: a key can live only in a file whose
+        [min, max] covers it."""
+        return self._partial_mutate(rows, version, mode="update")
+
+    def remove_partial(self, keys: list[dict[str, Any]], version: Optional[str] = None) -> "VersionedIndex":
+        """File-level COW remove with existence + expected-version checks."""
+        return self._partial_mutate(keys, version, mode="remove")
+
+    def _partial_mutate(self, rows: list[dict[str, Any]], version: Optional[str], mode: str) -> "VersionedIndex":
         self._check_usable()
         version = version or str(uuid.uuid4())
         key = self.key
         row_meta = None if self._empty else self.store._version_row(self.version)  # type: ignore[arg-type]
         files = (row_meta or {}).get("files")
-        if not files:
-            return self.insert(rows, upsert=True, version=version)
+        if not files:  # legacy version / no stats → full-rewrite semantics
+            if mode == "upsert":
+                return self.insert(rows, upsert=True, version=version)
+            if mode == "update":
+                return self.update(rows, version=version)
+            return self.remove(rows, version=version)
 
         batch = self._rows_to_df(rows)
         dups = self._dup_keys_in_batch(batch, key)
         if dups:
             raise DuplicatedKeysError(dups)
-        batch = batch.withColumn(VERSION_COL, F.lit(version))
+        has_expect = "__expected_version" in batch.columns
 
         batch_keys = [tuple(r[k] for k in key) for r in rows]
         lo, hi = min(batch_keys), max(batch_keys)
@@ -542,12 +563,41 @@ class VersionedIndex(SortedIndex):
 
         touched = [f for f in files if overlaps(f)]
         untouched = [f for f in files if not overlaps(f)]
-        if touched:
-            cur_touched = self.store.spark.read.parquet(*[f["path"] for f in touched])
-            kept = cur_touched.join(F.broadcast(batch.select(*key)), on=key, how="left_anti")
-            staged = kept.unionByName(batch.select(*kept.columns))
+        cur_touched = (
+            self.store.spark.read.parquet(*[f["path"] for f in touched]) if touched else None
+        )
+
+        if mode in ("update", "remove"):
+            if cur_touched is None:
+                raise KeyNotFoundError(batch_keys[:20])
+            missing = (
+                batch.join(cur_touched.select(*key), on=key, how="left_anti")
+                .select(*key).limit(20).collect()
+            )
+            if missing:
+                raise KeyNotFoundError([tuple(r) for r in missing])
+            if has_expect:
+                conflicts = (
+                    batch.filter(F.col("__expected_version").isNotNull())
+                    .select(*key, "__expected_version")
+                    .join(cur_touched.select(*key, VERSION_COL), on=key, how="inner")
+                    .filter(F.col("__expected_version") != F.col(VERSION_COL))
+                    .select(*key).limit(20).collect()
+                )
+                if conflicts:
+                    raise VersionChangedError([tuple(r) for r in conflicts])
+                batch = batch.drop("__expected_version")
+
+        if mode == "remove":
+            staged = cur_touched.join(F.broadcast(batch.select(*key)), on=key, how="left_anti")
         else:
-            staged = batch
+            batch = batch.withColumn(VERSION_COL, F.lit(version))
+            if cur_touched is None:
+                staged = batch
+            else:
+                kept = cur_touched.join(F.broadcast(batch.select(*key)), on=key, how="left_anti")
+                staged = kept.unionByName(batch.select(*kept.columns))
+
         new_version = self.store.commit(
             staged, key, self.rows_per_partition, carry_files=untouched
         )

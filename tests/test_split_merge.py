@@ -102,3 +102,45 @@ def test_upsert_partial_file_level_cow(spark, tmp_base):
     removed = store.vacuum(keep_last=1)
     assert removed == [0]
     assert {r.k for r in store.latest().in_order().collect()} == set(want)
+
+
+def test_update_and_remove_partial_cow(spark, tmp_base):
+    """update_partial / remove_partial: touched-files-only rewrites with the
+    reference's existence and expected-version semantics intact."""
+    import pytest as _pytest
+
+    from index_spark.errors import KeyNotFoundError, VersionChangedError
+
+    rows = [(i, f"v{i}") for i in range(400)]
+    store = SnapshotStore(spark, tmp_base + "/cow2")
+    idx = store.create(
+        ["k"], df=spark.createDataFrame(rows, "k int, v string"),
+        rows_per_partition=50,
+    )
+    base_files = {f["path"] for f in store._version_row(0)["files"]}
+
+    # update: missing key → KEY_NOT_FOUND, nothing committed
+    with _pytest.raises(KeyNotFoundError):
+        store.latest().update_partial([{"k": 9999, "v": "x"}])
+    assert store.latest_version() == 0
+
+    idx2 = store.latest().update_partial([{"k": 12, "v": "u12"}], version="up-tx")
+    meta2 = store._version_row(idx2.version)
+    assert len(base_files & {f["path"] for f in meta2["files"]}) >= 6  # carried
+    got = {r.k: r.v for r in idx2.in_order().collect()}
+    assert got[12] == "u12" and got[13] == "v13" and len(got) == 400
+
+    # stale expected version → VERSION_CHANGED
+    with _pytest.raises(VersionChangedError):
+        store.latest().update_partial([{"k": 12, "v": "z", "__expected_version": "wrong"}])
+    ok = store.latest().update_partial(
+        [{"k": 12, "v": "u12b", "__expected_version": "up-tx"}], version="up-tx2"
+    )
+    assert {r.v for r in ok.get(12).collect()} == {"u12b"}
+
+    # remove: only the touched file rewritten; count drops via manifest
+    idx3 = store.latest().remove_partial([{"k": 100}, {"k": 101}])
+    assert idx3.count() == 398
+    assert idx3.get(100).isEmpty() and not idx3.get(102).isEmpty()
+    with _pytest.raises(KeyNotFoundError):
+        store.latest().remove_partial([{"k": 100}])  # already gone
