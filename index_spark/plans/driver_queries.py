@@ -541,6 +541,32 @@ def q_scalar_functions(spark, sf_dir):
     )
 
 
+def q_median_stats(spark, sf_dir):
+    """Exact-median aggregate (interpolating, matches DuckDB's median) by
+    order status — percentile-class aggregation coverage."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 6).alias("median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_array_agg(spark, sf_dir):
+    """Array aggregation: per-user sorted event-type list + distinct count
+    (sort_array makes collect_list deterministic for the hash gate)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") < 30)
+        .groupBy("user_id")
+        .agg(
+            # joined string, not a raw array: definitely hashable by the
+            # driver's value-hash gate regardless of array serialization
+            F.array_join(F.sort_array(F.collect_list("event_type")), ",").alias("types"),
+            F.size(F.array_distinct(F.collect_list("event_type"))).alias("n_distinct"),
+        )
+    )
+
+
 def q_distinct_parts(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -1158,6 +1184,15 @@ def build_oracles() -> dict[str, str]:
             f"{_sql_cents('o_totalprice')} AS price_cents "
             "FROM orders WHERE o_orderkey <= 100"
         ),
+        "median_stats": (
+            "SELECT o_orderstatus, round(median(o_totalprice), 6) AS median_price, "
+            "CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1"
+        ),
+        "array_agg": (
+            "SELECT user_id, array_to_string(list_sort(list(event_type)), ',') AS types, "
+            "CAST(len(list_distinct(list(event_type))) AS INT) AS n_distinct "
+            "FROM events WHERE user_id < 30 GROUP BY 1"
+        ),
         "distinct_parts": (
             "SELECT l_orderkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts "
             "FROM lineitem WHERE l_orderkey < 200 GROUP BY 1"
@@ -1328,6 +1363,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_orders": q_cube_orders,
         "set_ops": q_set_ops,
         "scalar_functions": q_scalar_functions,
+        "median_stats": q_median_stats,
+        "array_agg": q_array_agg,
         "distinct_parts": q_distinct_parts,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_survivors": q_dedup_survivors,
