@@ -485,10 +485,30 @@ class VersionedIndex(SortedIndex):
         discarded), and the whole batch shares one writer-version string:
         reference semantics at Index.scala:1010-1036 /
         QueriesRandomSpec.scala:211-239.
+
+        When the base version carries per-file key stats and every command is
+        key-bounded, the commit is file-level COW: only files whose key range
+        the batch touches are read, validated against, and rewritten — the
+        rest carry into version N+1 by reference. Sound because files
+        partition the key space (a key can only live in a file whose
+        [min, max] covers it), so every validation join (duplicate /
+        existence / expected-version) over the touched subset sees exactly
+        the rows it would see over the full snapshot.
         """
         self._check_usable()
         version = version or str(uuid.uuid4())
-        staged = self._current()
+        plan = self._partial_plan(commands)
+        if plan is not None:
+            touched, untouched = plan
+            staged = (
+                self.store.spark.read.parquet(*[f["path"] for f in touched])
+                if touched
+                else None
+            )
+            carry: Optional[list[dict]] = untouched
+        else:
+            staged = self._current()
+            carry = None
         for cmd in commands:
             if isinstance(cmd, Insert):
                 staged = self._staged_insert(staged, cmd.rows, cmd.upsert, version)
@@ -499,9 +519,51 @@ class VersionedIndex(SortedIndex):
             else:
                 raise TypeError(f"unknown command {cmd!r}")
         assert staged is not None
-        new_version = self.store.commit(staged, self.key, self.rows_per_partition)
+        new_version = self.store.commit(
+            staged, self.key, self.rows_per_partition, carry_files=carry
+        )
         self._used = True
         return self.store.at_version(new_version)
+
+    def _partial_plan(self, commands: list) -> Optional[tuple[list[dict], list[dict]]]:
+        """(touched_files, untouched_files) for a key-bounded batch against a
+        stats-bearing base version, else None (→ full-rewrite path). The
+        driver-side overlap test against manifest min/max is the file-level
+        analog of the reference's root→leaf descent (Index.scala:62-99)."""
+        if self._empty or self.version is None:
+            return None
+        files = self.store._version_row(self.version).get("files")
+        if not files:
+            return None
+        batch_keys: list[tuple] = []
+        for cmd in commands:
+            if isinstance(cmd, (Insert, Update)):
+                rows = cmd.rows
+            elif isinstance(cmd, Remove):
+                rows = cmd.keys
+            else:
+                return None
+            try:
+                batch_keys += [tuple(r[k] for k in self.key) for r in rows]
+            except (KeyError, TypeError):
+                return None  # key-incomplete rows → let the full path report
+        if not batch_keys:
+            return None
+        try:
+            lo, hi = min(batch_keys), max(batch_keys)
+
+            def overlaps(f: dict) -> bool:
+                fmin, fmax = tuple(f["min"]), tuple(f["max"])
+                if fmax < lo or fmin > hi:
+                    return False
+                return any(fmin <= bk <= fmax for bk in batch_keys)
+
+            touched, untouched = [], []
+            for f in files:
+                (touched if overlaps(f) else untouched).append(f)
+        except TypeError:  # keys not comparable to stored stats (exotic types)
+            return None
+        return touched, untouched
 
     def insert(self, rows: list[dict[str, Any]], upsert: bool = False, version: Optional[str] = None) -> "VersionedIndex":
         return self.execute([Insert(rows, upsert)], version)
@@ -534,75 +596,13 @@ class VersionedIndex(SortedIndex):
         return self._partial_mutate(keys, version, mode="remove")
 
     def _partial_mutate(self, rows: list[dict[str, Any]], version: Optional[str], mode: str) -> "VersionedIndex":
-        self._check_usable()
-        version = version or str(uuid.uuid4())
-        key = self.key
-        row_meta = None if self._empty else self.store._version_row(self.version)  # type: ignore[arg-type]
-        files = (row_meta or {}).get("files")
-        if not files:  # legacy version / no stats → full-rewrite semantics
-            if mode == "upsert":
-                return self.insert(rows, upsert=True, version=version)
-            if mode == "update":
-                return self.update(rows, version=version)
-            return self.remove(rows, version=version)
-
-        batch = self._rows_to_df(rows)
-        dups = self._dup_keys_in_batch(batch, key)
-        if dups:
-            raise DuplicatedKeysError(dups)
-        has_expect = "__expected_version" in batch.columns
-
-        batch_keys = [tuple(r[k] for k in key) for r in rows]
-        lo, hi = min(batch_keys), max(batch_keys)
-
-        def overlaps(f: dict) -> bool:
-            fmin, fmax = tuple(f["min"]), tuple(f["max"])
-            if fmax < lo or fmin > hi:
-                return False
-            return any(fmin <= bk <= fmax for bk in batch_keys)
-
-        touched = [f for f in files if overlaps(f)]
-        untouched = [f for f in files if not overlaps(f)]
-        cur_touched = (
-            self.store.spark.read.parquet(*[f["path"] for f in touched]) if touched else None
-        )
-
-        if mode in ("update", "remove"):
-            if cur_touched is None:
-                raise KeyNotFoundError(batch_keys[:20])
-            missing = (
-                batch.join(cur_touched.select(*key), on=key, how="left_anti")
-                .select(*key).limit(20).collect()
-            )
-            if missing:
-                raise KeyNotFoundError([tuple(r) for r in missing])
-            if has_expect:
-                conflicts = (
-                    batch.filter(F.col("__expected_version").isNotNull())
-                    .select(*key, "__expected_version")
-                    .join(cur_touched.select(*key, VERSION_COL), on=key, how="inner")
-                    .filter(F.col("__expected_version") != F.col(VERSION_COL))
-                    .select(*key).limit(20).collect()
-                )
-                if conflicts:
-                    raise VersionChangedError([tuple(r) for r in conflicts])
-                batch = batch.drop("__expected_version")
-
-        if mode == "remove":
-            staged = cur_touched.join(F.broadcast(batch.select(*key)), on=key, how="left_anti")
-        else:
-            batch = batch.withColumn(VERSION_COL, F.lit(version))
-            if cur_touched is None:
-                staged = batch
-            else:
-                kept = cur_touched.join(F.broadcast(batch.select(*key)), on=key, how="left_anti")
-                staged = kept.unionByName(batch.select(*kept.columns))
-
-        new_version = self.store.commit(
-            staged, key, self.rows_per_partition, carry_files=untouched
-        )
-        self._used = True
-        return self.store.at_version(new_version)
+        # execute() auto-detects the file-level path via _partial_plan and
+        # falls back to full-rewrite semantics when stats are unavailable.
+        if mode == "upsert":
+            return self.execute([Insert(rows, upsert=True)], version)
+        if mode == "update":
+            return self.execute([Update(rows)], version)
+        return self.execute([Remove(rows)], version)
 
     def update(self, rows: list[dict[str, Any]], version: Optional[str] = None) -> "VersionedIndex":
         return self.execute([Update(rows)], version)

@@ -58,7 +58,9 @@ def test_latest_vs_snapshot_isolation(temporal):
 
 def test_vacuum_keeps_pinned_and_latest(spark, tmp_base):
     """GC drops unpinned snapshot versions; history-pinned and latest
-    survive and remain readable."""
+    survive and remain readable. Upserts rewrite the (single) touched file
+    per version, so intermediate versions' files become unreferenced and
+    vacuum physically deletes them."""
     import os
 
     import pytest as _pytest
@@ -67,17 +69,46 @@ def test_vacuum_keeps_pinned_and_latest(spark, tmp_base):
     from index_spark.snapshots import SnapshotStore, TemporalIndex
 
     store = SnapshotStore(spark, tmp_base + "/vac")
-    idx = store.create(["k"], df=spark.createDataFrame([(0, "v0")], "k int, v string"))
+    idx = store.create(
+        ["k"],
+        df=spark.createDataFrame([(i, f"v{i}") for i in range(5)], "k int, v string"),
+    )
     ti = TemporalIndex(store)
     pinned_ts = ti.snapshot()  # pins version 0
     for i in range(1, 5):
-        idx = store.latest().insert([{"k": i, "v": f"v{i}"}])
+        idx = store.latest().insert([{"k": 0, "v": f"rewrite{i}"}], upsert=True)
     assert store.latest_version() == 4
 
     removed = store.vacuum(keep_last=1)
     assert sorted(removed) == [1, 2, 3]  # v0 pinned by history, v4 latest
     assert store.latest().count() == 5
-    assert ti.find_index(pinned_ts).count() == 1
+    assert ti.find_index(pinned_ts).count() == 5
     assert not os.path.exists(store._version_path(2))
     with _pytest.raises(IndexNotFoundError):
         store.n_rows(2)
+
+
+def test_vacuum_retains_files_carried_by_kept_versions(spark, tmp_base):
+    """File-level COW: new-key inserts carry untouched files by reference,
+    so a kept version may point into a dropped version's directory. Vacuum
+    must delete only unreferenced FILES — the manifest row for a dropped
+    version disappears, but its carried files survive and the latest
+    version still reads completely."""
+    import pytest as _pytest
+
+    from index_spark.errors import IndexNotFoundError
+    from index_spark.snapshots import SnapshotStore
+
+    store = SnapshotStore(spark, tmp_base + "/vac_carry")
+    idx = store.create(["k"], df=spark.createDataFrame([(0, "v0")], "k int, v string"))
+    for i in range(1, 5):  # each insert lands in a new file, carries the rest
+        idx = store.latest().insert([{"k": i * 10, "v": f"v{i}"}])
+    latest_files = {f["path"] for f in store._version_row(4)["files"]}
+    assert len(latest_files) == 5  # one carried file per prior version
+
+    removed = store.vacuum(keep_last=1)
+    assert sorted(removed) == [0, 1, 2, 3]
+    assert store.latest().count() == 5  # carried files all survived
+    assert sorted(r.k for r in store.latest().df.collect()) == [0, 10, 20, 30, 40]
+    with _pytest.raises(IndexNotFoundError):
+        store.n_rows(1)
