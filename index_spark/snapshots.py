@@ -565,6 +565,42 @@ class VersionedIndex(SortedIndex):
             return None
         return touched, untouched
 
+    def compact(self, target_rows: Optional[int] = None) -> "VersionedIndex":
+        """Bin-pack small files into full-size ones (the OPTIMIZE step that
+        file-level COW needs at scale).
+
+        Every partial commit writes its touched rows as fresh — often tiny —
+        files, so a long mutation history degrades scans into a
+        many-small-files read. Compaction reads only the files below half
+        the target row count, rewrites them range-partitioned at ~target
+        rows per file, and carries every already-full file into the new
+        version by reference. Returns ``self`` (no new version) when fewer
+        than two files qualify. Rewritten files' key spans may overlap
+        carried files'; that only widens (never misses) the overlap test in
+        :meth:`_partial_plan`, so later partial mutations stay sound.
+        """
+        self._check_usable()
+        if self._empty or self.version is None:
+            return self
+        files = self.store._version_row(self.version).get("files")
+        if not files:
+            return self
+        target = target_rows or self.rows_per_partition
+        threshold = max(1, target // 2)
+        small = [f for f in files if f["n_rows"] < threshold]
+        if len(small) < 2:
+            return self
+        full = [f for f in files if f["n_rows"] >= threshold]
+        staged = self.store.spark.read.parquet(*[f["path"] for f in small])
+        n_rows = sum(f["n_rows"] for f in small)
+        n_parts = max(1, -(-n_rows // target))
+        new_version = self.store.commit(
+            staged, self.key, self.rows_per_partition,
+            n_partitions=n_parts, carry_files=full,
+        )
+        self._used = True
+        return self.store.at_version(new_version)
+
     def insert(self, rows: list[dict[str, Any]], upsert: bool = False, version: Optional[str] = None) -> "VersionedIndex":
         return self.execute([Insert(rows, upsert)], version)
 

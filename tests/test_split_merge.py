@@ -144,3 +144,42 @@ def test_update_and_remove_partial_cow(spark, tmp_base):
     assert idx3.get(100).isEmpty() and not idx3.get(102).isEmpty()
     with _pytest.raises(KeyNotFoundError):
         store.latest().remove_partial([{"k": 100}])  # already gone
+
+
+def test_compact_bin_packs_small_files(spark, tmp_base):
+    """compact(): the OPTIMIZE step for file-level COW. Scattered
+    single-row inserts leave a trail of tiny files; compaction rewrites
+    only those into ~target-size files, carries full files by reference,
+    and preserves data and query results exactly."""
+    store = SnapshotStore(spark, tmp_base + "/compact")
+    store.create(
+        ["k"],
+        df=spark.createDataFrame([(i, f"v{i}") for i in range(200)], "k int, v string"),
+        rows_per_partition=100,  # → 2 full files
+    )
+    for i in range(6):  # each insert lands outside every file's range → tiny file
+        store.latest().insert([{"k": 1000 + i * 10, "v": f"n{i}"}])
+    before = store._version_row(store.latest_version())["files"]
+    assert sum(1 for f in before if f["n_rows"] < 50) >= 6
+
+    compacted = store.latest().compact()
+    after = store._version_row(compacted.version)["files"]
+    assert len(after) < len(before)
+    assert sum(1 for f in after if f["n_rows"] < 50) <= 1  # merged into one
+    full_paths = {f["path"] for f in before if f["n_rows"] >= 50}
+    assert full_paths <= {f["path"] for f in after}  # full files carried
+
+    assert compacted.count() == 206  # manifest count exact after compaction
+    got = {r.k: r.v for r in compacted.in_order().collect()}
+    assert len(got) == 206 and got[0] == "v0" and got[1050] == "n5"
+    assert [r.k for r in compacted.range(995, 1055).collect()] == [
+        1000, 1010, 1020, 1030, 1040, 1050,
+    ]
+
+    # idempotent: nothing left to pack → same version, handle not consumed
+    again = store.latest().compact()
+    assert again.version == compacted.version
+
+    # mutations keep working on the compacted layout
+    idx = store.latest().update([{"k": 1000, "v": "N0"}])
+    assert {r.v for r in idx.get(1000).collect()} == {"N0"}
