@@ -31,10 +31,12 @@ from index_spark.errors import (
     VersionChangedError,
 )
 from index_spark.index import SortedIndex
+from index_spark.sharded import ShardedIndex
 from index_spark.snapshots import SnapshotStore, TemporalIndex, VersionedIndex
 
 __all__ = [
     "SortedIndex",
+    "ShardedIndex",
     "SnapshotStore",
     "TemporalIndex",
     "VersionedIndex",

@@ -94,15 +94,20 @@ def q_multi_get(spark, sf_dir):
 
 
 def q_get_all_missing(spark, sf_dir):
-    """mustFindAll's KEY_NOT_FOUND check. Scale shape: broadcast the (tiny)
-    request set INTO the big scan to collect found keys, then anti-join the
-    (tiny) found set back — both broadcasts are small-side. The naive
-    ``req.join(orders, anti)`` builds a broadcast of every orders key."""
+    """mustFindAll's KEY_NOT_FOUND check. Scale shape: the (tiny, literal)
+    request set compiles to a parquet-pushed ``In`` filter on the big scan
+    — the request reaches the row-group stats, so non-matching files are
+    never opened. The found set (≤ request size) then anti-joins back as a
+    broadcast. For a non-literal request DataFrame the same shape holds
+    with a broadcast-semi join instead of ``isin`` (see
+    ``SortedIndex.get_all``); never ``req.join(orders, anti)``, which
+    would build a broadcast of every orders key."""
     orders = load_table(spark, sf_dir, "orders")
-    req = spark.createDataFrame([(10,), (20,), (999999999,)], "requested_key long")
+    req_keys = [10, 20, 999999999]
+    req = spark.createDataFrame([(k,) for k in req_keys], "requested_key long")
     found = (
         orders.select(F.col("o_orderkey").alias("requested_key"))
-        .join(F.broadcast(req), "requested_key")
+        .filter(F.col("o_orderkey").isin(req_keys))
         .distinct()
     )
     return req.join(F.broadcast(found), "requested_key", "left_anti")
@@ -200,6 +205,40 @@ def q_merge_halves(spark, sf_dir):
         F.max("o_orderkey").alias("max_key"),
         _sum_cents(F.col("o_totalprice"), "total"),
     )
+
+
+def q_sharded_range(spark, sf_dir):
+    """Sharded logical index end-to-end (reference index-level sharding,
+    QueryableIndex.scala:561-679): bulk-load orders into 4 range-disjoint
+    shards, run a cross-shard transactional batch (update + inserts behind
+    one atomic catalog swap), then a range read spanning shard boundaries.
+    Routing is a driver-side catalog comparison; each shard read prunes via
+    parquet min/max. The oracle replays the same algebra in SQL."""
+    from index_spark.commands import Insert, Update
+    from index_spark.sharded import ShardedIndex
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") < 12_000)  # bounded demo: the cost is
+        # catalog machinery (shard writes + commits), not data volume
+    )
+    d = tempfile.mkdtemp(prefix="shq_")
+    try:
+        sh = ShardedIndex.create(
+            spark, d + "/sh", ["o_orderkey"], orders, n_shards=4, rows_per_partition=500_000
+        )
+        sh.execute([
+            Update([{"o_orderkey": 7, "o_totalprice": 0.0}]),
+            Insert([{"o_orderkey": -1, "o_totalprice": 1.0}, {"o_orderkey": 10_000_000, "o_totalprice": 2.0}]),
+        ])
+        out = sh.range(-10, 2000).select(
+            "o_orderkey", _cents(F.col("o_totalprice")).alias("price_cents")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # materialize before rmtree
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # ---- §2.2 mutation semantics (through the real VersionedIndex) -----------
@@ -1015,6 +1054,14 @@ def build_oracles() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, "
             f"{_sql_sum_cents('o_totalprice', 'total')} FROM orders"
         ),
+        "sharded_range": (
+            "WITH final AS ("
+            "  SELECT o_orderkey, CASE WHEN o_orderkey = 7 THEN 0.0 ELSE o_totalprice END AS o_totalprice "
+            "  FROM orders WHERE o_orderkey < 12000"
+            "  UNION ALL SELECT * FROM (VALUES (-1, 1.0), (10000000, 2.0)) t(o_orderkey, o_totalprice))"
+            "SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents "
+            "FROM final WHERE o_orderkey BETWEEN -10 AND 2000"
+        ),
         # --- mutations
         "upsert_batch": (
             "WITH batch AS ("
@@ -1337,6 +1384,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_max_count": q_min_max_count,
         "split_median": q_split_median,
         "merge_halves": q_merge_halves,
+        "sharded_range": q_sharded_range,
         "upsert_batch": q_upsert_batch,
         "dup_key_check": q_dup_key_check,
         "version_changed_check": q_version_changed_check,

@@ -1,0 +1,452 @@
+"""Sharded logical index: one ordered index over many physical snapshots.
+
+The reference shards a logical index across independent physical trees with
+index-level ``split()``/``merge()`` (QueryableIndex.scala:561-679) and
+capacity predicates (QueryableIndex.scala:521-538), leaving the caller to
+keep a catalog of which tree owns which key range. ``ShardedIndex`` is that
+catalog made explicit — the "meta block" of a two-level distributed B+Tree
+whose subtrees are :class:`~index_spark.snapshots.VersionedIndex` datasets:
+
+- **Routing** is a driver-side comparison against the catalog's shard upper
+  bounds (O(#shards), like ``Meta.findPath``'s binary search over last-keys,
+  Meta.scala:55-63); each shard read then prunes further via parquet
+  row-group min/max. A query touching one shard's range reads one shard.
+- **Mutations** route rows to their owning shards and commit per-shard new
+  versions, but the *logical* commit point is a single atomic catalog swap
+  (os.replace) — exactly the reference's new-root-per-batch COW
+  (Index.scala:137-160) lifted to shard granularity. A batch that fails in
+  any shard leaves the catalog untouched: earlier shards' freshly-committed
+  versions are unreachable orphans (reclaimable by vacuum), and the logical
+  index still reads the old versions everywhere — all-or-nothing without a
+  distributed transaction.
+- **split/merge** replace one catalog entry with two (or two with one),
+  re-using the per-index split/merge machinery (§2.4). With
+  ``shard_capacity`` set, ``execute`` auto-splits full shards afterward —
+  the reference's ``isFull → split`` dance (SplitAndMergeIndexSpec).
+
+At 100 TB: the catalog is a few KB of JSON for thousands of multi-TB
+shards; writers touch only owning shards (and within them, only touched
+files via file-level COW); readers prune shard-then-file-then-row-group.
+Single-writer per logical index, as in the reference (Index.scala:16).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from index_spark.commands import Insert, Remove, Update
+from index_spark.errors import IndexAlreadyExistsError, IndexNotFoundError, KeyNotFoundError
+from index_spark.index import SortedIndex
+from index_spark.keys import as_tuple, key_gt, key_lt, sort_cols
+from index_spark.snapshots import SnapshotStore, VersionedIndex
+
+_CATALOG = "_catalog.json"
+
+
+class ShardedIndex:
+    """Logical ordered index over range-disjoint physical shards.
+
+    Catalog schema (``<base>/_catalog.json``)::
+
+        {"key": [...], "rows_per_partition": int, "shard_capacity": int|null,
+         "next_shard_id": int,
+         "shards": [{"id": int, "path": str, "version": int|null,
+                      "upper": [key vals]|null}]}
+
+    Shards are in key order; shard *i* owns keys ``upper[i-1] < k <=
+    upper[i]`` (the last shard's ``upper`` is null = +inf). ``version`` pins
+    the shard snapshot the logical index reads — the physical store may be
+    ahead after a failed cross-shard batch.
+    """
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base_path = base_path
+
+    # ------------------------------------------------------------- catalog
+    def _catalog_path(self) -> str:
+        return os.path.join(self.base_path, _CATALOG)
+
+    def exists(self) -> bool:
+        return os.path.exists(self._catalog_path())
+
+    def _read_catalog(self) -> dict:
+        if not self.exists():
+            raise IndexNotFoundError(f"no sharded index at {self.base_path}")
+        with open(self._catalog_path()) as f:
+            return json.load(f)
+
+    def _write_catalog(self, cat: dict) -> None:
+        os.makedirs(self.base_path, exist_ok=True)
+        tmp = self._catalog_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cat, f)
+        os.replace(tmp, self._catalog_path())  # the atomic logical commit
+
+    # -------------------------------------------------------------- create
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        base_path: str,
+        key: Sequence[str],
+        df: DataFrame,
+        n_shards: int = 4,
+        rows_per_partition: int = 1_000_000,
+        shard_capacity: Optional[int] = None,
+        sample_size: int = 100_000,
+    ) -> "ShardedIndex":
+        """Bulk-load ``df`` into ``n_shards`` range-disjoint shards.
+
+        Boundaries come from a fixed-size seeded key sample (driver memory
+        O(sample) regardless of data size — the RangePartitioner idea, but
+        pinned so the catalog is deterministic)."""
+        self = cls(spark, base_path)
+        if self.exists():
+            raise IndexAlreadyExistsError(base_path)
+        key = list(key)
+        n = df.count()
+        frac = min(1.0, sample_size / max(n, 1))
+        sample = sorted(tuple(r) for r in df.select(*key).sample(fraction=frac, seed=42).collect())
+        uppers: list[Optional[tuple]] = []
+        for i in range(1, n_shards):
+            b = sample[min(len(sample) - 1, i * len(sample) // n_shards)] if sample else None
+            if b is not None and (not uppers or uppers[-1] != b):
+                uppers.append(b)
+        uppers.append(None)  # last shard: +inf
+
+        cat = {
+            "key": key,
+            "rows_per_partition": rows_per_partition,
+            "shard_capacity": shard_capacity,
+            "next_shard_id": 0,
+            "shards": [],
+        }
+        lower: Optional[tuple] = None
+        for upper in uppers:
+            sid = cat["next_shard_id"]
+            cat["next_shard_id"] += 1
+            part = df
+            if lower is not None:
+                part = part.filter(key_gt(key, lower, inclusive=False))
+            if upper is not None:
+                part = part.filter(key_lt(key, upper, inclusive=True))
+            path = os.path.join(base_path, f"shard_{sid:04d}")
+            h = SnapshotStore(spark, path).create(
+                key, df=part, rows_per_partition=rows_per_partition, max_n_items=shard_capacity,
+                # the whole table fitting one partition bounds every shard —
+                # skips a per-shard count job during bulk load
+                n_partitions=1 if n <= rows_per_partition else None,
+            )
+            cat["shards"].append({"id": sid, "path": path, "version": h.version, "upper": list(upper) if upper else None})
+            lower = upper
+        self._write_catalog(cat)
+        return self
+
+    # ------------------------------------------------------------- handles
+    def _handle(self, s: dict, cat: dict) -> Optional[VersionedIndex]:
+        """Catalog-pinned read/write handle for one shard (None if the shard
+        store doesn't exist). A null catalog version pins the EMPTY state
+        even if the physical store has orphaned versions from a failed
+        cross-shard batch — the catalog, not the store, is the truth."""
+        store = SnapshotStore(self.spark, s["path"])
+        if not store.exists():
+            return None
+        if s["version"] is None:
+            return VersionedIndex(store, cat["key"], None, cat["rows_per_partition"])
+        return store.at_version(s["version"])
+
+    def _key(self) -> list[str]:
+        return self._read_catalog()["key"]
+
+    # ------------------------------------------------------------- routing
+    @staticmethod
+    def _owner(shards: list[dict], kt: tuple) -> dict:
+        for s in shards:
+            if s["upper"] is None or kt <= tuple(s["upper"]):
+                return s
+        return shards[-1]
+
+    @staticmethod
+    def _lowers(shards: list[dict]) -> list[Optional[tuple]]:
+        return [None] + [tuple(s["upper"]) if s["upper"] else None for s in shards[:-1]]
+
+    def _prune(
+        self,
+        shards: list[dict],
+        gt_term: Optional[tuple] = None,
+        lt_term: Optional[tuple] = None,
+    ) -> list[dict]:
+        """Shards that can hold keys satisfying (prefix-)gt/lt bounds.
+
+        Conservative prefix comparison: a shard is skipped for ``> term``
+        only when its upper bound's leading ``len(term)`` fields already
+        compare below ``term`` (then every key's prefix does too), and for
+        ``< term`` when its lower bound's prefix compares above. Sound for
+        both inclusivities and for terms covering only leading key columns.
+        """
+        out = []
+        for s, lower in zip(shards, self._lowers(shards)):
+            if gt_term is not None and s["upper"] is not None:
+                if tuple(s["upper"])[: len(gt_term)] < gt_term:
+                    continue
+            if lt_term is not None and lower is not None:
+                if lower[: len(lt_term)] > lt_term:
+                    continue
+            out.append(s)
+        return out
+
+    def _union(self, shards: list[dict], cat: dict) -> Optional[DataFrame]:
+        dfs = []
+        for s in shards:
+            h = self._handle(s, cat)
+            if h is not None and not h._empty:
+                dfs.append(h.df)
+        if not dfs:
+            return None
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    # --------------------------------------------------------------- reads
+    def _as_index(self, shards: list[dict], cat: dict) -> Optional[SortedIndex]:
+        df = self._union(shards, cat)
+        return None if df is None else SortedIndex(df, cat["key"])
+
+    def _empty_like(self, cat: dict) -> DataFrame:
+        # schema-stable empty result when every candidate shard is empty
+        for s in cat["shards"]:
+            h = self._handle(s, cat)
+            if h is not None and not h._empty:
+                return h.df.limit(0)
+        raise IndexNotFoundError("sharded index has no committed data")
+
+    def get(self, k: Any) -> DataFrame:
+        cat = self._read_catalog()
+        s = self._owner(cat["shards"], as_tuple(k))
+        h = self._handle(s, cat)
+        if h is None or h._empty:
+            return self._empty_like(cat)
+        return h.get(k)
+
+    def get_all(self, keys: Sequence[Any], must_find_all: bool = False) -> DataFrame:
+        """Multi-get routed per owning shard (Index.scala:820-867 batches
+        keys per leaf the same way); KEY_NOT_FOUND aggregates cross-shard."""
+        cat = self._read_catalog()
+        by_shard: dict[int, list[Any]] = {}
+        order = {s["id"]: i for i, s in enumerate(cat["shards"])}
+        for k in keys:
+            sid = self._owner(cat["shards"], as_tuple(k))["id"]
+            by_shard.setdefault(sid, []).append(k)
+        parts, missing = [], []
+        for s in cat["shards"]:
+            ks = by_shard.get(s["id"])
+            if not ks:
+                continue
+            h = self._handle(s, cat)
+            if h is None or h._empty:
+                missing += [as_tuple(k) for k in ks]
+                continue
+            if must_find_all:
+                try:
+                    parts.append(h.get_all(ks, must_find_all=True))
+                except KeyNotFoundError as e:
+                    missing += [as_tuple(x) for x in e.keys]
+            else:
+                parts.append(h.get_all(ks))
+        if must_find_all and missing:
+            raise KeyNotFoundError(missing)
+        if not parts:
+            return self._empty_like(cat)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy(*sort_cols(cat["key"]))
+
+    def in_order(self, reverse: bool = False, limit: Optional[int] = None) -> DataFrame:
+        cat = self._read_catalog()
+        idx = self._as_index(cat["shards"], cat)
+        if idx is None:
+            return self._empty_like(cat)
+        return idx.in_order(reverse, limit)
+
+    def gt(self, term: Any, **kw) -> DataFrame:
+        cat = self._read_catalog()
+        cand = self._prune(cat["shards"], gt_term=as_tuple(term))
+        idx = self._as_index(cand, cat)
+        if idx is None:
+            return self._empty_like(cat)
+        return idx.gt(term, **kw)
+
+    def lt(self, term: Any, **kw) -> DataFrame:
+        cat = self._read_catalog()
+        cand = self._prune(cat["shards"], lt_term=as_tuple(term))
+        idx = self._as_index(cand, cat)
+        if idx is None:
+            return self._empty_like(cat)
+        return idx.lt(term, **kw)
+
+    def range(self, frm: Any, to: Any, **kw) -> DataFrame:
+        cat = self._read_catalog()
+        cand = self._prune(cat["shards"], gt_term=as_tuple(frm), lt_term=as_tuple(to))
+        idx = self._as_index(cand, cat)
+        if idx is None:
+            return self._empty_like(cat)
+        return idx.range(frm, to, **kw)
+
+    def count(self) -> int:
+        cat = self._read_catalog()
+        total = 0
+        for s in cat["shards"]:
+            if s["version"] is not None:
+                total += SnapshotStore(self.spark, s["path"]).n_rows(s["version"])
+        return total
+
+    def n_shards(self) -> int:
+        return len(self._read_catalog()["shards"])
+
+    # -------------------------------------------------------------- writes
+    def execute(self, commands: list, version: Optional[str] = None) -> "ShardedIndex":
+        """Cross-shard transactional batch.
+
+        Rows route to owning shards (intra-batch duplicate keys share a
+        shard by construction, so per-shard validation still sees them);
+        each touched shard commits a new physical version; ONE atomic
+        catalog swap publishes them all. On any per-shard error the catalog
+        is untouched and the logical index still reads every old version —
+        the committed orphans are invisible (vacuum reclaims them).
+        """
+        cat = self._read_catalog()
+        key = cat["key"]
+        version = version or str(uuid.uuid4())
+
+        per_shard: dict[int, list] = {}
+        for cmd in commands:
+            if isinstance(cmd, Insert):
+                rows, mk = cmd.rows, lambda rs, c=cmd: Insert(rs, c.upsert)
+            elif isinstance(cmd, Update):
+                rows, mk = cmd.rows, lambda rs: Update(rs)
+            elif isinstance(cmd, Remove):
+                rows, mk = cmd.keys, lambda rs: Remove(rs)
+            else:
+                raise TypeError(f"unknown command {cmd!r}")
+            routed: dict[int, list] = {}
+            for r in rows:
+                kt = tuple(r[c] for c in key)
+                routed.setdefault(self._owner(cat["shards"], kt)["id"], []).append(r)
+            for sid, rs in routed.items():
+                per_shard.setdefault(sid, []).append(mk(rs))
+
+        new_versions: dict[int, int] = {}
+        for s in cat["shards"]:
+            cmds = per_shard.get(s["id"])
+            if not cmds:
+                continue
+            h = self._handle(s, cat)
+            if h is None:
+                h = SnapshotStore(self.spark, s["path"]).create(
+                    key, rows_per_partition=cat["rows_per_partition"],
+                    max_n_items=cat["shard_capacity"],
+                )
+            new = h.execute(cmds, version)  # raises → catalog stays put
+            new_versions[s["id"]] = new.version
+        for s in cat["shards"]:
+            if s["id"] in new_versions:
+                s["version"] = new_versions[s["id"]]
+        self._write_catalog(cat)
+        if cat["shard_capacity"]:
+            self._auto_split(cat)
+        return self
+
+    def insert(self, rows: list[dict[str, Any]], upsert: bool = False, version: Optional[str] = None) -> "ShardedIndex":
+        return self.execute([Insert(rows, upsert)], version)
+
+    def update(self, rows: list[dict[str, Any]], version: Optional[str] = None) -> "ShardedIndex":
+        return self.execute([Update(rows)], version)
+
+    def remove(self, keys: list[dict[str, Any]], version: Optional[str] = None) -> "ShardedIndex":
+        return self.execute([Remove(keys)], version)
+
+    # --------------------------------------------------------- split/merge
+    def _auto_split(self, cat: dict) -> None:
+        for s in list(cat["shards"]):
+            if s["version"] is None:
+                continue
+            n = SnapshotStore(self.spark, s["path"]).n_rows(s["version"])
+            if n >= cat["shard_capacity"]:
+                self.split_shard(s["id"])
+                cat.update(self._read_catalog())
+
+    def split_shard(self, shard_id: int) -> bool:
+        """Replace one shard with two at a sampled-median boundary
+        (reference split(), QueryableIndex.scala:586-679: root's middle
+        key). Returns False when the shard can't split (all keys equal /
+        too small). The catalog swap is the commit; the old shard's data is
+        untouched (still referenced by nothing → vacuumable)."""
+        cat = self._read_catalog()
+        pos = next(i for i, s in enumerate(cat["shards"]) if s["id"] == shard_id)
+        s = cat["shards"][pos]
+        h = self._handle(s, cat)
+        if h is None or h._empty:
+            return False
+        left_sorted, right_sorted = h.split()
+        lid, rid = cat["next_shard_id"], cat["next_shard_id"] + 1
+        lpath = os.path.join(self.base_path, f"shard_{lid:04d}")
+        rpath = os.path.join(self.base_path, f"shard_{rid:04d}")
+        if left_sorted.df.isEmpty() or right_sorted.df.isEmpty():
+            return False
+        lh = SnapshotStore(self.spark, lpath).create(
+            cat["key"], df=left_sorted.df, rows_per_partition=cat["rows_per_partition"],
+            max_n_items=cat["shard_capacity"],
+        )
+        rh = SnapshotStore(self.spark, rpath).create(
+            cat["key"], df=right_sorted.df, rows_per_partition=cat["rows_per_partition"],
+            max_n_items=cat["shard_capacity"],
+        )
+        boundary = [r for r in lh.max().collect()][0]
+        l_upper = [boundary[c] for c in cat["key"]]
+        cat["next_shard_id"] += 2
+        cat["shards"][pos: pos + 1] = [
+            {"id": lid, "path": lpath, "version": lh.version, "upper": l_upper},
+            {"id": rid, "path": rpath, "version": rh.version, "upper": s["upper"]},
+        ]
+        self._write_catalog(cat)
+        return True
+
+    def merge_adjacent(self, left_shard_id: int) -> bool:
+        """Merge a shard with its right neighbor into one new shard
+        (reference merge(), QueryableIndex.scala:561-584: combined count
+        must fit capacity; sources survive until vacuum)."""
+        cat = self._read_catalog()
+        pos = next(i for i, s in enumerate(cat["shards"]) if s["id"] == left_shard_id)
+        if pos + 1 >= len(cat["shards"]):
+            return False
+        ls, rs = cat["shards"][pos], cat["shards"][pos + 1]
+        lh, rh = self._handle(ls, cat), self._handle(rs, cat)
+        lc = 0 if (lh is None or lh._empty) else lh.count()
+        rc = 0 if (rh is None or rh._empty) else rh.count()
+        if cat["shard_capacity"] and lc + rc > cat["shard_capacity"]:
+            return False
+        parts = [h.df for h in (lh, rh) if h is not None and not h._empty]
+        if not parts:
+            return False
+        merged = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        mid = cat["next_shard_id"]
+        mpath = os.path.join(self.base_path, f"shard_{mid:04d}")
+        mh = SnapshotStore(self.spark, mpath).create(
+            cat["key"], df=merged, rows_per_partition=cat["rows_per_partition"],
+            max_n_items=cat["shard_capacity"],
+        )
+        cat["next_shard_id"] += 1
+        cat["shards"][pos: pos + 2] = [
+            {"id": mid, "path": mpath, "version": mh.version, "upper": rs["upper"]},
+        ]
+        self._write_catalog(cat)
+        return True

@@ -95,10 +95,13 @@ class SnapshotStore:
         rows_per_partition: int = 1_000_000,
         index_id: Optional[str] = None,
         max_n_items: Optional[int] = None,
+        n_partitions: Optional[int] = None,
     ) -> "VersionedIndex":
         """Create an index; optional initial data becomes version 0.
         ``max_n_items`` is the reference's capacity bound (``maxNItems``,
-        ``IndexContext`` — index.proto:68-78) gating split/merge."""
+        ``IndexContext`` — index.proto:68-78) gating split/merge.
+        ``n_partitions`` skips the layout-sizing count job when the caller
+        already knows the cardinality bound (e.g. sharded bulk load)."""
         if self.exists():
             raise IndexAlreadyExistsError(self.base_path)
         m = {
@@ -115,7 +118,7 @@ class SnapshotStore:
                 df = df.withColumn(VERSION_COL, F.lit(str(uuid.uuid4())))
             # initial load: one count of the raw input (no staged joins to
             # double-evaluate here) buys an exact partition layout
-            n_parts = max(1, -(-df.count() // rows_per_partition))
+            n_parts = n_partitions or max(1, -(-df.count() // rows_per_partition))
             self.commit(df, list(key), rows_per_partition, n_partitions=n_parts)
         return self.latest()
 
@@ -373,11 +376,54 @@ class VersionedIndex(SortedIndex):
         )
         return [tuple(r) for r in dups]
 
+    def _dup_keys_local(self, rows: list[dict[str, Any]]) -> list[tuple]:
+        """Intra-batch duplicate check without a Spark job — the batch is a
+        driver-resident list (exactly the reference's in-memory sort+scan,
+        Index.scala:283-288). Validation jobs are the dominant cost of
+        small transactional batches in local mode."""
+        from collections import Counter
+
+        cnt = Counter(tuple(r.get(k) for k in self.key) for r in rows)
+        return [k for k, c in cnt.items() if c > 1][:20]
+
+    def _check_exists_and_versions(self, batch: DataFrame, cur: DataFrame, has_expect: bool) -> None:
+        """KEY_NOT_FOUND + VERSION_CHANGED in ONE job: left-join the batch
+        to the current rows, then classify. Existence failures take
+        precedence (reference checks presence before the version compare,
+        Leaf.scala:82 vs 62-71)."""
+        key = self.key
+        cur_v = cur.select(*key, F.col(VERSION_COL).alias("__cur_version"))
+        joined = batch.join(cur_v, on=key, how="left")
+        bad = F.col("__cur_version").isNull()
+        if has_expect:
+            bad = bad | (
+                F.col("__expected_version").isNotNull()
+                & (F.col("__expected_version") != F.col("__cur_version"))
+            )
+        probs = (
+            joined.filter(bad)
+            .select(*key, "__cur_version")
+            .limit(20)
+            .collect()
+        )
+        missing = [tuple(r[k] for k in key) for r in probs if r["__cur_version"] is None]
+        if missing:
+            raise KeyNotFoundError(missing)
+        conflicts = [tuple(r[k] for k in key) for r in probs]
+        if conflicts:
+            raise VersionChangedError(conflicts)
+
     # ------------------------------------------------------------- mutations
     def _staged_insert(
         self, cur: Optional[DataFrame], rows: list[dict[str, Any]], upsert: bool, version: str
     ) -> DataFrame:
         key = self.key
+        # intra-batch duplicate keys → DUPLICATED_KEYS (Index.scala:283-288);
+        # driver-side — the batch is a local list, no job needed
+        dups = self._dup_keys_local(rows)
+        if dups:
+            raise DuplicatedKeysError(dups)
+
         batch = self._rows_to_df(rows)
         has_row_upsert = "__upsert" in batch.columns
         if has_row_upsert:
@@ -385,28 +431,28 @@ class VersionedIndex(SortedIndex):
         else:
             batch = batch.withColumn("__upsert", F.lit(upsert))
 
-        # intra-batch duplicate keys → DUPLICATED_KEYS (Index.scala:283-288)
-        dups = self._dup_keys_in_batch(batch, key)
-        if dups:
-            raise DuplicatedKeysError(dups)
-
         batch = batch.withColumn(VERSION_COL, F.lit(version))
 
         if cur is None:
             return batch.drop("__upsert")
 
         # non-upsert rows colliding with existing keys → DUPLICATED_KEYS
-        # (leaf-level LEAF_DUPLICATE_KEY, Leaf.scala:31-53)
-        existing_keys = cur.select(*key)
-        collisions = (
-            batch.filter(~F.col("__upsert"))
-            .join(existing_keys, on=key, how="left_semi")
-            .select(*key)
-            .limit(20)
-            .collect()
+        # (leaf-level LEAF_DUPLICATE_KEY, Leaf.scala:31-53). Skipped without
+        # a job when every row upserts (local check on the batch list).
+        all_upsert = (upsert and not any(r.get("__upsert") is False for r in rows)) or all(
+            r.get("__upsert") is True for r in rows
         )
-        if collisions:
-            raise DuplicatedKeysError([tuple(r) for r in collisions])
+        if not all_upsert:
+            existing_keys = cur.select(*key)
+            collisions = (
+                batch.filter(~F.col("__upsert"))
+                .join(existing_keys, on=key, how="left_semi")
+                .select(*key)
+                .limit(20)
+                .collect()
+            )
+            if collisions:
+                raise DuplicatedKeysError([tuple(r) for r in collisions])
 
         # COW: keep current rows whose key is not overwritten, add the batch.
         batch_keys = batch.select(*key)
@@ -415,34 +461,18 @@ class VersionedIndex(SortedIndex):
 
     def _staged_update(self, cur: Optional[DataFrame], rows: list[dict[str, Any]], version: str) -> DataFrame:
         key = self.key
-        batch = self._rows_to_df(rows)
-        has_expect = "__expected_version" in batch.columns
-        dups = self._dup_keys_in_batch(batch, key)
+        dups = self._dup_keys_local(rows)
         if dups:
             raise DuplicatedKeysError(dups)
+        batch = self._rows_to_df(rows)
+        has_expect = "__expected_version" in batch.columns
         if cur is None:
             raise KeyNotFoundError([tuple(r[k] for k in key) for r in rows[:20]])
 
-        # existence check (KEY_NOT_FOUND, Leaf.scala:82)
-        missing = (
-            batch.join(cur.select(*key), on=key, how="left_anti").select(*key).limit(20).collect()
-        )
-        if missing:
-            raise KeyNotFoundError([tuple(r) for r in missing])
-
-        # optimistic CC (VERSION_CHANGED, Leaf.scala:62-71)
+        # KEY_NOT_FOUND (Leaf.scala:82) + VERSION_CHANGED (Leaf.scala:62-71)
+        # in one job
+        self._check_exists_and_versions(batch, cur, has_expect)
         if has_expect:
-            conflicts = (
-                batch.filter(F.col("__expected_version").isNotNull())
-                .select(*key, "__expected_version")
-                .join(cur.select(*key, VERSION_COL), on=key, how="inner")
-                .filter(F.col("__expected_version") != F.col(VERSION_COL))
-                .select(*key)
-                .limit(20)
-                .collect()
-            )
-            if conflicts:
-                raise VersionChangedError([tuple(r) for r in conflicts])
             batch = batch.drop("__expected_version")
 
         batch = batch.withColumn(VERSION_COL, F.lit(version))
@@ -451,30 +481,14 @@ class VersionedIndex(SortedIndex):
 
     def _staged_remove(self, cur: Optional[DataFrame], keys: list[dict[str, Any]]) -> DataFrame:
         key = self.key
-        batch = self._rows_to_df(keys)
-        has_expect = "__expected_version" in batch.columns
-        dups = self._dup_keys_in_batch(batch, key)
+        dups = self._dup_keys_local(keys)
         if dups:
             raise DuplicatedKeysError(dups)
+        batch = self._rows_to_df(keys)
+        has_expect = "__expected_version" in batch.columns
         if cur is None:
             raise KeyNotFoundError([tuple(r[k] for k in key) for r in keys[:20]])
-        missing = (
-            batch.join(cur.select(*key), on=key, how="left_anti").select(*key).limit(20).collect()
-        )
-        if missing:
-            raise KeyNotFoundError([tuple(r) for r in missing])
-        if has_expect:
-            conflicts = (
-                batch.filter(F.col("__expected_version").isNotNull())
-                .select(*key, "__expected_version")
-                .join(cur.select(*key, VERSION_COL), on=key, how="inner")
-                .filter(F.col("__expected_version") != F.col(VERSION_COL))
-                .select(*key)
-                .limit(20)
-                .collect()
-            )
-            if conflicts:
-                raise VersionChangedError([tuple(r) for r in conflicts])
+        self._check_exists_and_versions(batch, cur, has_expect)
         return cur.join(F.broadcast(batch.select(*key)), on=key, how="left_anti")
 
     # ---------------------------------------------------------------- public

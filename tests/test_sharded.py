@@ -1,0 +1,137 @@
+"""Sharded logical index — the reference's index-level sharding story
+(QueryableIndex.scala:561-679) as a catalog-routed set of physical
+snapshot indexes: range routing, cross-shard transactional batches with an
+atomic catalog swap, capacity-driven split, and adjacent merge."""
+
+import pytest
+
+from index_spark.commands import Insert, Remove, Update
+from index_spark.errors import DuplicatedKeysError, KeyNotFoundError, VersionChangedError
+from index_spark.sharded import ShardedIndex
+
+N = 400
+
+
+@pytest.fixture()
+def sharded(spark, tmp_base):
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(N)], "k int, v string")
+    return ShardedIndex.create(spark, tmp_base + "/sh", ["k"], df, n_shards=4, rows_per_partition=100)
+
+
+def _keys(df):
+    return [r.k for r in df.select("k").collect()]
+
+
+def test_create_routes_ranges_disjointly(sharded):
+    cat = sharded._read_catalog()
+    assert len(cat["shards"]) == 4
+    assert cat["shards"][-1]["upper"] is None
+    assert sharded.count() == N  # O(1) manifest sum
+    assert _keys(sharded.in_order()) == list(range(N))
+
+
+def test_point_and_range_reads_route(sharded):
+    assert [r.v for r in sharded.get(123).collect()] == ["v123"]
+    assert _keys(sharded.range(90, 310)) == list(range(90, 311))  # spans shards
+    assert _keys(sharded.gt(395)) == [396, 397, 398, 399]
+    assert _keys(sharded.lt(4, inclusive=True)) == [0, 1, 2, 3, 4]
+    assert _keys(sharded.in_order(reverse=True, limit=3)) == [399, 398, 397]
+
+
+def test_read_pruning_skips_shards(sharded):
+    cat = sharded._read_catalog()
+    first_upper = tuple(cat["shards"][0]["upper"])
+    # a range entirely inside shard 0 prunes to one candidate shard
+    cand = sharded._prune(cat["shards"], gt_term=(0,), lt_term=(first_upper[0] - 1,))
+    assert len(cand) == 1 and cand[0]["id"] == cat["shards"][0]["id"]
+    # gt beyond the last boundary prunes to the last shard only
+    last_lower = tuple(cat["shards"][-2]["upper"])
+    cand = sharded._prune(cat["shards"], gt_term=(last_lower[0] + 1,))
+    assert [s["id"] for s in cand] == [cat["shards"][-1]["id"]]
+
+
+def test_get_all_routes_and_aggregates_missing(sharded):
+    got = sharded.get_all([5, 150, 399])
+    assert _keys(got) == [5, 150, 399]
+    with pytest.raises(KeyNotFoundError) as e:
+        sharded.get_all([5, 5000, 150, 7000], must_find_all=True)
+    assert {t[0] for t in e.value.keys} == {5000, 7000}
+
+
+def test_cross_shard_batch_commits_atomically(sharded):
+    # one batch touching three shards: update low, remove mid, insert high
+    sharded.execute([
+        Update([{"k": 1, "v": "U1"}]),
+        Remove([{"k": 200}]),
+        Insert([{"k": 10_000, "v": "new"}]),
+    ])
+    assert [r.v for r in sharded.get(1).collect()] == ["U1"]
+    assert sharded.get(200).isEmpty()
+    assert [r.v for r in sharded.get(10_000).collect()] == ["new"]
+    assert sharded.count() == N  # -1 removed +1 inserted
+
+
+def test_failed_batch_leaves_catalog_untouched(sharded):
+    cat_before = sharded._read_catalog()
+    # first command (low shard) succeeds physically, second (missing key) fails
+    with pytest.raises(KeyNotFoundError):
+        sharded.execute([
+            Update([{"k": 1, "v": "SHOULD_NOT_PUBLISH"}]),
+            Update([{"k": 99_999, "v": "missing"}]),
+        ])
+    assert sharded._read_catalog() == cat_before  # logical state unchanged
+    assert [r.v for r in sharded.get(1).collect()] == ["v1"]  # orphan invisible
+    # a later good batch still works from the pinned versions
+    sharded.update([{"k": 1, "v": "U1b"}])
+    assert [r.v for r in sharded.get(1).collect()] == ["U1b"]
+
+
+def test_validation_errors_cross_shard(sharded):
+    with pytest.raises(DuplicatedKeysError):
+        sharded.insert([{"k": 1, "v": "dup-existing"}])
+    with pytest.raises(VersionChangedError):
+        sharded.update([{"k": 1, "v": "x", "__expected_version": "stale"}])
+    with pytest.raises(KeyNotFoundError):
+        sharded.remove([{"k": 123456}])
+
+
+def test_split_shard_and_routing_after(sharded):
+    cat = sharded._read_catalog()
+    first = cat["shards"][0]["id"]
+    assert sharded.split_shard(first)
+    assert sharded.n_shards() == 5
+    # data and order preserved; boundaries still route every key
+    assert _keys(sharded.in_order()) == list(range(N))
+    assert [r.v for r in sharded.get(0).collect()] == ["v0"]
+    cat2 = sharded._read_catalog()
+    uppers = [tuple(s["upper"]) for s in cat2["shards"][:-1]]
+    assert uppers == sorted(uppers)
+
+
+def test_merge_adjacent_and_capacity_gate(spark, tmp_base):
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(N)], "k int, v string")
+    sh = ShardedIndex.create(
+        spark, tmp_base + "/shm", ["k"], df, n_shards=4,
+        rows_per_partition=100, shard_capacity=150,
+    )
+    cat = sh._read_catalog()
+    # two ~100-row shards merge fine only if they fit capacity
+    ids = [s["id"] for s in cat["shards"]]
+    merged = sh.merge_adjacent(ids[0])
+    if merged:
+        assert sh.n_shards() == 3
+    assert _keys(sh.in_order()) == list(range(N))
+
+
+def test_auto_split_on_capacity(spark, tmp_base):
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k int, v string")
+    sh = ShardedIndex.create(
+        spark, tmp_base + "/sha", ["k"], df, n_shards=2,
+        rows_per_partition=50, shard_capacity=60,
+    )
+    assert sh.n_shards() == 2
+    # push the last shard over capacity → auto split on commit
+    sh.insert([{"k": 1000 + i, "v": f"n{i}"} for i in range(15)])
+    assert sh.n_shards() == 3
+    assert sh.count() == 115
+    assert _keys(sh.in_order()) == list(range(100)) + list(range(1000, 1015))
