@@ -374,6 +374,33 @@ class ShardedIndex:
     def remove(self, keys: list[dict[str, Any]], version: Optional[str] = None) -> "ShardedIndex":
         return self.execute([Remove(keys)], version)
 
+    # -------------------------------------------------------------- vacuum
+    def vacuum(self) -> dict:
+        """Reclaim physical state the catalog no longer references:
+        per-shard versions other than the pinned one (old commits and
+        orphans from failed cross-shard batches) and whole shard stores
+        replaced by split/merge. Single-writer contract applies."""
+        import glob as _glob
+        import shutil as _shutil
+
+        cat = self._read_catalog()
+        removed_versions: dict[int, list[int]] = {}
+        for s in cat["shards"]:
+            store = SnapshotStore(self.spark, s["path"])
+            if not store.exists():
+                continue
+            pin = {s["version"]} if s["version"] is not None else set()
+            dropped = store.vacuum(keep_last=0, pin=pin)
+            if dropped:
+                removed_versions[s["id"]] = dropped
+        live = {os.path.abspath(s["path"]) for s in cat["shards"]}
+        removed_dirs = []
+        for p in _glob.glob(os.path.join(self.base_path, "shard_*")):
+            if os.path.abspath(p) not in live:
+                _shutil.rmtree(p, ignore_errors=True)
+                removed_dirs.append(p)
+        return {"versions": removed_versions, "dirs": removed_dirs}
+
     # --------------------------------------------------------- split/merge
     def _auto_split(self, cat: dict) -> None:
         for s in list(cat["shards"]):

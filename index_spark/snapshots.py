@@ -271,17 +271,20 @@ class SnapshotStore:
         return best
 
     # -------------------------------------------------------------- vacuum
-    def vacuum(self, keep_last: int = 1) -> list[int]:
+    def vacuum(self, keep_last: int = 1, pin: Optional[set[int]] = None) -> list[int]:
         """Garbage-collect snapshot data (SURVEY.md §7 risk register:
         one COW version per batch proliferates files).
 
         Keeps the last ``keep_last`` versions plus every version pinned by
-        the time-travel ``history``. With file-level COW a kept version may
-        reference files living under a dropped version's directory, so
-        deletion is per-FILE: only files referenced by no kept version are
-        removed. Returns the removed version numbers. Single-writer
-        contract applies — do not vacuum concurrently with a writer
-        holding an older base version."""
+        the time-travel ``history`` plus any explicitly ``pin``-ned
+        versions (a sharded catalog pins the version it reads, which may
+        be BEHIND orphaned commits from a failed cross-shard batch — pass
+        ``keep_last=0, pin={catalog_version}`` to reclaim the orphans).
+        With file-level COW a kept version may reference files living
+        under a dropped version's directory, so deletion is per-FILE:
+        only files referenced by no kept version are removed. Returns the
+        removed version numbers. Single-writer contract applies — do not
+        vacuum concurrently with a writer holding an older base version."""
         import glob as _glob
         import shutil as _shutil
 
@@ -289,6 +292,7 @@ class SnapshotStore:
         versions = [row["version"] for row in m["versions"]]
         pinned = set(versions[-keep_last:]) if keep_last > 0 else set()
         pinned |= {h["version"] for h in m["history"]}
+        pinned |= set(pin or ()) & set(versions)
         removed = [v for v in versions if v not in pinned]
 
         referenced: set[str] = set()

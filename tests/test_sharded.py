@@ -135,3 +135,36 @@ def test_auto_split_on_capacity(spark, tmp_base):
     assert sh.n_shards() == 3
     assert sh.count() == 115
     assert _keys(sh.in_order()) == list(range(100)) + list(range(1000, 1015))
+
+
+def test_vacuum_reclaims_orphans_and_dead_shards(spark, tmp_base):
+    """A failed cross-shard batch leaves committed-but-unpublished shard
+    versions; split leaves a replaced shard store. vacuum() reclaims both
+    while every catalog-pinned version keeps reading correctly."""
+    import os
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(N)], "k int, v string")
+    sh = ShardedIndex.create(spark, tmp_base + "/shv", ["k"], df, n_shards=3, rows_per_partition=100)
+
+    with pytest.raises(KeyNotFoundError):
+        sh.execute([
+            Update([{"k": 1, "v": "orphan"}]),   # commits physically to shard 0
+            Update([{"k": 99_999, "v": "x"}]),   # fails → catalog not swapped
+        ])
+    cat = sh._read_catalog()
+    s0 = cat["shards"][0]
+    from index_spark.snapshots import SnapshotStore
+    assert SnapshotStore(spark, s0["path"]).latest_version() > s0["version"]  # orphan ahead
+
+    first = cat["shards"][0]["id"]
+    assert sh.split_shard(first)  # old shard 0 store now unreferenced
+    out = sh.vacuum()
+    assert any(out["versions"].values()) or out["dirs"]
+    assert os.path.abspath(s0["path"]) in {os.path.abspath(p) for p in out["dirs"]}
+
+    # logical state intact after reclamation
+    assert _keys(sh.in_order()) == list(range(N))
+    assert [r.v for r in sh.get(1).collect()] == ["v1"]
+    # and mutations still work
+    sh.update([{"k": 1, "v": "U1"}])
+    assert [r.v for r in sh.get(1).collect()] == ["U1"]
