@@ -41,10 +41,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from index_spark.commands import Insert, Remove, Update
-from index_spark.errors import IndexAlreadyExistsError, IndexNotFoundError, KeyNotFoundError
+from index_spark.errors import (
+    IndexAlreadyExistsError,
+    IndexError_,
+    IndexNotFoundError,
+    KeyNotFoundError,
+)
 from index_spark.index import SortedIndex
 from index_spark.keys import as_tuple, key_gt, key_lt, sort_cols
-from index_spark.snapshots import SnapshotStore, VersionedIndex
+from index_spark.snapshots import SnapshotStore, VersionedIndex, _now_ns
 
 _CATALOG = "_catalog.json"
 
@@ -374,29 +379,72 @@ class ShardedIndex:
     def remove(self, keys: list[dict[str, Any]], version: Optional[str] = None) -> "ShardedIndex":
         return self.execute([Remove(keys)], version)
 
+    # ------------------------------------------------------------ temporal
+    def snapshot(self) -> int:
+        """Pin the current logical state into the catalog history
+        (TemporalIndex.snapshot() lifted to shard granularity: the history
+        entry is the whole shard list — paths, versions, boundaries — since
+        split/merge change the list itself, not just versions)."""
+        cat = self._read_catalog()
+        hist = cat.setdefault("history", [])
+        ts = _now_ns(hist[-1]["ts"] if hist else 0)
+        hist.append({"ts": ts, "shards": [dict(s) for s in cat["shards"]]})
+        self._write_catalog(cat)
+        return ts
+
+    def find(self, t: int) -> Optional[int]:
+        """Greatest history ts <= t (TemporalIndex.scala:31-38), or None."""
+        best = None
+        for h in self._read_catalog().get("history", []):
+            if h["ts"] <= t:
+                best = h["ts"]
+        return best
+
+    def as_of(self, t: int) -> Optional["ShardedIndex"]:
+        """Read-only view of the logical index as of history time ``t``
+        (greatest snapshot at-or-before t; None before the first)."""
+        cat = self._read_catalog()
+        best = None
+        for h in cat.get("history", []):
+            if h["ts"] <= t:
+                best = h
+        if best is None:
+            return None
+        frozen = dict(cat)
+        frozen["shards"] = best["shards"]
+        return _AsOfShardedView(self, frozen)
+
     # -------------------------------------------------------------- vacuum
     def vacuum(self) -> dict:
-        """Reclaim physical state the catalog no longer references:
-        per-shard versions other than the pinned one (old commits and
-        orphans from failed cross-shard batches) and whole shard stores
-        replaced by split/merge. Single-writer contract applies."""
+        """Reclaim physical state neither the catalog nor its history
+        references: per-shard versions other than pinned ones (old commits
+        and orphans from failed cross-shard batches) and whole shard
+        stores replaced by split/merge that no history entry still reads.
+        Single-writer contract applies."""
         import glob as _glob
         import shutil as _shutil
 
         cat = self._read_catalog()
-        removed_versions: dict[int, list[int]] = {}
-        for s in cat["shards"]:
-            store = SnapshotStore(self.spark, s["path"])
+        # path → pinned versions, across current shards and every history pin
+        pins: dict[str, set[int]] = {}
+        live_dirs: set[str] = set()
+        shard_lists = [cat["shards"]] + [h["shards"] for h in cat.get("history", [])]
+        for shards in shard_lists:
+            for s in shards:
+                live_dirs.add(os.path.abspath(s["path"]))  # empty shards too
+                if s["version"] is not None:
+                    pins.setdefault(os.path.abspath(s["path"]), set()).add(s["version"])
+        removed_versions: dict[str, list[int]] = {}
+        for path, pin in pins.items():
+            store = SnapshotStore(self.spark, path)
             if not store.exists():
                 continue
-            pin = {s["version"]} if s["version"] is not None else set()
             dropped = store.vacuum(keep_last=0, pin=pin)
             if dropped:
-                removed_versions[s["id"]] = dropped
-        live = {os.path.abspath(s["path"]) for s in cat["shards"]}
+                removed_versions[path] = dropped
         removed_dirs = []
         for p in _glob.glob(os.path.join(self.base_path, "shard_*")):
-            if os.path.abspath(p) not in live:
+            if os.path.abspath(p) not in live_dirs:
                 _shutil.rmtree(p, ignore_errors=True)
                 removed_dirs.append(p)
         return {"versions": removed_versions, "dirs": removed_dirs}
@@ -477,3 +525,36 @@ class ShardedIndex:
         ]
         self._write_catalog(cat)
         return True
+
+
+class _AsOfShardedView(ShardedIndex):
+    """Read-only logical index bound to one history entry's shard list.
+
+    Reuses every routed read; writes and maintenance are refused — the
+    reference likewise hands back a plain queryable index for a historical
+    snapshot (TemporalIndex.scala:40-51)."""
+
+    def __init__(self, parent: ShardedIndex, frozen_catalog: dict):
+        super().__init__(parent.spark, parent.base_path)
+        self._frozen = frozen_catalog
+
+    def _read_catalog(self) -> dict:
+        return self._frozen
+
+    def _write_catalog(self, cat: dict) -> None:  # pragma: no cover - guard
+        raise IndexError_("as-of view is read-only")
+
+    def execute(self, commands: list, version: Optional[str] = None) -> "ShardedIndex":
+        raise IndexError_("as-of view is read-only")
+
+    def split_shard(self, shard_id: int) -> bool:
+        raise IndexError_("as-of view is read-only")
+
+    def merge_adjacent(self, left_shard_id: int) -> bool:
+        raise IndexError_("as-of view is read-only")
+
+    def snapshot(self) -> int:
+        raise IndexError_("as-of view is read-only")
+
+    def vacuum(self) -> dict:
+        raise IndexError_("as-of view is read-only")

@@ -168,3 +168,37 @@ def test_vacuum_reclaims_orphans_and_dead_shards(spark, tmp_base):
     # and mutations still work
     sh.update([{"k": 1, "v": "U1"}])
     assert [r.v for r in sh.get(1).collect()] == ["U1"]
+
+
+def test_sharded_time_travel(spark, tmp_base):
+    """snapshot()/as_of(): the catalog history pins whole shard lists, so
+    time travel survives later mutations AND topology changes (split), and
+    vacuum keeps everything a history entry still reads."""
+    from index_spark.errors import IndexError_
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(N)], "k int, v string")
+    sh = ShardedIndex.create(spark, tmp_base + "/sht", ["k"], df, n_shards=3, rows_per_partition=100)
+    t0 = sh.snapshot()
+    sh.update([{"k": 1, "v": "U1"}])
+    sh.split_shard(sh._read_catalog()["shards"][0]["id"])  # topology change
+    t1 = sh.snapshot()
+    sh.remove([{"k": 1}])
+
+    assert sh.as_of(t0 - 1) is None  # before first snapshot
+    old = sh.as_of(t0)
+    assert [r.v for r in old.get(1).collect()] == ["v1"]
+    mid = sh.as_of(t1)
+    assert [r.v for r in mid.get(1).collect()] == ["U1"]
+    assert sh.get(1).isEmpty()  # latest
+    assert _keys(old.range(0, 10)) == list(range(11))
+
+    with pytest.raises(IndexError_):
+        old.update([{"k": 2, "v": "x"}])
+    with pytest.raises(IndexError_):
+        old.split_shard(0)
+
+    # vacuum: history-pinned versions and pre-split stores survive
+    sh.vacuum()
+    assert [r.v for r in sh.as_of(t0).get(1).collect()] == ["v1"]
+    assert [r.v for r in sh.as_of(t1).get(1).collect()] == ["U1"]
+    assert sh.get(1).isEmpty()
