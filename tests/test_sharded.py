@@ -202,3 +202,66 @@ def test_sharded_time_travel(spark, tmp_base):
     assert [r.v for r in sh.as_of(t0).get(1).collect()] == ["v1"]
     assert [r.v for r in sh.as_of(t1).get(1).collect()] == ["U1"]
     assert sh.get(1).isEmpty()
+
+
+def test_sharded_randomized_against_model(spark, tmp_base):
+    """MainSpec-style randomized differential test at shard granularity:
+    random cross-shard batches in lockstep with a dict model, interleaved
+    capacity splits, a couple of snapshots replayed at the end
+    (TemporalIndexSpec.scala:223-233 analog)."""
+    import random
+
+    from index_spark.errors import DuplicatedKeysError as Dup
+    from index_spark.errors import KeyNotFoundError as Missing
+
+    rng = random.Random(20260813)
+    keyspace = list(range(0, 3000, 7))
+    init = sorted(rng.sample(keyspace, 200))
+    df = spark.createDataFrame([(k, f"v{k}") for k in init], "k int, v string")
+    sh = ShardedIndex.create(spark, tmp_base + "/shr", ["k"], df, n_shards=3, rows_per_partition=100)
+    model = {k: f"v{k}" for k in init}
+    snaps = {}
+
+    for batch_no in range(8):
+        op = rng.choice(["insert", "upsert", "update", "remove", "snapshot", "split"])
+        if op == "snapshot":
+            snaps[sh.snapshot()] = dict(model)
+            continue
+        if op == "split":
+            cat = sh._read_catalog()
+            sh.split_shard(rng.choice(cat["shards"])["id"])
+            continue
+        ks = rng.sample(keyspace, rng.randint(1, 12))
+        rows = [{"k": k, "v": f"{k}@b{batch_no}"} for k in ks]
+        try:
+            if op == "insert":
+                sh.insert(rows)
+                for k in ks:
+                    assert k not in model
+                    model[k] = f"{k}@b{batch_no}"
+            elif op == "upsert":
+                sh.insert(rows, upsert=True)
+                for k in ks:
+                    model[k] = f"{k}@b{batch_no}"
+            elif op == "update":
+                sh.update(rows)
+                for k in ks:
+                    assert k in model
+                    model[k] = f"{k}@b{batch_no}"
+            else:
+                sh.remove([{"k": k} for k in ks])
+                for k in ks:
+                    assert k in model
+                    del model[k]
+        except Dup:
+            assert op == "insert" and any(k in model for k in ks)
+        except Missing:
+            assert op in ("update", "remove") and any(k not in model for k in ks)
+
+    got = [(r.k, r.v) for r in sh.in_order().select("k", "v").collect()]
+    assert got == sorted(model.items())
+    assert sh.count() == len(model)
+    for ts, snap_model in snaps.items():
+        view = sh.as_of(ts)
+        got = [(r.k, r.v) for r in view.in_order().select("k", "v").collect()]
+        assert got == sorted(snap_model.items())
