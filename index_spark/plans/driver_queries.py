@@ -207,6 +207,41 @@ def q_merge_halves(spark, sf_dir):
     )
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Co-located fact-fact join: both sides written bucketBy+sortBy on the
+    join key, so the sort-merge join runs with NO shuffle exchange on
+    either side (plan-asserted in test_plans). The recurring-join shape at
+    100 TB: pay the shuffle once at layout time, never per query."""
+    import uuid as _uuid
+
+    from index_spark.sources.tables import write_bucketed
+
+    suf = _uuid.uuid4().hex[:8]
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    d = tempfile.mkdtemp(prefix="bjq_")
+    try:
+        bo = write_bucketed(o, spark, f"bq_orders_{suf}", ["o_orderkey"], 8, d + "/o")
+        bl = write_bucketed(li, spark, f"bq_li_{suf}", ["o_orderkey"], 8, d + "/l")
+        out = (
+            bo.hint("merge")
+            .join(bl, "o_orderkey")
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                _sum_cents(F.col("l_extendedprice"), "revenue"),
+            )
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # materialize before cleanup
+        return out
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS bq_orders_{suf}")
+        spark.sql(f"DROP TABLE IF EXISTS bq_li_{suf}")
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_sharded_range(spark, sf_dir):
     """Sharded logical index end-to-end (reference index-level sharding,
     QueryableIndex.scala:561-679): bulk-load orders into 4 range-disjoint
@@ -1054,6 +1089,11 @@ def build_oracles() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, "
             f"{_sql_sum_cents('o_totalprice', 'total')} FROM orders"
         ),
+        "bucketed_join": (
+            "SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_items, "
+            f"{_sql_sum_cents('l_extendedprice', 'revenue')} "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_custkey"
+        ),
         "sharded_range": (
             "WITH final AS ("
             "  SELECT o_orderkey, CASE WHEN o_orderkey = 7 THEN 0.0 ELSE o_totalprice END AS o_totalprice "
@@ -1385,6 +1425,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_median": q_split_median,
         "merge_halves": q_merge_halves,
         "sharded_range": q_sharded_range,
+        "bucketed_join": q_bucketed_join,
         "upsert_batch": q_upsert_batch,
         "dup_key_check": q_dup_key_check,
         "version_changed_check": q_version_changed_check,

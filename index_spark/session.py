@@ -8,6 +8,7 @@ SQL-conf choices (AQE, shuffle partitions, UTC, Arrow) are scale-portable.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -51,6 +52,9 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # saveAsTable (bucketed layouts) must never litter the caller's cwd
+        # with a spark-warehouse dir; default catalog is in-memory anyway.
+        .config("spark.sql.warehouse.dir", os.path.join(tempfile.gettempdir(), "index_spark_warehouse"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

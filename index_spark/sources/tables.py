@@ -51,3 +51,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_bucketed(
+    df: DataFrame,
+    spark: SparkSession,
+    name: str,
+    key: list[str],
+    buckets: int,
+    path: str,
+) -> DataFrame:
+    """Co-located join layout: write ``df`` hash-bucketed and sorted by the
+    join key. Two tables bucketed the same way sort-merge-join with NO
+    shuffle exchange on either side — at 100 TB the recurring fact-fact
+    join (e.g. orders x lineitem) pays its shuffle once at write time and
+    never again. External table at ``path``; the metastore entry carries
+    the bucket metadata (Spark cannot read bucket layout back from bare
+    parquet). The moral equivalent of the reference keeping both indexes
+    sorted by the same key so a merge walk needs no re-sort."""
+    (
+        df.write.mode("errorifexists")
+        .bucketBy(buckets, *key)
+        .sortBy(*key)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    return spark.table(name)

@@ -7,6 +7,7 @@ import io
 from contextlib import redirect_stdout
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as em
 
@@ -66,3 +67,33 @@ def test_no_cartesian_anywhere_in_core_queries(plans):
         p = plans(name)
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_base):
+    """Co-located fact-fact join: both sides bucketed+sorted on the join
+    key → sort-merge join with NO Exchange anywhere in the plan, and the
+    same results as the shuffled join."""
+    import uuid
+
+    from index_spark.sources.tables import load_table, write_bucketed
+
+    suf = uuid.uuid4().hex[:8]
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice")
+    )
+    bo = write_bucketed(o, spark, f"b_orders_{suf}", ["o_orderkey"], 8, tmp_base + "/bo")
+    bl = write_bucketed(li, spark, f"b_li_{suf}", ["o_orderkey"], 8, tmp_base + "/bl")
+    try:
+        j = bo.hint("merge").join(bl, "o_orderkey")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # neither side shuffles: bucket pruning won
+        assert j.count() == o.join(li, "o_orderkey").count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS b_orders_{suf}")
+        spark.sql(f"DROP TABLE IF EXISTS b_li_{suf}")
