@@ -379,6 +379,28 @@ class ShardedIndex:
     def remove(self, keys: list[dict[str, Any]], version: Optional[str] = None) -> "ShardedIndex":
         return self.execute([Remove(keys)], version)
 
+    def compact(self, target_rows: Optional[int] = None) -> dict[int, int]:
+        """Per-shard file compaction behind one catalog swap: each shard's
+        :meth:`VersionedIndex.compact` bin-packs the small files its
+        partial commits left behind; shards with nothing to pack stay at
+        their pinned version. Returns {shard_id: new_version} for the
+        shards that changed."""
+        cat = self._read_catalog()
+        changed: dict[int, int] = {}
+        for s in cat["shards"]:
+            h = self._handle(s, cat)
+            if h is None or h._empty:
+                continue
+            new = h.compact(target_rows)
+            if new.version != s["version"]:
+                changed[s["id"]] = new.version
+        if changed:
+            for s in cat["shards"]:
+                if s["id"] in changed:
+                    s["version"] = changed[s["id"]]
+            self._write_catalog(cat)
+        return changed
+
     # ------------------------------------------------------------ temporal
     def snapshot(self) -> int:
         """Pin the current logical state into the catalog history

@@ -265,3 +265,27 @@ def test_sharded_randomized_against_model(spark, tmp_base):
         view = sh.as_of(ts)
         got = [(r.k, r.v) for r in view.in_order().select("k", "v").collect()]
         assert got == sorted(snap_model.items())
+
+
+def test_sharded_compact_and_composite_keys(spark, tmp_base):
+    """Composite-key routing (tuple-lexicographic boundaries) + per-shard
+    compaction behind one catalog swap."""
+    rows = [(o, l, f"v{o}.{l}") for o in range(60) for l in range(1, 4)]
+    df = spark.createDataFrame(rows, "o int, l int, v string")
+    sh = ShardedIndex.create(
+        spark, tmp_base + "/shc", ["o", "l"], df, n_shards=3, rows_per_partition=60
+    )
+    assert sh.count() == 180
+    # composite routing: point get, prefix-ish gt, cross-shard range
+    assert [r.v for r in sh.get((10, 2)).collect()] == ["v10.2"]
+    got = [(r.o, r.l) for r in sh.range((9, 3), (11, 1)).collect()]
+    assert got == [(9, 3), (10, 1), (10, 2), (10, 3), (11, 1)]
+    # scattered single-row inserts leave small files in several shards
+    for o in (100, 101, 102):
+        sh.insert([{"o": o, "l": 1, "v": f"n{o}"}])
+    changed = sh.compact()
+    assert changed  # at least the tail shard packed
+    assert sh.count() == 183
+    assert [r.v for r in sh.get((101, 1)).collect()] == ["n101"]
+    got = [(r.o, r.l) for r in sh.in_order().select("o", "l").collect()]
+    assert got == sorted(got)
