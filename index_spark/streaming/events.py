@@ -146,6 +146,52 @@ def user_running_state(events: DataFrame) -> DataFrame:
     )
 
 
+def user_running_state_tws(events: DataFrame) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` twin of
+    :func:`user_running_state`: the same per-user running (count, last ts)
+    as a ``StatefulProcessor`` with typed ValueState — the
+    newer composable-state API (multiple named state variables, timers,
+    TTL) that replaces GroupState for bespoke operators. Requires the
+    RocksDB state-store provider (caller sets
+    ``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` package for the worker protocol — environments without
+    it should use :func:`user_running_state` (same semantics, tested
+    equal)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Running(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("agg", "n_events BIGINT, last_ts_us BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, last = self._st.get() if self._st.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    last = max(last, int(pdf["ts_us"].max()))
+            self._st.update((n, last))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "last_ts_us": [last]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "ts_us")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_Running(),
+            outputStructType="user_id BIGINT, n_events BIGINT, last_ts_us BIGINT",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete", timeout_s: int = 120
 ) -> DataFrame:

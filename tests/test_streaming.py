@@ -152,3 +152,37 @@ def test_watermark_drops_late_rows_across_restarts(spark, tmp_base):
     # too-late row (20s << watermark 90s) dropped — window never materializes
     assert 20_000_000 not in seen
     assert all(3 not in ids for ids in seen.values())
+
+
+def test_user_running_state_transform_with_state(spark, sf_dir, events_batch):
+    """transformWithStateInPandas twin must agree with the GroupState
+    operator AND the batch aggregate. Needs the RocksDB state store;
+    restore the provider afterward so other tests keep the default.
+    The TWS worker protocol needs protobuf, absent from this container —
+    skip there (the applyInPandasWithState operator is the tested path)."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState worker protocol needs protobuf"
+    )
+    from index_spark.streaming.events import user_running_state_tws
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        out = run_available_now(user_running_state_tws(stream), _name(), output_mode="update")
+        last = out.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"), F.max("last_ts_us").alias("last_ts_us")
+        )
+        want = events_batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"), F.max("ts_us").alias("last_ts_us")
+        )
+        cols = ["user_id", "n_events", "last_ts_us"]
+        assert _rows(last, cols) == _rows(want, cols)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
