@@ -49,7 +49,7 @@ from index_spark.errors import (
 )
 from index_spark.index import SortedIndex
 from index_spark.keys import as_tuple, key_gt, key_lt, sort_cols
-from index_spark.snapshots import SnapshotStore, VersionedIndex, _now_ns
+from index_spark.snapshots import VERSION_COL, SnapshotStore, VersionedIndex, _now_ns
 
 _CATALOG = "_catalog.json"
 
@@ -107,11 +107,17 @@ class ShardedIndex:
         shard_capacity: Optional[int] = None,
         sample_size: int = 100_000,
     ) -> "ShardedIndex":
-        """Bulk-load ``df`` into ``n_shards`` range-disjoint shards.
+        """Bulk-load ``df`` into ``n_shards`` range-disjoint shards in ONE
+        pass over the source.
 
         Boundaries come from a fixed-size seeded key sample (driver memory
         O(sample) regardless of data size — the RangePartitioner idea, but
-        pinned so the catalog is deterministic)."""
+        pinned so the catalog is deterministic). The data is written once:
+        range-partitioned and key-sorted, split into per-shard directories
+        by a computed shard column (``partitionBy``), then each shard store
+        ADOPTS its files metadata-only (``create_from_files``). At 100 TB
+        this is the difference between one scan of the source and
+        ``n_shards`` scans of it."""
         self = cls(spark, base_path)
         if self.exists():
             raise IndexAlreadyExistsError(base_path)
@@ -126,31 +132,73 @@ class ShardedIndex:
                 uppers.append(b)
         uppers.append(None)  # last shard: +inf
 
+        # interval assignment, first-match-wins (upper[i-1] < k <= upper[i])
+        shard_expr = None
+        for i, upper in enumerate(uppers[:-1]):
+            cond = key_lt(key, upper, inclusive=True)
+            shard_expr = F.when(cond, i) if shard_expr is None else shard_expr.when(cond, i)
+        last_idx = len(uppers) - 1
+        shard_expr = F.lit(last_idx) if shard_expr is None else shard_expr.otherwise(last_idx)
+
+        staging = os.path.join(base_path, "_bulk")
+        n_parts = max(1, -(-n // rows_per_partition))
+        (
+            df.withColumn("__shard", shard_expr)
+            .repartitionByRange(n_parts, *[F.col(c) for c in key])
+            .sortWithinPartitions(*key)
+            .withColumn(VERSION_COL, F.lit(str(uuid.uuid4())))
+            .write.mode("errorifexists")
+            .partitionBy("__shard")
+            .parquet(staging)
+        )
+
+        # ONE stats job for all shards: per-file key min/max + rows, shard
+        # recovered from the partition column
+        stat_rows = (
+            spark.read.parquet(staging)
+            .groupBy("__shard", F.input_file_name().alias("p"))
+            .agg(
+                *[F.min(c).alias(f"min_{c}") for c in key],
+                *[F.max(c).alias(f"max_{c}") for c in key],
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        files_by_shard: dict[int, list[dict]] = {}
+        for r in stat_rows:
+            files_by_shard.setdefault(int(r["__shard"]), []).append(
+                {
+                    "path": r.p.replace("file://", ""),
+                    "min": [r[f"min_{c}"] for c in key],
+                    "max": [r[f"max_{c}"] for c in key],
+                    "n_rows": r.n,
+                }
+            )
+
         cat = {
             "key": key,
             "rows_per_partition": rows_per_partition,
             "shard_capacity": shard_capacity,
-            "next_shard_id": 0,
+            "next_shard_id": len(uppers),
             "shards": [],
         }
-        lower: Optional[tuple] = None
-        for upper in uppers:
-            sid = cat["next_shard_id"]
-            cat["next_shard_id"] += 1
-            part = df
-            if lower is not None:
-                part = part.filter(key_gt(key, lower, inclusive=False))
-            if upper is not None:
-                part = part.filter(key_lt(key, upper, inclusive=True))
+        for sid, upper in enumerate(uppers):
             path = os.path.join(base_path, f"shard_{sid:04d}")
-            h = SnapshotStore(spark, path).create(
-                key, df=part, rows_per_partition=rows_per_partition, max_n_items=shard_capacity,
-                # the whole table fitting one partition bounds every shard —
-                # skips a per-shard count job during bulk load
-                n_partitions=1 if n <= rows_per_partition else None,
+            store = SnapshotStore(spark, path)
+            shard_files = files_by_shard.get(sid)
+            if shard_files:
+                h = store.create_from_files(
+                    key, os.path.join(staging, f"__shard={sid}"),
+                    rows_per_partition=rows_per_partition,
+                    max_n_items=shard_capacity, files=shard_files,
+                )
+                version = h.version
+            else:  # boundary produced an empty shard: store exists, no data
+                store.create(key, rows_per_partition=rows_per_partition, max_n_items=shard_capacity)
+                version = None
+            cat["shards"].append(
+                {"id": sid, "path": path, "version": version, "upper": list(upper) if upper else None}
             )
-            cat["shards"].append({"id": sid, "path": path, "version": h.version, "upper": list(upper) if upper else None})
-            lower = upper
         self._write_catalog(cat)
         return self
 

@@ -122,6 +122,47 @@ class SnapshotStore:
             self.commit(df, list(key), rows_per_partition, n_partitions=n_parts)
         return self.latest()
 
+    def create_from_files(
+        self,
+        key: Sequence[str],
+        data_path: str,
+        rows_per_partition: int = 1_000_000,
+        index_id: Optional[str] = None,
+        max_n_items: Optional[int] = None,
+        files: Optional[list[dict]] = None,
+    ) -> "VersionedIndex":
+        """Adopt already-written parquet files as version 0 WITHOUT
+        rewriting them (the CONVERT-style metadata-only commit). The caller
+        guarantees the files are key-disjoint and internally key-sorted —
+        e.g. one range-partitioned bulk write split across many stores
+        (sharded bulk load: one pass over the source instead of one scan
+        per shard). Only per-file stats are computed — or adopted verbatim
+        via ``files`` when the caller already has them (one stats job for
+        many stores); data is never moved."""
+        if self.exists():
+            raise IndexAlreadyExistsError(self.base_path)
+        m = {
+            "index_id": index_id or str(uuid.uuid4()),
+            "key": list(key),
+            "rows_per_partition": rows_per_partition,
+            "max_n_items": max_n_items,
+            "versions": [],
+            "history": [],
+        }
+        if files is None:
+            files = self._file_stats(data_path, list(key))
+        m["versions"].append(
+            {
+                "version": 0,
+                "version_id": str(uuid.uuid4()),
+                "ts": _now_ns(0),
+                "n_rows": sum(f["n_rows"] for f in files),
+                "files": files,
+            }
+        )
+        self._write_manifest(m)
+        return self.latest()
+
     def max_n_items(self) -> Optional[int]:
         return self._read_manifest().get("max_n_items")
 
@@ -129,8 +170,18 @@ class SnapshotStore:
         """Per-file (path, key min/max, rows) for the files under ``path`` —
         the manifest-level analog of parquet row-group stats, enabling
         file-level COW (only files whose key range a batch touches get
-        rewritten). One column-pruned scan of freshly-written (page-warm)
-        files."""
+        rewritten). Per-column independent min/max: for composite keys this
+        is a conservative SUPERSET of the true lexicographic tuple range,
+        so the overlap test may touch extra files but never misses one.
+
+        Fast path: read the footers driver-side (zero Spark jobs — at any
+        scale this beats re-scanning the data columns just written).
+        Numeric key columns only: parquet truncates long binary/string
+        stats, which would shrink the interval unsoundly — those fall back
+        to a column-pruned Spark scan."""
+        footer = self._file_stats_from_footers(path, key)
+        if footer is not None:
+            return footer
         df = self.spark.read.parquet(path)
         rows = (
             df.groupBy(F.input_file_name().alias("p"))
@@ -150,6 +201,52 @@ class SnapshotStore:
             }
             for r in rows
         ]
+
+    _FOOTER_SAFE_TYPES = {"INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN"}
+
+    def _file_stats_from_footers(self, path: str, key: Sequence[str]) -> Optional[list[dict]]:
+        """Footer-based stats, or None when any key column's physical type
+        is subject to statistics truncation (strings/binary) or stats are
+        missing — callers then pay the Spark scan instead."""
+        import glob as _glob
+
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow is baked in
+            return None
+        paths = (
+            sorted(_glob.glob(os.path.join(path, "*.parquet")))
+            if os.path.isdir(path)
+            else [path]
+        )
+        if not paths:
+            return None
+        out = []
+        for p in paths:
+            try:
+                md = pq.ParquetFile(p).metadata
+            except Exception:
+                return None
+            name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            mins: list[Any] = []
+            maxs: list[Any] = []
+            for c in key:
+                i = name_to_idx.get(c)
+                if i is None or md.schema.column(i).physical_type not in self._FOOTER_SAFE_TYPES:
+                    return None
+                cmin = cmax = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(i).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    cmin = st.min if cmin is None else min(cmin, st.min)
+                    cmax = st.max if cmax is None else max(cmax, st.max)
+                if cmin is None:  # zero row groups (empty file)
+                    return None
+                mins.append(cmin)
+                maxs.append(cmax)
+            out.append({"path": p, "min": mins, "max": maxs, "n_rows": md.num_rows})
+        return out
 
     def commit(
         self,
@@ -307,6 +404,7 @@ class SnapshotStore:
                     os.path.abspath(p)
                     for p in _glob.glob(os.path.join(self._version_path(row["version"]), "*"))
                 }
+        removed_rows = [row for row in m["versions"] if row["version"] in set(removed)]
         for v in removed:
             vdir = self._version_path(v)
             for p in _glob.glob(os.path.join(vdir, "*")):
@@ -314,6 +412,13 @@ class SnapshotStore:
                     os.remove(p) if os.path.isfile(p) else _shutil.rmtree(p, ignore_errors=True)
             if not any(os.path.abspath(p) in referenced for p in _glob.glob(os.path.join(vdir, "*"))):
                 _shutil.rmtree(vdir, ignore_errors=True)
+        # adopted files (create_from_files) live outside version dirs — drop
+        # the ones no kept version references, by manifest path
+        for row in removed_rows:
+            for f in row.get("files") or []:
+                p = os.path.abspath(f["path"])
+                if p not in referenced and os.path.isfile(p):
+                    os.remove(p)
         m["versions"] = [row for row in m["versions"] if row["version"] in pinned]
         self._write_manifest(m)
         return removed
