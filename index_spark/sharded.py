@@ -32,6 +32,7 @@ Single-writer per logical index, as in the reference (Index.scala:16).
 
 from __future__ import annotations
 
+import glob as _glob_mod
 import json
 import os
 import uuid
@@ -49,7 +50,13 @@ from index_spark.errors import (
 )
 from index_spark.index import SortedIndex
 from index_spark.keys import as_tuple, key_gt, key_lt, sort_cols
-from index_spark.snapshots import VERSION_COL, SnapshotStore, VersionedIndex, _now_ns
+from index_spark.snapshots import (
+    VERSION_COL,
+    SnapshotStore,
+    VersionedIndex,
+    _now_ns,
+    stat_row_to_file,
+)
 
 _CATALOG = "_catalog.json"
 
@@ -121,10 +128,30 @@ class ShardedIndex:
         self = cls(spark, base_path)
         if self.exists():
             raise IndexAlreadyExistsError(base_path)
+        if "__shard" in df.columns:
+            raise ValueError("'__shard' is reserved for the bulk-load layout")
+        staging = os.path.join(base_path, "_bulk")
+        if os.path.isdir(staging) or _glob_mod.glob(os.path.join(base_path, "shard_*")):
+            # a previous create() died between the staging write and the
+            # catalog write (no catalog ⇒ nothing references these files):
+            # clear the partial attempt so retry succeeds
+            import shutil as _shutil
+
+            _shutil.rmtree(staging, ignore_errors=True)
+            for p in _glob_mod.glob(os.path.join(base_path, "shard_*")):
+                _shutil.rmtree(p, ignore_errors=True)
         key = list(key)
         n = df.count()
         frac = min(1.0, sample_size / max(n, 1))
         sample = sorted(tuple(r) for r in df.select(*key).sample(fraction=frac, seed=42).collect())
+        try:  # boundaries live in the JSON catalog and are compared against
+            # raw row-key tuples — both need the key type to round-trip
+            json.dumps([list(t) for t in sample[:1]])
+        except TypeError as e:
+            raise ValueError(
+                "ShardedIndex keys must be JSON-able (int/float/str/bool); "
+                "cast date/decimal keys to epoch days / int first"
+            ) from e
         uppers: list[Optional[tuple]] = []
         for i in range(1, n_shards):
             b = sample[min(len(sample) - 1, i * len(sample) // n_shards)] if sample else None
@@ -140,40 +167,32 @@ class ShardedIndex:
         last_idx = len(uppers) - 1
         shard_expr = F.lit(last_idx) if shard_expr is None else shard_expr.otherwise(last_idx)
 
-        staging = os.path.join(base_path, "_bulk")
-        n_parts = max(1, -(-n // rows_per_partition))
-        (
-            df.withColumn("__shard", shard_expr)
-            .repartitionByRange(n_parts, *[F.col(c) for c in key])
-            .sortWithinPartitions(*key)
-            .withColumn(VERSION_COL, F.lit(str(uuid.uuid4())))
-            .write.mode("errorifexists")
-            .partitionBy("__shard")
-            .parquet(staging)
-        )
-
-        # ONE stats job for all shards: per-file key min/max + rows, shard
-        # recovered from the partition column
-        stat_rows = (
-            spark.read.parquet(staging)
-            .groupBy("__shard", F.input_file_name().alias("p"))
-            .agg(
-                *[F.min(c).alias(f"min_{c}") for c in key],
-                *[F.max(c).alias(f"max_{c}") for c in key],
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
         files_by_shard: dict[int, list[dict]] = {}
-        for r in stat_rows:
-            files_by_shard.setdefault(int(r["__shard"]), []).append(
-                {
-                    "path": r.p.replace("file://", ""),
-                    "min": [r[f"min_{c}"] for c in key],
-                    "max": [r[f"max_{c}"] for c in key],
-                    "n_rows": r.n,
-                }
+        if n > 0:
+            n_parts = max(1, -(-n // rows_per_partition))
+            (
+                df.withColumn("__shard", shard_expr)
+                .repartitionByRange(n_parts, *[F.col(c) for c in key])
+                .sortWithinPartitions(*key)
+                .withColumn(VERSION_COL, F.lit(str(uuid.uuid4())))
+                .write.mode("errorifexists")
+                .partitionBy("__shard")
+                .parquet(staging)
             )
+            # ONE stats job for all shards: per-file key min/max + rows,
+            # shard recovered from the partition column
+            stat_rows = (
+                spark.read.parquet(staging)
+                .groupBy("__shard", F.input_file_name().alias("p"))
+                .agg(
+                    *[F.min(c).alias(f"min_{c}") for c in key],
+                    *[F.max(c).alias(f"max_{c}") for c in key],
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            for r in stat_rows:
+                files_by_shard.setdefault(int(r["__shard"]), []).append(stat_row_to_file(r, key))
 
         cat = {
             "key": key,
@@ -186,10 +205,10 @@ class ShardedIndex:
             path = os.path.join(base_path, f"shard_{sid:04d}")
             store = SnapshotStore(spark, path)
             shard_files = files_by_shard.get(sid)
+            shard_data = os.path.join(staging, f"__shard={sid}")
             if shard_files:
                 h = store.create_from_files(
-                    key, os.path.join(staging, f"__shard={sid}"),
-                    rows_per_partition=rows_per_partition,
+                    key, shard_data, rows_per_partition=rows_per_partition,
                     max_n_items=shard_capacity, files=shard_files,
                 )
                 version = h.version
@@ -512,11 +531,33 @@ class ShardedIndex:
             dropped = store.vacuum(keep_last=0, pin=pin)
             if dropped:
                 removed_versions[path] = dropped
+        # files any kept (pinned) version still references — adopted files
+        # may live under _bulk, outside every store dir
+        referenced: set[str] = set()
+        for path, pin in pins.items():
+            store = SnapshotStore(self.spark, path)
+            if not store.exists():
+                continue
+            for row in store._read_manifest()["versions"]:
+                if row["version"] in pin:
+                    for f in row.get("files") or []:
+                        referenced.add(os.path.abspath(f["path"]))
         removed_dirs = []
         for p in _glob.glob(os.path.join(self.base_path, "shard_*")):
-            if os.path.abspath(p) not in live_dirs:
-                _shutil.rmtree(p, ignore_errors=True)
-                removed_dirs.append(p)
+            if os.path.abspath(p) in live_dirs:
+                continue
+            # a dead store's manifest may be the only reference to adopted
+            # files living OUTSIDE its directory (bulk-load layout) — delete
+            # the unreferenced ones before dropping the manifest itself
+            dead = SnapshotStore(self.spark, p)
+            if dead.exists():
+                for row in dead._read_manifest()["versions"]:
+                    for f in row.get("files") or []:
+                        fp = os.path.abspath(f["path"])
+                        if fp not in referenced and os.path.isfile(fp):
+                            os.remove(fp)
+            _shutil.rmtree(p, ignore_errors=True)
+            removed_dirs.append(p)
         return {"versions": removed_versions, "dirs": removed_dirs}
 
     # --------------------------------------------------------- split/merge

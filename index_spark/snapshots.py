@@ -46,6 +46,18 @@ def _now_ns(prev: int) -> int:
     return max(prev + 1, time.time_ns())
 
 
+def stat_row_to_file(r, key: Sequence[str]) -> dict:
+    """Manifest file-stat entry from a grouped-by-input_file_name stats row
+    (single producer of the {path,min,max,n_rows} shape — keep path
+    normalization here)."""
+    return {
+        "path": os.path.abspath(r.p.replace("file://", "")),
+        "min": [r[f"min_{c}"] for c in key],
+        "max": [r[f"max_{c}"] for c in key],
+        "n_rows": r.n,
+    }
+
+
 class SnapshotStore:
     """Versioned parquet datasets + JSON manifest under ``base_path``.
 
@@ -151,6 +163,15 @@ class SnapshotStore:
         }
         if files is None:
             files = self._file_stats(data_path, list(key))
+        try:  # adoption stores data OUTSIDE the version dir, so the file
+            # list is load-bearing — unlike commit() there is no dir-level
+            # fallback; non-JSON-able key stats must use create(df=...)
+            json.dumps([f["min"] + f["max"] for f in files])
+        except TypeError as e:
+            raise ValueError(
+                "create_from_files requires JSON-able key stats "
+                "(date/decimal keys: use create(df=...) instead)"
+            ) from e
         m["versions"].append(
             {
                 "version": 0,
@@ -192,15 +213,7 @@ class SnapshotStore:
             )
             .collect()
         )
-        return [
-            {
-                "path": r.p.replace("file://", ""),
-                "min": [r[f"min_{c}"] for c in key],
-                "max": [r[f"max_{c}"] for c in key],
-                "n_rows": r.n,
-            }
-            for r in rows
-        ]
+        return [stat_row_to_file(r, key) for r in rows]
 
     _FOOTER_SAFE_TYPES = {"INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN"}
 
@@ -245,7 +258,9 @@ class SnapshotStore:
                     return None
                 mins.append(cmin)
                 maxs.append(cmax)
-            out.append({"path": p, "min": mins, "max": maxs, "n_rows": md.num_rows})
+            # absolute paths only: the manifest must stay readable (and
+            # vacuum's referenced-set correct) from any later CWD
+            out.append({"path": os.path.abspath(p), "min": mins, "max": maxs, "n_rows": md.num_rows})
         return out
 
     def commit(

@@ -289,3 +289,68 @@ def test_sharded_compact_and_composite_keys(spark, tmp_base):
     assert [r.v for r in sh.get((101, 1)).collect()] == ["n101"]
     got = [(r.o, r.l) for r in sh.in_order().select("o", "l").collect()]
     assert got == sorted(got)
+
+
+def test_create_empty_dataframe(spark, tmp_base):
+    """Bulk load of an empty source: no staging write, every shard an
+    empty store; reads and first inserts work."""
+    df = spark.createDataFrame([], "k int, v string")
+    sh = ShardedIndex.create(spark, tmp_base + "/she", ["k"], df, n_shards=2, rows_per_partition=10)
+    assert sh.count() == 0
+    sh.insert([{"k": 1, "v": "a"}])
+    assert [r.v for r in sh.get(1).collect()] == ["a"]
+
+
+def test_create_date_key_rejected_with_clear_error(spark, tmp_base):
+    """Date keys can't round-trip the JSON catalog (and ISO strings would
+    not compare against date row keys) — rejected up front with guidance,
+    instead of a TypeError from deep inside the catalog write."""
+    import datetime
+
+    rows = [(datetime.date(2024, 1, 1) + datetime.timedelta(days=i), f"v{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "k date, v string")
+    with pytest.raises(ValueError, match="JSON-able"):
+        ShardedIndex.create(spark, tmp_base + "/shd", ["k"], df, n_shards=2, rows_per_partition=20)
+    # casting to epoch days works and routes correctly
+    from pyspark.sql import functions as F
+
+    df2 = df.withColumn("k", F.datediff("k", F.lit("1970-01-01")))
+    sh = ShardedIndex.create(spark, tmp_base + "/shd2", ["k"], df2, n_shards=2, rows_per_partition=20)
+    epoch_day = (datetime.date(2024, 1, 11) - datetime.date(1970, 1, 1)).days
+    assert [r.v for r in sh.get(epoch_day).collect()] == ["v10"]
+
+
+def test_create_retry_after_partial_attempt(spark, tmp_base):
+    """A dead create() attempt (staging and/or shard stores but no catalog)
+    must not block a retry."""
+    import os
+
+    base = tmp_base + "/shp"
+    os.makedirs(base + "/_bulk/__shard=0", exist_ok=True)
+    os.makedirs(base + "/shard_0000", exist_ok=True)
+    with open(base + "/shard_0000/_manifest.json", "w") as f:
+        f.write("{}")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(20)], "k int, v string")
+    sh = ShardedIndex.create(spark, base, ["k"], df, n_shards=2, rows_per_partition=10)
+    assert sh.count() == 20
+
+
+def test_vacuum_reclaims_dead_stores_adopted_files(spark, tmp_base):
+    """Replacing a bulk-loaded shard (split) then vacuuming must delete the
+    dead store's adopted files under _bulk, not just its manifest dir —
+    and never touch files other kept versions reference."""
+    import glob
+    import os
+
+    base = tmp_base + "/shb"
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k int, v string")
+    sh = ShardedIndex.create(spark, base, ["k"], df, n_shards=2, rows_per_partition=50)
+    bulk_before = set(glob.glob(base + "/_bulk/**/*.parquet", recursive=True))
+    assert bulk_before  # adopted layout in effect
+    dead_id = sh._read_catalog()["shards"][0]["id"]
+    assert sh.split_shard(dead_id)
+    sh.vacuum()
+    bulk_after = set(glob.glob(base + "/_bulk/**/*.parquet", recursive=True))
+    assert bulk_after < bulk_before  # dead shard's adopted files reclaimed
+    # the surviving shard still reads its adopted file; all data intact
+    assert _keys(sh.in_order()) == list(range(100))
