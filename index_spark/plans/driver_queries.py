@@ -929,6 +929,57 @@ def q_stream_sessionize(spark, sf_dir):
     return sessions.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
 
 
+# ---- dedup clustering / skew -------------------------------------------
+def q_dedup_clusters(spark, sf_dir):
+    """LSH near-dup pairs resolved to duplicate *clusters* (connected
+    components, cluster id = min member) — the survivor-selection step a
+    dedup pipeline actually ships."""
+    from index_spark.operators.graph import connected_components
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    pairs = DD.minhash_near_dup_pairs(
+        docs, threshold=0.5, num_hashes=MINHASH_N, bands=MINHASH_BANDS
+    )
+    cc = connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    return cc.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def q_skew_salted_join(spark, sf_dir):
+    """Salted fact⋈dim join (lineitem⋈part on partkey, salt=8): results are
+    identical to the plain join — the salt only respreads reducers — so the
+    oracle is the unsalted SQL."""
+    from index_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").withColumnRenamed("p_partkey", "l_partkey")
+    joined = salted_join(li, part.select("l_partkey", "p_brand"), ["l_partkey"], salt=8)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _sum_cents(F.col("l_extendedprice"), "revenue"),
+    )
+
+
+def q_skew_two_phase_agg(spark, sf_dir):
+    """Two-phase (salted partial → final merge) aggregation over the 5-value
+    o_orderpriority key — the genuinely-skewed groupBy shape."""
+    from index_spark.operators.skew import two_phase_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    return two_phase_agg(
+        orders,
+        ["o_orderpriority"],
+        partial=lambda: [
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("pc"),
+        ],
+        final=lambda: [
+            F.sum("pn").cast("long").alias("n"),
+            (F.sum("pc").cast("double") / 100).alias("total"),
+        ],
+        salt=8,
+    )
+
+
 # ---- sampling / packing / sketch / interval (training-data extensions) --
 def q_stratified_sample(spark, sf_dir):
     """Downsample the dominant language (en → 2/16) while keeping the tail
@@ -1446,6 +1497,34 @@ def build_oracles() -> dict[str, str]:
             "SELECT doc_id, CAST(unnest(generate_series(0, greatest(CAST(doc_id % 240 AS INTEGER) - 1, 0), 24)) AS INTEGER) AS frame_idx "
             "FROM documents WHERE doc_id % 3 = 2"
         ),
+        # --- dedup clustering / skew
+        "dedup_clusters": (
+            f"WITH RECURSIVE alldocs AS ({near_docs}), "
+            f"sh AS ({_sql_shingles('alldocs')}), "
+            f"sig AS (SELECT doc_id, {_sql_minhash_sig()} AS sig FROM sh), "
+            "bands AS (SELECT doc_id, b, md5(concat_ws('|', sig[2*b+1], sig[2*b+2])) AS h "
+            "          FROM sig CROSS JOIN range(0, 8) t(b)), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b FROM bands a "
+            "          JOIN bands bb ON a.b = bb.b AND a.h = bb.h AND a.doc_id < bb.doc_id), "
+            "verified AS (SELECT id_a, id_b "
+            "  FROM pairs JOIN sh s1 ON s1.doc_id = id_a JOIN sh s2 ON s2.doc_id = id_b "
+            "  WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)"
+            "   / greatest(len(list_distinct(list_concat(s1.sh, s2.sh))), 1) >= 0.5), "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM verified "
+            "          UNION SELECT id_b, id_a FROM verified), "
+            "reach AS (SELECT a AS id, a AS r FROM edges "
+            "          UNION SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id) "
+            "SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"
+        ),
+        "skew_salted_join": (
+            "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items, "
+            f"{_sql_sum_cents('l_extendedprice', 'revenue')} "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"
+        ),
+        "skew_two_phase_agg": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+            f"{_sql_sum_cents('o_totalprice', 'total')} FROM orders GROUP BY o_orderpriority"
+        ),
         # --- sampling / packing / sketch / interval
         "stratified_sample": (
             "SELECT doc_id, lang FROM documents "
@@ -1577,6 +1656,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "ivf_trained_topk": q_ivf_trained_topk,
         "lsh_sign_topk": q_lsh_sign_topk,
+        "dedup_clusters": q_dedup_clusters,
+        "skew_salted_join": q_skew_salted_join,
+        "skew_two_phase_agg": q_skew_two_phase_agg,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "kmv_distinct": q_kmv_distinct,
