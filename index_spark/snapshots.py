@@ -472,7 +472,9 @@ class VersionedIndex(SortedIndex):
 
     def _rows_to_df(self, rows: list[dict[str, Any]]) -> DataFrame:
         assert rows, "empty batch"
-        batch = self.store.spark.createDataFrame(rows)  # type: ignore[arg-type]
+        # one partition: the batch is a driver-side list; the default split
+        # across defaultParallelism would cost 32 near-empty tasks per job
+        batch = self.store.spark.createDataFrame(rows).coalesce(1)  # type: ignore[arg-type]
         return self._align_types(batch)
 
     def _align_types(self, batch: DataFrame) -> DataFrame:
@@ -636,6 +638,7 @@ class VersionedIndex(SortedIndex):
         self._check_usable()
         version = version or str(uuid.uuid4())
         plan = self._partial_plan(commands)
+        n_parts: Optional[int] = None
         if plan is not None:
             touched, untouched = plan
             staged = (
@@ -644,6 +647,15 @@ class VersionedIndex(SortedIndex):
                 else None
             )
             carry: Optional[list[dict]] = untouched
+            # the rewrite size is known driver-side (manifest stats + batch
+            # length), so size the write explicitly — otherwise the range
+            # exchange samples the staged plan (re-running the validation
+            # joins) to pick bounds for what is usually a single small file
+            est = sum(f["n_rows"] for f in touched) + sum(
+                len(c.rows if isinstance(c, (Insert, Update)) else c.keys)
+                for c in commands
+            )
+            n_parts = max(1, -(-est // self.rows_per_partition))
         else:
             staged = self._current()
             carry = None
@@ -658,7 +670,8 @@ class VersionedIndex(SortedIndex):
                 raise TypeError(f"unknown command {cmd!r}")
         assert staged is not None
         new_version = self.store.commit(
-            staged, self.key, self.rows_per_partition, carry_files=carry
+            staged, self.key, self.rows_per_partition,
+            n_partitions=n_parts, carry_files=carry,
         )
         self._used = True
         return self.store.at_version(new_version)
