@@ -472,9 +472,11 @@ class VersionedIndex(SortedIndex):
 
     def _rows_to_df(self, rows: list[dict[str, Any]]) -> DataFrame:
         assert rows, "empty batch"
-        # one partition: the batch is a driver-side list; the default split
-        # across defaultParallelism would cost 32 near-empty tasks per job
-        batch = self.store.spark.createDataFrame(rows).coalesce(1)  # type: ignore[arg-type]
+        # no coalesce(1) here: collapsing the batch to one partition measured
+        # 3-5x slower end-to-end — it pins every evaluation of the staged
+        # plan behind a single task and defeats AQE's broadcast re-planning
+        # of the validation joins
+        batch = self.store.spark.createDataFrame(rows)  # type: ignore[arg-type]
         return self._align_types(batch)
 
     def _align_types(self, batch: DataFrame) -> DataFrame:
