@@ -36,6 +36,10 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # materialize once: the edge list is re-joined every round, and the
+        # upstream plan (LSH candidate join + Jaccard verify for near-dup
+        # input) would otherwise re-run per iteration
+        .localCheckpoint(eager=True)
     )
     labels = und.select(F.col("a").alias("id")).distinct().withColumn(
         "label", F.col("id")
