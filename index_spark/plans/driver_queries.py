@@ -550,6 +550,255 @@ def q_q13_custdist(spark, sf_dir):
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
+def q_q2_min_price_part(spark, sf_dir):
+    """TPC-H Q2 shape: correlated-min subquery — the cheapest part per brand,
+    joined back on the (brand, min-cents) pair; min partkey breaks price
+    ties. The per-group min is a broadcast side (one row per brand)."""
+    part = load_table(spark, sf_dir, "part")
+    cents = _cents(F.col("p_retailprice"))
+    mn = part.groupBy(F.col("p_brand").alias("b")).agg(F.min(cents).alias("min_cents"))
+    return (
+        part.join(F.broadcast(mn), (part.p_brand == mn.b) & (cents == F.col("min_cents")))
+        .groupBy("p_brand")
+        .agg(
+            F.min("p_partkey").alias("p_partkey"),
+            (F.min("min_cents").cast("double") / 100).alias("min_price"),
+        )
+    )
+
+
+def q_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between distinct supplier and customer
+    nations by ship year — the same small dim (nation) broadcast onto both
+    sides of the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    rev_cents = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(
+            (F.col("supp_nation") != F.col("cust_nation"))
+            & (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg((F.sum(rev_cents).cast("double") / 10000).alias("revenue"))
+    )
+
+
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: market share — the revenue fraction supplied by one
+    nation among orders from ASIA-region customers, per order year. Exact:
+    both numerator and denominator are integer cent sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    rev_cents = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", rev_cents).otherwise(F.lit(0))).cast("double")
+                / F.sum(rev_cents).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_q9_red_parts_revenue(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: fixtures carry no partsupp/supplycost):
+    revenue by supplier nation and order year for one part-name family."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_cents = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_name").contains("red"))), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(rev_cents).cast("double") / 10000).alias("revenue"))
+    )
+
+
+def q_q10_returned_topk(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer for one quarter,
+    top 20 (deterministic tie-break on custkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev_cents = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01")))
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg((F.sum(rev_cents).cast("double") / 10000).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_q12_priority_class(spark, sf_dir):
+    """TPC-H Q12 shape: conditional counts — critical- vs low-priority order
+    lines per return flag within a ship-date window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share for one month — a conditional
+    cent sum over the total cent sum (exact integers; the division is the
+    only float op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev_cents = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", rev_cents).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-09-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-10-01")))
+        )
+        .agg(
+            (F.sum(promo).cast("double") / 10000).alias("promo_revenue"),
+            (F.sum(rev_cents).cast("double") / 10000).alias("total_revenue"),
+            (F.sum(promo).cast("double") / F.sum(rev_cents).cast("double")).alias("promo_share"),
+        )
+    )
+
+
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: scalar-max subquery — supplier(s) achieving the
+    maximum quarter revenue; the 1-row max is broadcast, not recomputed
+    per row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev_cents = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    revs = (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_cents).alias("rc"))
+    )
+    mx = revs.agg(F.max("rc").alias("mx"))
+    return (
+        revs.join(F.broadcast(mx), revs.rc == F.col("mx"))
+        .join(F.broadcast(supp), revs.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rc").cast("double") / 10000).alias("total_revenue"),
+        )
+    )
+
+
+def q_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-subquery — orders whose summed quantity tops a
+    threshold, with the customer attached."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "sum_qty", "o_totalprice")
+    )
+
+
+def q_q19_bracket_filter(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive brackets (brand x size x
+    quantity) — the whole OR-tree is pushable/codegen-able; no UDF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev_cents = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(bracket)
+        .agg(
+            (F.sum(rev_cents).cast("double") / 10000).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_q22_idle_rich(spark, sf_dir):
+    """TPC-H Q22 shape: global-scalar subquery + anti join — customers with
+    above-average positive balance and no urgent orders, rolled up by
+    nation. The average compare stays integer-exact (cents*n > sum_cents);
+    the 1-row scalar is broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = _cents(F.col("c_acctbal"))
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("sc"), F.count(F.lit(1)).alias("n")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(cents * F.col("n") > F.col("sc"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _sum_cents(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
 def q_group_topk(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -1347,6 +1596,108 @@ def build_oracles() -> dict[str, str]:
             "  FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1"
             ") GROUP BY 1"
         ),
+        "q2_min_price_part": (
+            f"WITH mn AS (SELECT p_brand AS b, min({_sql_cents('p_retailprice')}) AS min_cents "
+            "FROM part GROUP BY 1) "
+            "SELECT p_brand, min(p_partkey) AS p_partkey, "
+            "CAST(min(min_cents) AS DOUBLE)/100 AS min_price "
+            f"FROM part JOIN mn ON p_brand = b AND {_sql_cents('p_retailprice')} = min_cents "
+            "GROUP BY 1"
+        ),
+        "q7_nation_volume": (
+            "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS INTEGER) AS l_year, "
+            f"CAST(sum({rev_cents}) AS DOUBLE)/10000 AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+            "WHERE sn.n_name <> cn.n_name "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1, 2, 3"
+        ),
+        "q8_market_share": (
+            "SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, "
+            f"CAST(sum(CASE WHEN sn.n_name = 'NATION_2' THEN {rev_cents} ELSE 0 END) AS DOUBLE)"
+            f" / CAST(sum({rev_cents}) AS DOUBLE) AS mkt_share "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+            "JOIN region ON cn.n_regionkey = r_regionkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+            "WHERE r_name = 'ASIA' GROUP BY 1"
+        ),
+        "q9_red_parts_revenue": (
+            "SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year, "
+            f"CAST(sum({rev_cents}) AS DOUBLE)/10000 AS revenue "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE p_name LIKE '%red%' GROUP BY 1, 2"
+        ),
+        "q10_returned_topk": (
+            "SELECT c_custkey, c_name, "
+            f"CAST(sum({rev_cents}) AS DOUBLE)/10000 AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+        ),
+        "q12_priority_class": (
+            "SELECT l_returnflag, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1"
+        ),
+        "q14_promo_share": (
+            f"SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {rev_cents} ELSE 0 END) AS DOUBLE)/10000 AS promo_revenue, "
+            f"CAST(sum({rev_cents}) AS DOUBLE)/10000 AS total_revenue, "
+            f"CAST(sum(CASE WHEN p_type = 'PROMO' THEN {rev_cents} ELSE 0 END) AS DOUBLE)"
+            f" / CAST(sum({rev_cents}) AS DOUBLE) AS promo_share "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'"
+        ),
+        "q15_top_supplier": (
+            f"WITH revs AS (SELECT l_suppkey, sum({rev_cents}) AS rc FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY 1) "
+            "SELECT s_suppkey, s_name, CAST(rc AS DOUBLE)/10000 AS total_revenue "
+            "FROM revs JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE rc = (SELECT max(rc) FROM revs)"
+        ),
+        "q18_large_orders": (
+            "WITH big AS (SELECT l_orderkey, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
+            "FROM lineitem GROUP BY 1 HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250) "
+            "SELECT c_custkey, c_name, o_orderkey, sum_qty, o_totalprice "
+            "FROM big JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "q19_bracket_filter": (
+            f"SELECT CAST(sum({rev_cents}) AS DOUBLE)/10000 AS revenue, "
+            "CAST(count(*) AS BIGINT) AS n_lines "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21) "
+            "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30) "
+            "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)"
+        ),
+        "q22_idle_rich": (
+            f"WITH s AS (SELECT sum({_sql_cents('c_acctbal')}) AS sc, count(*) AS n "
+            "FROM customer WHERE c_acctbal > 0) "
+            "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust, "
+            f"{_sql_sum_cents('c_acctbal', 'totacctbal')} "
+            "FROM customer, s "
+            f"WHERE {_sql_cents('c_acctbal')} * n > sc "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT') "
+            "GROUP BY 1"
+        ),
         "group_topk": (
             "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
             "  SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER "
@@ -1627,6 +1978,17 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_priority": q_semi_join_priority,
         "anti_join_parts": q_anti_join_parts,
         "q13_custdist": q_q13_custdist,
+        "q2_min_price_part": q_q2_min_price_part,
+        "q7_nation_volume": q_q7_nation_volume,
+        "q8_market_share": q_q8_market_share,
+        "q9_red_parts_revenue": q_q9_red_parts_revenue,
+        "q10_returned_topk": q_q10_returned_topk,
+        "q12_priority_class": q_q12_priority_class,
+        "q14_promo_share": q_q14_promo_share,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q18_large_orders": q_q18_large_orders,
+        "q19_bracket_filter": q_q19_bracket_filter,
+        "q22_idle_rich": q_q22_idle_rich,
         "group_topk": q_group_topk,
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,
