@@ -1178,6 +1178,42 @@ def q_stream_sessionize(spark, sf_dir):
     return sessions.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
 
 
+def q_stream_join_attrib(spark, sf_dir):
+    """Stream-stream inner join with watermarked time-range state eviction:
+    purchases attributed to same-user clicks at most 1h earlier, drained in
+    append mode and rolled up per user in batch."""
+    import uuid as _uuid
+
+    from index_spark.streaming import attributed_purchases, read_events_stream, run_available_now
+
+    clicks = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    pairs = run_available_now(
+        attributed_purchases(clicks, purchases),
+        "sj" + _uuid.uuid4().hex[:10],
+        output_mode="append",
+        shuffle_partitions=8,
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_attributed"))
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup: the feed read twice (two file sources over the
+    same directory → every event arrives exactly twice) and collapsed by
+    dropDuplicatesWithinWatermark on event_id; survivors counted per type.
+    The oracle is the plain per-type count of the single feed."""
+    import uuid as _uuid
+
+    from index_spark.streaming import dedup_stream, read_events_stream, run_available_now
+
+    doubled = read_events_stream(spark, sf_dir).unionByName(read_events_stream(spark, sf_dir))
+    survivors = run_available_now(
+        dedup_stream(doubled), "sd" + _uuid.uuid4().hex[:10], output_mode="append",
+        shuffle_partitions=8,
+    )
+    return survivors.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
 # ---- dedup clustering / skew -------------------------------------------
 def q_dedup_clusters(spark, sf_dir):
     """LSH near-dup pairs resolved to duplicate *clusters* (connected
@@ -1928,6 +1964,17 @@ def build_oracles() -> dict[str, str]:
             f"CAST(count(*) AS BIGINT) AS n, {_sql_sum_cents('value', 'total')} "
             "FROM events GROUP BY 1, 2"
         ),
+        "stream_join_attrib": (
+            "SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_attributed "
+            "FROM events c JOIN events p ON c.user_id = p.user_id "
+            " AND epoch_us(p.ts) >= epoch_us(c.ts) "
+            " AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000 "
+            "WHERE c.event_type = 'click' AND p.event_type = 'purchase' "
+            "GROUP BY 1"
+        ),
+        "stream_dedup": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1"
+        ),
         "stream_sessionize": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions FROM ("
             "  SELECT user_id, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000 THEN 1 ELSE 0 END new_s"
@@ -2030,4 +2077,6 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_interface": q_sql_interface,
         "stream_hourly": q_stream_hourly,
         "stream_sessionize": q_stream_sessionize,
+        "stream_join_attrib": q_stream_join_attrib,
+        "stream_dedup": q_stream_dedup,
     }

@@ -1,4 +1,6 @@
 from index_spark.streaming.events import (  # noqa: F401
+    attributed_purchases,
+    dedup_stream,
     hourly_counts,
     read_events_stream,
     run_available_now,

@@ -192,24 +192,86 @@ def user_running_state_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def attributed_purchases(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase attributed to every click by
+    the same user at most ``horizon`` before it.
+
+    Scale shape: both sides carry event-time watermarks and the join
+    predicate is a bounded time range, so Spark can evict join state once
+    the watermark passes ``click_ts + horizon`` — without the range bound
+    the state store grows without limit. Works identically on batch inputs
+    (the watermarks are skipped)."""
+    c = clicks.select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("ts_us").alias("click_us"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("ts_us").alias("purchase_us"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", "2 hours")
+        p = p.withWatermark("purchase_ts", "2 hours")
+    return c.join(
+        p,
+        (c.user_id == p.p_user)
+        & (p.purchase_ts >= c.click_ts)
+        & (p.purchase_ts <= c.click_ts + F.expr(f"INTERVAL {horizon}")),
+    ).select("user_id", "click_id", "purchase_id", "click_us", "purchase_us")
+
+
+def dedup_stream(events: DataFrame, delay: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id. ``dropDuplicatesWithinWatermark``
+    keeps dedup state only ``delay`` past the watermark — the streaming twin
+    of the batch fingerprint dedup, with bounded state instead of a
+    forever-growing key set."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
+
+
 def run_available_now(
-    stream_df: DataFrame, query_name: str, output_mode: str = "complete", timeout_s: int = 120
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    timeout_s: int = 120,
+    shuffle_partitions: Optional[int] = None,
 ) -> DataFrame:
     """Drain a finite stream with the availableNow trigger into a memory
     sink; returns the completed result as a batch DataFrame.
 
     ``complete`` for aggregations (a finite stream's final windows never
     cross the watermark, so append mode would silently drop them);
-    ``update`` for stateful operators; ``append`` for row streams."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
-    return stream_df.sparkSession.table(query_name)
+    ``update`` for stateful operators; ``append`` for row streams.
+
+    ``shuffle_partitions`` pins the streaming state-partition count for this
+    query (a stateful query's state store count is fixed at first start from
+    ``spark.sql.shuffle.partitions``). State partitioning should track state
+    *size*, not core count: every micro-batch commits every state store, so
+    e.g. a stream-stream join (4 stores per partition) at 32 partitions pays
+    128 near-empty store commits per batch when the state is small. At real
+    scale the same knob goes *up* instead."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(query_name)
 
 
 def stream_into_snapshots(

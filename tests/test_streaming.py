@@ -186,3 +186,41 @@ def test_user_running_state_transform_with_state(spark, sf_dir, events_batch):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, events_batch):
+    """The watermarked stream-stream attribution join must emit exactly the
+    pairs the same operator computes on batch inputs."""
+    from index_spark.streaming import attributed_purchases
+
+    clicks_s = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    purch_s = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    got = run_available_now(
+        attributed_purchases(clicks_s, purch_s), _name(), output_mode="append",
+        shuffle_partitions=8,
+    )
+    want = attributed_purchases(
+        events_batch.filter(F.col("event_type") == "click"),
+        events_batch.filter(F.col("event_type") == "purchase"),
+    )
+    cols = ["user_id", "click_id", "purchase_id", "click_us", "purchase_us"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
+
+
+def test_stream_dedup_collapses_doubled_feed(spark, sf_dir, events_batch):
+    """Each event arrives twice (two sources over the same files); exactly
+    one copy must survive dropDuplicatesWithinWatermark."""
+    from index_spark.streaming import dedup_stream
+
+    doubled = read_events_stream(spark, sf_dir).unionByName(read_events_stream(spark, sf_dir))
+    out = run_available_now(dedup_stream(doubled), _name(), output_mode="append",
+                            shuffle_partitions=8)
+    assert _rows(out, ["event_id"]) == _rows(events_batch, ["event_id"])
+
+
+def test_run_available_now_restores_shuffle_partitions(spark, sf_dir):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = read_events_stream(spark, sf_dir)
+    run_available_now(stream, _name(), output_mode="append", shuffle_partitions=4)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
