@@ -180,6 +180,20 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def word_ngrams_all(col: Column, k: int = 2) -> Column:
+    """All word k-grams of the lowercased text, WITH multiplicity — the
+    corpus n-gram-counting input. Contrast :func:`word_shingles`, which is
+    distinct + normalized (the MinHash input). Docs shorter than ``k``
+    tokens contribute nothing."""
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
 @F.pandas_udf(T.LongType())
 def simhash64(text: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (md5-based token hashes).

@@ -1016,6 +1016,43 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_top_bigrams(spark, sf_dir):
+    """Corpus bigram counts, top 50 (tie-break on the bigram itself) — the
+    count-table pass an n-gram LM or BPE-merge trainer starts from. Pure
+    JVM expressions: tokenize → transform/slice n-grams → explode → count."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(F.explode(TX.word_ngrams_all(F.col("text"), 2)).alias("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(50)
+    )
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary frequency table with cumulative corpus coverage for the
+    top 1000 words — the token-budget curve a tokenizer trainer reads.
+    The global scalar (total token count) is broadcast; the running sum
+    is a window with a deterministic tie-break. At 100 TB the vocab table
+    this windows over is post-aggregation (millions of rows, not the
+    corpus), so the single-direction sort is fine."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("word"))
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("tot"))
+    w = Window.orderBy(F.col("n").desc(), F.col("word")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("cum_frac", F.sum("n").over(w).cast("double") / F.col("tot").cast("double"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(1000)
+        .select("word", "n", "cum_frac")
+    )
+
+
 # ---- similarity ----------------------------------------------------------
 def q_cosine_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1839,6 +1876,22 @@ def build_oracles() -> dict[str, str]:
             "round(CAST(sum(n) AS DOUBLE)/count(*), 6) AS avg_tokens "
             "FROM (SELECT len(regexp_extract_all(text, '\\S+')) AS n FROM documents)"
         ),
+        "top_bigrams": (
+            "WITH t AS (SELECT regexp_extract_all(lower(text), '\\S+') AS w FROM documents), "
+            "g AS (SELECT concat_ws(' ', w[i], w[i+1]) AS bigram "
+            "  FROM t, UNNEST(range(1, greatest(len(w), 1))) AS r(i) WHERE len(w) >= 2) "
+            "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM g "
+            "GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50"
+        ),
+        "vocab_coverage": (
+            "WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word FROM documents), "
+            "c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1), "
+            "tot AS (SELECT sum(n) AS tot FROM c) "
+            "SELECT word, n, CAST(sum(n) OVER (ORDER BY n DESC, word "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+            "  / CAST(tot AS DOUBLE) AS cum_frac "
+            "FROM c, tot ORDER BY n DESC, word LIMIT 1000"
+        ),
         "pipeline_end_to_end": (
             f"WITH alldocs AS ({dup_docs}), "
             "surv AS (SELECT * FROM alldocs WHERE doc_id IN ("
@@ -2056,6 +2109,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "rolling_fingerprint": q_rolling_fingerprint,
         "token_stats": q_token_stats,
+        "top_bigrams": q_top_bigrams,
+        "vocab_coverage": q_vocab_coverage,
         "cosine_topk": q_cosine_topk,
         "ivf_label_topk": q_ivf_label_topk,
         "embedding_near_dups": q_embedding_near_dups,

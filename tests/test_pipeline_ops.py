@@ -276,3 +276,16 @@ def test_ivf_partitioned_index_prunes(spark, embeddings, tmp_base):
         approx_df.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters: [cell" in plan
+
+
+def test_word_ngrams_all_multiplicity_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [("a b a b",), ("one",), ("",), ("X Y",)], ["text"]
+    )
+    got = [
+        r[0]
+        for r in df.select(TX.word_ngrams_all(F.col("text"), 2).alias("g")).collect()
+    ]
+    assert got[0] == ["a b", "b a", "a b"]  # multiplicity preserved
+    assert got[1] == [] and got[2] == []  # sub-k docs contribute nothing
+    assert got[3] == ["x y"]  # lowercased
