@@ -1016,6 +1016,43 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form behind rollup/cube): order
+    count + revenue by status alone and by priority alone in one pass —
+    which null-marked row belongs to which set is disambiguated by the
+    other column being null."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]], "o_orderstatus", "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _sum_cents(F.col("o_totalprice"), "total"),
+    )
+
+
+def q_jsonl_roundtrip(spark, sf_dir):
+    """Source-format coverage: the documents table written as JSON-lines and
+    read back with an explicit schema (no inference job — at scale schema
+    inference is a full extra pass), then aggregated per lang. The oracle
+    reads the original parquet, so the roundtrip must be lossless for the
+    projected columns."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = tempfile.mkdtemp(prefix="jlq_")
+    try:
+        path = d + "/docs_jsonl"
+        docs.write.mode("overwrite").json(path)
+        back = spark.read.schema(docs.schema).json(path)
+        out = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text").cast("long")).alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # materialize before rmtree
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_top_bigrams(spark, sf_dir):
     """Corpus bigram counts, top 50 (tie-break on the bigram itself) — the
     count-table pass an n-gram LM or BPE-merge trainer starts from. Pure
@@ -1876,6 +1913,16 @@ def build_oracles() -> dict[str, str]:
             "round(CAST(sum(n) AS DOUBLE)/count(*), 6) AS avg_tokens "
             "FROM (SELECT len(regexp_extract_all(text, '\\S+')) AS n FROM documents)"
         ),
+        "grouping_sets": (
+            "SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+            f"{_sql_sum_cents('o_totalprice', 'total')} FROM orders "
+            "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"
+        ),
+        "jsonl_roundtrip": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(len(text)) AS BIGINT) AS total_chars, min(doc_id) AS min_doc "
+            "FROM documents GROUP BY 1"
+        ),
         "top_bigrams": (
             "WITH t AS (SELECT regexp_extract_all(lower(text), '\\S+') AS w FROM documents), "
             "g AS (SELECT concat_ws(' ', w[i], w[i+1]) AS bigram "
@@ -2109,6 +2156,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "rolling_fingerprint": q_rolling_fingerprint,
         "token_stats": q_token_stats,
+        "grouping_sets": q_grouping_sets,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "top_bigrams": q_top_bigrams,
         "vocab_coverage": q_vocab_coverage,
         "cosine_topk": q_cosine_topk,
