@@ -97,3 +97,30 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_base):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS b_orders_{suf}")
         spark.sql(f"DROP TABLE IF EXISTS b_li_{suf}")
+
+
+def test_q7_broadcasts_both_nation_sides(plans):
+    """The same dim (nation) must broadcast onto BOTH fact sides — customer
+    nation and supplier nation — never shuffle the fact for a 25-row dim."""
+    p = plans("q7_nation_volume")
+    assert p.count("BroadcastHashJoin") >= 4  # cust, cn, supp, sn
+
+
+def test_q19_brackets_reach_the_scan(plans):
+    """The disjunctive bracket predicate's scan-applicable parts (quantity
+    bounds) must be pushed; the join side stays broadcast."""
+    p = plans("q19_bracket_filter")
+    assert "BroadcastHashJoin" in p
+    assert "l_quantity" in p.split("PushedFilters")[1].split("\n")[0] or "Or(" in p
+
+
+def test_q15_scalar_max_is_broadcast(plans):
+    """The 1-row max-revenue subquery joins as a broadcast, not an exchange
+    of the aggregated side."""
+    assert "BroadcastHashJoin" in plans("q15_top_supplier")
+
+
+def test_q22_anti_join_and_scalar_broadcast(plans):
+    p = plans("q22_idle_rich")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p  # 1-row scalar
+    assert "LeftAnti" in p  # no-urgent-orders exclusion stays an anti join
