@@ -1,1 +1,6 @@
-from index_spark.sources.tables import TABLES, load_table, register_views  # noqa: F401
+from index_spark.sources.tables import (  # noqa: F401
+    TABLES,
+    canonical_events,
+    load_table,
+    register_views,
+)

@@ -1,14 +1,18 @@
 """Canonical loaders for the driver fixture tables (TESTDATA.md).
 
-One quirk: ``events.parquet`` stores TIMESTAMP(NANOS), which Spark 4 refuses
-to read natively (PARQUET_TYPE_ILLEGAL). The loader flips the runtime conf
-``spark.sql.legacy.parquet.nanosAsLong`` and exposes BOTH representations:
+``events.parquet`` stores its ``ts`` column as a parquet timestamp whose
+physical unit has differed across fixture generations (TIMESTAMP(NANOS) in
+some, timestamp[us] in the current ones — verified via the parquet footer).
+:func:`canonical_events` branches on the *loaded* dtype instead of assuming
+either, and always exposes the same three columns:
 
-- ``ts_ns``  LONG   — exact nanosecond epoch (lossless, the sort/compare key)
-- ``ts``     TIMESTAMP — microsecond-truncated, for window/date functions
+- ``ts``     TIMESTAMP — microsecond precision, for window/date functions
+- ``ts_us``  LONG      — exact microsecond epoch (DuckDB ``epoch_us`` twin)
+- ``ts_ns``  LONG      — nanosecond epoch (lossless only for NANOS files;
+  for micros files it is ``ts_us * 1000``, still a total order)
 
-DuckDB reads the same column as TIMESTAMP_NS; oracle SQL uses
-``epoch_ns(ts)`` to land on the identical BIGINT.
+DuckDB reads the same column natively; oracle SQL uses ``epoch_us(ts)`` /
+``epoch_ns(ts)`` to land on the identical BIGINTs.
 """
 
 from __future__ import annotations
@@ -17,6 +21,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = [
     "region",
@@ -32,19 +37,42 @@ TABLES = [
 ]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        # ts_us matches DuckDB's epoch_us(ts): DuckDB truncates the parquet
-        # NANOS column to microseconds on read. Integral `div` keeps the
-        # division exact — float division drifts by 1µs on ~20% of rows.
+def canonical_events(df: DataFrame) -> DataFrame:
+    """Normalize a raw ``events`` DataFrame to the engine's canonical
+    projection (``ts`` timestamp, ``ts_us`` bigint, ``ts_ns`` bigint),
+    branching on the dtype ``ts`` actually loaded as:
+
+    - LongType: the file stored TIMESTAMP(NANOS) and was read with
+      ``spark.sql.legacy.parquet.nanosAsLong`` — the long IS the ns epoch.
+      Integral ``div`` keeps the µs truncation exact (float division drifts
+      by 1µs on ~20% of rows).
+    - Timestamp(NTZ)Type: the file stored timestamp[us] (all current
+      fixtures). Under the UTC session timezone the NTZ→TZ cast is
+      wall-clock-preserving, so ``unix_micros`` is the exact µs epoch and
+      matches DuckDB's ``epoch_us`` on the same file.
+    """
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         return (
             df.withColumnRenamed("ts", "ts_ns")
             .withColumn("ts_us", F.expr("ts_ns div 1000"))
             .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
         )
+    ts = F.col("ts").cast("timestamp")
+    return (
+        df.withColumn("ts", ts)
+        .withColumn("ts_us", F.unix_micros(ts))
+        .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # Tolerate TIMESTAMP(NANOS) fixtures (read as long); a timestamp[us]
+        # file is unaffected by this conf and loads as timestamp_ntz.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return canonical_events(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -43,6 +43,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from index_spark.sources import load_table
+from index_spark.sources.tables import canonical_events
 
 
 def read_events_stream(
@@ -52,7 +53,9 @@ def read_events_stream(
     events projection (``ts`` µs-truncated timestamp + ``ts_us`` bigint,
     matching :func:`index_spark.sources.load_table`)."""
     # schema pinned from a batch read of the same files (file streams
-    # require an explicit schema); with nanosAsLong the raw ts is LongType.
+    # require an explicit schema); the canonicalizer then branches on
+    # whatever dtype `ts` actually is (long for NANOS fixtures read with
+    # nanosAsLong, timestamp_ntz for timestamp[us] fixtures).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file streams require a *directory* source; glob-filter down to the
@@ -60,12 +63,7 @@ def read_events_stream(
     reader = spark.readStream.schema(raw_schema).option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
-    return (
-        df.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts_us", F.expr("ts_ns div 1000"))
-        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-    )
+    return canonical_events(reader.parquet(sf_dir))
 
 
 def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
