@@ -63,10 +63,27 @@ def test_no_cartesian_anywhere_in_core_queries(plans):
     for name in [
         "gt_scan", "prefix_scan", "semi_join_priority", "anti_join_parts",
         "q13_custdist", "q1_pricing", "q3_revenue_topk", "events_hourly",
+        # candidate-then-verify exemplars: candidates must come from LSH
+        # banding / sign-bucket blocking, never an all-pairs self-join
+        "ngram_jaccard_pairs", "embedding_near_dups", "minhash_lsh_pairs",
+        "asof_join_events", "window_count_join", "skew_salted_join",
     ]:
         p = plans(name)
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_split_median_never_sorts_full_table(plans):
+    """The exact-median plan must rank only inside the one bucket that
+    contains the target rank: the window over o_orderkey is partitioned
+    (by bucket), never a bare global ``row_number() OVER (ORDER BY ...)``
+    funneling the whole table through one task. The only unpartitioned
+    window left runs over the per-bucket *counts* aggregate (rows ≈
+    keyspace/4096), not over order rows."""
+    p = plans("split_median")
+    assert "row_number" in p
+    # the ranking window carries a partition spec
+    assert "windowspecdefinition(b" in p or "PartitionBy: [b" in p, p[:2000]
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_base):
