@@ -1,12 +1,14 @@
 """Command batch types (reference ``Commands.scala:10-15`` / SURVEY.md §2.2).
 
-A command references key/value *rows* as plain Python dicts (or tuples in
-key order) so tests can build batches cheaply; ``VersionedIndex`` converts
-them to DataFrames once per execute.
+A command references key/value *rows* either as plain Python dicts (small
+transactional batches; tests build these cheaply) or as a ``DataFrame``
+(bulk/streaming ingestion — the batch never funnels through the driver).
+``VersionedIndex`` normalizes both once per execute.
 
-- ``Insert``: rows ``{key cols..., value cols...}`` + per-row ``upsert``.
-- ``Update``: rows + optional per-row ``expected_version`` (optimistic CC).
-- ``Remove``: key rows + optional per-row ``expected_version``.
+- ``Insert``: rows ``{key cols..., value cols...}`` + per-row ``upsert``
+  (dict batches only; a DataFrame batch uses the batch-level flag).
+- ``Update``: rows + optional per-row ``__expected_version`` (optimistic CC).
+- ``Remove``: key rows + optional per-row ``__expected_version``.
 """
 
 from __future__ import annotations
@@ -17,18 +19,18 @@ from typing import Any, Optional
 
 @dataclass
 class Insert:
-    rows: list[dict[str, Any]]
-    upsert: bool = False  # batch default; a row may override with row["__upsert"]
+    rows: Any  # list[dict] | DataFrame
+    upsert: bool = False  # batch default; a dict row may override with row["__upsert"]
 
 
 @dataclass
 class Update:
-    rows: list[dict[str, Any]]  # row may carry "__expected_version"
+    rows: Any  # list[dict] | DataFrame; rows may carry "__expected_version"
 
 
 @dataclass
 class Remove:
-    keys: list[dict[str, Any]]  # key cols only; may carry "__expected_version"
+    keys: Any  # list[dict] | DataFrame; key cols only, may carry "__expected_version"
 
 
 Command = Any  # Insert | Update | Remove

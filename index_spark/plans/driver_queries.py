@@ -309,11 +309,15 @@ def q_upsert_batch(spark, sf_dir):
     try:
         store = SnapshotStore(spark, d + "/orders_idx")
         h = store.create(["o_orderkey"], df=orders, rows_per_partition=500_000)
-        batch = [
-            {"o_orderkey": r.o_orderkey, "o_totalprice": r.o_totalprice + 1000.0}
-            for r in orders.filter(F.col("o_orderkey") % 97 == 0).collect()
-        ] + [{"o_orderkey": -k, "o_totalprice": 0.0} for k in range(1, 6)]
-        h2 = h.insert(batch, upsert=True, version="tx2")
+        # the batch is a DataFrame end-to-end — rows never collect to the
+        # driver (at 100 TB the mutation source is itself a dataset)
+        bumped = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+            "o_orderkey", (F.col("o_totalprice") + 1000.0).alias("o_totalprice")
+        )
+        fresh = spark.range(1, 6).select(
+            (-F.col("id")).alias("o_orderkey"), F.lit(0.0).alias("o_totalprice")
+        )
+        h2 = h.insert(bumped.unionByName(fresh), upsert=True, version="tx2")
         out = h2.df.agg(
             F.count(F.lit(1)).alias("n"),
             _sum_cents(F.col("o_totalprice"), "total"),

@@ -479,6 +479,27 @@ class VersionedIndex(SortedIndex):
         batch = self.store.spark.createDataFrame(rows)  # type: ignore[arg-type]
         return self._align_types(batch)
 
+    def _batch_df(self, rows) -> DataFrame:
+        """A mutation batch is either a driver list of dicts (small
+        transactional batches — the reference's API shape) or a DataFrame
+        (bulk/streaming ingestion — rows never funnel through the driver).
+        Both land here as a type-aligned DataFrame."""
+        if isinstance(rows, DataFrame):
+            return self._align_types(rows)
+        return self._rows_to_df(rows)
+
+    def _dup_keys(self, rows) -> list[tuple]:
+        if isinstance(rows, DataFrame):
+            return self._dup_keys_in_batch(rows, self.key)
+        return self._dup_keys_local(rows)
+
+    @staticmethod
+    def _head_keys(rows, key: list[str]) -> list[tuple]:
+        """First ≤20 key tuples of a batch, for error payloads."""
+        if isinstance(rows, DataFrame):
+            return [tuple(r) for r in rows.select(*key).limit(20).collect()]
+        return [tuple(r[k] for k in key) for r in rows[:20]]
+
     def _align_types(self, batch: DataFrame) -> DataFrame:
         """Cast batch columns to the current snapshot's types. Python ints
         infer as LongType; without the cast a union would silently widen
@@ -547,12 +568,12 @@ class VersionedIndex(SortedIndex):
     ) -> DataFrame:
         key = self.key
         # intra-batch duplicate keys → DUPLICATED_KEYS (Index.scala:283-288);
-        # driver-side — the batch is a local list, no job needed
-        dups = self._dup_keys_local(rows)
+        # driver-side (no job) when the batch is a local list
+        dups = self._dup_keys(rows)
         if dups:
             raise DuplicatedKeysError(dups)
 
-        batch = self._rows_to_df(rows)
+        batch = self._batch_df(rows)
         has_row_upsert = "__upsert" in batch.columns
         if has_row_upsert:
             batch = batch.withColumn("__upsert", F.coalesce(F.col("__upsert"), F.lit(upsert)))
@@ -566,10 +587,13 @@ class VersionedIndex(SortedIndex):
 
         # non-upsert rows colliding with existing keys → DUPLICATED_KEYS
         # (leaf-level LEAF_DUPLICATE_KEY, Leaf.scala:31-53). Skipped without
-        # a job when every row upserts (local check on the batch list).
-        all_upsert = (upsert and not any(r.get("__upsert") is False for r in rows)) or all(
-            r.get("__upsert") is True for r in rows
-        )
+        # a job when every row provably upserts.
+        if isinstance(rows, DataFrame):
+            all_upsert = upsert and not has_row_upsert
+        else:
+            all_upsert = (upsert and not any(r.get("__upsert") is False for r in rows)) or all(
+                r.get("__upsert") is True for r in rows
+            )
         if not all_upsert:
             existing_keys = cur.select(*key)
             collisions = (
@@ -587,15 +611,15 @@ class VersionedIndex(SortedIndex):
         kept = cur.join(F.broadcast(batch_keys), on=key, how="left_anti")
         return kept.unionByName(batch.drop("__upsert"))
 
-    def _staged_update(self, cur: Optional[DataFrame], rows: list[dict[str, Any]], version: str) -> DataFrame:
+    def _staged_update(self, cur: Optional[DataFrame], rows, version: str) -> DataFrame:
         key = self.key
-        dups = self._dup_keys_local(rows)
+        dups = self._dup_keys(rows)
         if dups:
             raise DuplicatedKeysError(dups)
-        batch = self._rows_to_df(rows)
+        batch = self._batch_df(rows)
         has_expect = "__expected_version" in batch.columns
         if cur is None:
-            raise KeyNotFoundError([tuple(r[k] for k in key) for r in rows[:20]])
+            raise KeyNotFoundError(self._head_keys(rows, key))
 
         # KEY_NOT_FOUND (Leaf.scala:82) + VERSION_CHANGED (Leaf.scala:62-71)
         # in one job
@@ -607,15 +631,15 @@ class VersionedIndex(SortedIndex):
         kept = cur.join(F.broadcast(batch.select(*key)), on=key, how="left_anti")
         return kept.unionByName(batch.select(*kept.columns))
 
-    def _staged_remove(self, cur: Optional[DataFrame], keys: list[dict[str, Any]]) -> DataFrame:
+    def _staged_remove(self, cur: Optional[DataFrame], keys) -> DataFrame:
         key = self.key
-        dups = self._dup_keys_local(keys)
+        dups = self._dup_keys(keys)
         if dups:
             raise DuplicatedKeysError(dups)
-        batch = self._rows_to_df(keys)
+        batch = self._batch_df(keys)
         has_expect = "__expected_version" in batch.columns
         if cur is None:
-            raise KeyNotFoundError([tuple(r[k] for k in key) for r in keys[:20]])
+            raise KeyNotFoundError(self._head_keys(keys, key))
         self._check_exists_and_versions(batch, cur, has_expect)
         return cur.join(F.broadcast(batch.select(*key)), on=key, how="left_anti")
 
@@ -652,12 +676,13 @@ class VersionedIndex(SortedIndex):
             # the rewrite size is known driver-side (manifest stats + batch
             # length), so size the write explicitly — otherwise the range
             # exchange samples the staged plan (re-running the validation
-            # joins) to pick bounds for what is usually a single small file
-            est = sum(f["n_rows"] for f in touched) + sum(
-                len(c.rows if isinstance(c, (Insert, Update)) else c.keys)
-                for c in commands
-            )
-            n_parts = max(1, -(-est // self.rows_per_partition))
+            # joins) to pick bounds for what is usually a single small file.
+            # DataFrame batches have no driver-side length — leave n_parts
+            # to AQE rather than paying a count() of the batch.
+            payloads = [c.rows if isinstance(c, (Insert, Update)) else c.keys for c in commands]
+            if not any(isinstance(p, DataFrame) for p in payloads):
+                est = sum(f["n_rows"] for f in touched) + sum(len(p) for p in payloads)
+                n_parts = max(1, -(-est // self.rows_per_partition))
         else:
             staged = self._current()
             carry = None
@@ -689,6 +714,8 @@ class VersionedIndex(SortedIndex):
         if not files:
             return None
         batch_keys: list[tuple] = []
+        bounds: list[tuple[tuple, tuple]] = []  # (lo, hi) from DataFrame batches
+        exact = True  # per-key refinement possible only with driver-side keys
         for cmd in commands:
             if isinstance(cmd, (Insert, Update)):
                 rows = cmd.rows
@@ -696,20 +723,38 @@ class VersionedIndex(SortedIndex):
                 rows = cmd.keys
             else:
                 return None
+            if isinstance(rows, DataFrame):
+                # one tiny agg job: the batch's lexicographic key bounds
+                # (struct min/max = tuple ordering). Overlap is then tested
+                # against [lo, hi] only — coarser than per-key, still sound
+                # (it can only widen the touched set, never miss a file).
+                exact = False
+                r = rows.agg(
+                    F.min(F.struct(*self.key)).alias("lo"),
+                    F.max(F.struct(*self.key)).alias("hi"),
+                ).first()
+                if r["lo"] is None:
+                    continue
+                bounds.append((tuple(r["lo"]), tuple(r["hi"])))
+                continue
             try:
                 batch_keys += [tuple(r[k] for k in self.key) for r in rows]
             except (KeyError, TypeError):
                 return None  # key-incomplete rows → let the full path report
-        if not batch_keys:
+        if not batch_keys and not bounds:
             return None
         try:
-            lo, hi = min(batch_keys), max(batch_keys)
+            los = [b[0] for b in bounds] + ([min(batch_keys)] if batch_keys else [])
+            his = [b[1] for b in bounds] + ([max(batch_keys)] if batch_keys else [])
+            lo, hi = min(los), max(his)
 
             def overlaps(f: dict) -> bool:
                 fmin, fmax = tuple(f["min"]), tuple(f["max"])
                 if fmax < lo or fmin > hi:
                     return False
-                return any(fmin <= bk <= fmax for bk in batch_keys)
+                if exact:
+                    return any(fmin <= bk <= fmax for bk in batch_keys)
+                return True
 
             touched, untouched = [], []
             for f in files:
@@ -754,7 +799,7 @@ class VersionedIndex(SortedIndex):
         self._used = True
         return self.store.at_version(new_version)
 
-    def insert(self, rows: list[dict[str, Any]], upsert: bool = False, version: Optional[str] = None) -> "VersionedIndex":
+    def insert(self, rows: "list[dict[str, Any]] | DataFrame", upsert: bool = False, version: Optional[str] = None) -> "VersionedIndex":
         return self.execute([Insert(rows, upsert)], version)
 
     def upsert_partial(self, rows: list[dict[str, Any]], version: Optional[str] = None) -> "VersionedIndex":
@@ -793,10 +838,10 @@ class VersionedIndex(SortedIndex):
             return self.execute([Update(rows)], version)
         return self.execute([Remove(rows)], version)
 
-    def update(self, rows: list[dict[str, Any]], version: Optional[str] = None) -> "VersionedIndex":
+    def update(self, rows: "list[dict[str, Any]] | DataFrame", version: Optional[str] = None) -> "VersionedIndex":
         return self.execute([Update(rows)], version)
 
-    def remove(self, keys: list[dict[str, Any]], version: Optional[str] = None) -> "VersionedIndex":
+    def remove(self, keys: "list[dict[str, Any]] | DataFrame", version: Optional[str] = None) -> "VersionedIndex":
         return self.execute([Remove(keys)], version)
 
     def try_execute(self, commands: list, version: Optional[str] = None) -> BatchResult:

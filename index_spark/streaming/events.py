@@ -283,11 +283,13 @@ def stream_into_snapshots(
     n_batches = {"n": 0}
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        rows = [r.asDict() for r in batch_df.collect()]
-        if not rows:
+        # the micro-batch DataFrame feeds the staged-commit path directly —
+        # rows never collect to the driver, so batch size is bounded by the
+        # cluster, not driver memory
+        if batch_df.isEmpty():
             return
         handle = store.latest()
-        handle.execute([Insert(rows, upsert=True)], version=f"stream-batch-{batch_id}")
+        handle.execute([Insert(batch_df, upsert=True)], version=f"stream-batch-{batch_id}")
         store.record_snapshot()
         n_batches["n"] += 1
 

@@ -180,3 +180,59 @@ def test_randomized_against_model(store):
             idx = store.latest()
     expect = sorted((k, v) for k, (v, _) in model.items())
     assert scan(store.latest()) == expect
+
+
+# ---- DataFrame-native batches (bulk path: rows never touch the driver) ----
+
+
+def test_df_batch_insert_upsert_update_remove(store, spark):
+    idx = store.create(["key"]).insert([kv("a", "1"), kv("b", "2"), kv("c", "3")])
+    F = __import__("pyspark.sql.functions", fromlist=["functions"])
+
+    # upsert: overwrite b, add d — as a DataFrame
+    up = spark.createDataFrame([kv("b", "2x"), kv("d", "4")])
+    idx = idx.insert(up, upsert=True, version="dfv1")
+    assert scan(store.latest()) == [("a", "1"), ("b", "2x"), ("c", "3"), ("d", "4")]
+    assert versions_of(store.latest())["b"] == "dfv1"
+    assert versions_of(store.latest())["a"] != "dfv1"  # untouched rows keep theirs
+
+    # update: existing keys only
+    idx = store.latest().update(spark.createDataFrame([kv("a", "1y")]), version="dfv2")
+    assert scan(store.latest())[0] == ("a", "1y")
+
+    # remove by key DataFrame
+    idx = store.latest().remove(spark.createDataFrame([{"key": "c"}]))
+    assert [k for k, _ in scan(store.latest())] == ["a", "b", "d"]
+
+
+def test_df_batch_validation_errors(store, spark):
+    idx = store.create(["key"]).insert([kv("a", "1")])
+    # duplicate keys inside the DataFrame batch
+    with pytest.raises(DuplicatedKeysError):
+        store.latest().insert(spark.createDataFrame([kv("x", "1"), kv("x", "2")]))
+    # non-upsert collision with an existing key
+    with pytest.raises(DuplicatedKeysError):
+        store.latest().insert(spark.createDataFrame([kv("a", "9")]))
+    # update of an absent key
+    with pytest.raises(KeyNotFoundError):
+        store.latest().update(spark.createDataFrame([kv("zz", "9")]))
+    # stale expected version
+    with pytest.raises(VersionChangedError):
+        store.latest().update(
+            spark.createDataFrame([{"key": "a", "value": "n", "__expected_version": "stale"}])
+        )
+    assert scan(store.latest()) == [("a", "1")]
+
+
+def test_df_batch_partial_cow_touches_bounded_files(store, spark):
+    """A key-bounded DataFrame batch must go through file-level COW: files
+    outside the batch's [lo, hi] key bounds carry by reference."""
+    rows = [kv(f"k{i:03d}", str(i)) for i in range(40)]
+    idx = store.create(["key"], df=spark.createDataFrame(rows), rows_per_partition=10)
+    before = store._version_row(store.latest().version)["files"]
+    batch = spark.createDataFrame([kv("k005", "B")])
+    idx2 = idx.insert(batch, upsert=True, version="cow")
+    after = store._version_row(idx2.version)["files"]
+    carried = {f["path"] for f in before} & {f["path"] for f in after}
+    assert len(carried) >= len(before) - 2  # only the touched range rewrote
+    assert dict(scan(idx2))["k005"] == "B"
