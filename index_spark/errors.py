@@ -65,6 +65,16 @@ class IndexAlreadyExistsError(IndexError_):
     code = "INDEX_ALREADY_EXISTS"
 
 
+class CommitConflictError(IndexError_):
+    """Catalog/manifest conditional-put lost a commit race: another writer
+    advanced the catalog between this writer's read and its commit. The
+    analog of the reference's descriptor CAS failing its Cassandra LWT
+    (``impl/CassandraStorage.scala:142-171``). Retry = reread latest,
+    re-stage, re-commit."""
+
+    code = "COMMIT_CONFLICT"
+
+
 class IndexNotFoundError(IndexError_):
     code = "INDEX_NOT_FOUND"
 

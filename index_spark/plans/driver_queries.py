@@ -182,6 +182,21 @@ def q_min_max_count(spark, sf_dir):
     )
 
 
+def q_binary_key_range(spark, sf_dir):
+    """Opaque-bytes keys — the reference's canonical key type (``Bytes =
+    Array[Byte]`` with unsigned-lex ordering, ``package.scala:39-42``):
+    key the documents by their 16-byte md5 digest (BINARY) and range-scan
+    [x'20', x'28') over the digest keyspace. Spark BinaryType comparison is
+    unsigned-lexicographic (property-tested in test_binary_keys against
+    Python ``bytes`` ordering); DuckDB BLOB comparison agrees, so the
+    oracle is a plain BLOB range predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(F.unhex(F.md5("text")).alias("k"), "doc_id")
+    idx = SortedIndex(keyed, ["k"])
+    out = idx.range(bytes.fromhex("20"), bytes.fromhex("28"), from_inclusive=True, to_inclusive=False)
+    return out.select(F.hex("k").alias("k_hex"), "doc_id")
+
+
 # ---- §2.4 split / merge --------------------------------------------------
 def q_split_median(spark, sf_dir):
     """Exact split boundary (lower median) WITHOUT a global single-reducer
@@ -1581,6 +1596,11 @@ def build_oracles() -> dict[str, str]:
             "WHERE k NOT IN (SELECT o_orderkey FROM orders)"
         ),
         "range_scan": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200",
+        "binary_key_range": (
+            "SELECT hex(k) AS k_hex, doc_id FROM "
+            "(SELECT unhex(md5(text)) AS k, doc_id FROM documents) "
+            "WHERE k >= '\\x20'::BLOB AND k < '\\x28'::BLOB"
+        ),
         "gt_scan": "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey > 14900",
         "lt_scan_reverse": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 50",
         "prefix_scan": (
@@ -2152,6 +2172,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # erred on the old loader, then (c) the 43 that already hash-matched.
     # Functionally the dict is identical either way.
     return {
+        # --- new in round 2 ---
+        "binary_key_range": q_binary_key_range,
         # --- (a) driver-unverified in round 1 ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

@@ -48,6 +48,7 @@ from index_spark.errors import (
     IndexNotFoundError,
     KeyNotFoundError,
 )
+from index_spark import catalog as catalog_io
 from index_spark.index import SortedIndex
 from index_spark.keys import as_tuple, key_gt, key_lt, sort_cols
 from index_spark.snapshots import (
@@ -58,7 +59,7 @@ from index_spark.snapshots import (
     stat_row_to_file,
 )
 
-_CATALOG = "_catalog.json"
+_CATALOG_NAME = "_catalog"
 
 
 class ShardedIndex:
@@ -82,24 +83,25 @@ class ShardedIndex:
         self.base_path = base_path
 
     # ------------------------------------------------------------- catalog
-    def _catalog_path(self) -> str:
-        return os.path.join(self.base_path, _CATALOG)
+    # Same conditional-commit protocol as SnapshotStore's manifest
+    # (index_spark.catalog): immutable stamped files + put-if-absent, so a
+    # losing concurrent writer gets CommitConflictError, not a clobber.
+    _MV = "__catalog_stamp"
 
     def exists(self) -> bool:
-        return os.path.exists(self._catalog_path())
+        return catalog_io.read_latest(self.base_path, _CATALOG_NAME) is not None
 
     def _read_catalog(self) -> dict:
-        if not self.exists():
+        got = catalog_io.read_latest(self.base_path, _CATALOG_NAME)
+        if got is None:
             raise IndexNotFoundError(f"no sharded index at {self.base_path}")
-        with open(self._catalog_path()) as f:
-            return json.load(f)
+        cat, stamp = got
+        cat[self._MV] = stamp
+        return cat
 
     def _write_catalog(self, cat: dict) -> None:
-        os.makedirs(self.base_path, exist_ok=True)
-        tmp = self._catalog_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(cat, f)
-        os.replace(tmp, self._catalog_path())  # the atomic logical commit
+        expected = cat.pop(self._MV, None)
+        catalog_io.commit(self.base_path, _CATALOG_NAME, cat, expected)
 
     # -------------------------------------------------------------- create
     @classmethod

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from index_spark.commands import BatchResult, Insert, Remove, Update
 from index_spark.errors import (
+    CommitConflictError,
     ContextUsedError,
     DuplicatedKeysError,
     IndexAlreadyExistsError,
@@ -34,10 +35,11 @@ from index_spark.errors import (
     KeyNotFoundError,
     VersionChangedError,
 )
+from index_spark import catalog as catalog_io
 from index_spark.index import SortedIndex
 
 VERSION_COL = "__version"
-_MANIFEST = "_manifest.json"
+_MANIFEST_NAME = "_manifest"
 
 
 def _now_ns(prev: int) -> int:
@@ -80,24 +82,27 @@ class SnapshotStore:
         self.base_path = base_path
 
     # ------------------------------------------------------------- manifest
-    def _manifest_path(self) -> str:
-        return os.path.join(self.base_path, _MANIFEST)
+    # Commits go through index_spark.catalog: immutable version-stamped
+    # manifest files + put-if-absent (the object-store-portable CAS; see
+    # that module's docstring). A writer carries the stamp it READ inside
+    # the manifest dict (_MV key, stripped on write); a concurrent commit
+    # in between surfaces as CommitConflictError, never a silent clobber.
+    _MV = "__manifest_stamp"
 
     def exists(self) -> bool:
-        return os.path.exists(self._manifest_path())
+        return catalog_io.read_latest(self.base_path, _MANIFEST_NAME) is not None
 
     def _read_manifest(self) -> dict:
-        if not self.exists():
+        got = catalog_io.read_latest(self.base_path, _MANIFEST_NAME)
+        if got is None:
             raise IndexNotFoundError(f"no index at {self.base_path}")
-        with open(self._manifest_path()) as f:
-            return json.load(f)
+        m, stamp = got
+        m[self._MV] = stamp
+        return m
 
     def _write_manifest(self, m: dict) -> None:
-        os.makedirs(self.base_path, exist_ok=True)
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f)
-        os.replace(tmp, self._manifest_path())  # atomic on POSIX
+        expected = m.pop(self._MV, None)
+        catalog_io.commit(self.base_path, _MANIFEST_NAME, m, expected)
 
     # -------------------------------------------------------------- create
     def create(
@@ -270,6 +275,7 @@ class SnapshotStore:
         rows_per_partition: int,
         n_partitions: Optional[int] = None,
         carry_files: Optional[list[dict]] = None,
+        expected_stamp: Optional[int] = None,
     ) -> int:
         """Write ``df`` as the next snapshot version (sorted, range-partitioned).
 
@@ -280,8 +286,22 @@ class SnapshotStore:
         manifest's O(1) row count is read back from parquet footers
         (metadata-only job), and per-file key min/max stats are recorded to
         enable file-level COW. ``carry_files`` are untouched files from the
-        base version referenced (not copied) into the new version."""
+        base version referenced (not copied) into the new version.
+
+        ``expected_stamp`` is the manifest stamp the writing handle was
+        CREATED with: the final conditional put targets stamp+1, so a
+        concurrent commit between handle creation and here loses with
+        CommitConflictError instead of silently dropping the other
+        writer's rows (snapshot-isolation CAS, the reference's descriptor
+        LWT). Checked eagerly too, before the data files are written."""
         m = self._read_manifest()
+        if expected_stamp is not None:
+            if m[self._MV] != expected_stamp:
+                raise CommitConflictError(
+                    f"manifest advanced to stamp {m[self._MV]} past this "
+                    f"handle's base {expected_stamp} — take a fresh handle"
+                )
+            m[self._MV] = expected_stamp
         version = (m["versions"][-1]["version"] + 1) if m["versions"] else 0
         path = self._version_path(version)
         part_cols = [F.col(c) for c in key]
@@ -346,11 +366,11 @@ class SnapshotStore:
     def latest(self) -> "VersionedIndex":
         m = self._read_manifest()
         v = m["versions"][-1]["version"] if m["versions"] else None
-        return VersionedIndex(self, m["key"], v, m["rows_per_partition"])
+        return VersionedIndex(self, m["key"], v, m["rows_per_partition"], base_stamp=m[self._MV])
 
     def at_version(self, version: int) -> "VersionedIndex":
         m = self._read_manifest()
-        return VersionedIndex(self, m["key"], version, m["rows_per_partition"])
+        return VersionedIndex(self, m["key"], version, m["rows_per_partition"], base_stamp=m[self._MV])
 
     def n_rows(self, version: int) -> int:
         m = self._read_manifest()
@@ -450,10 +470,11 @@ class VersionedIndex(SortedIndex):
     handle and marks this one used.
     """
 
-    def __init__(self, store: SnapshotStore, key: Sequence[str], version: Optional[int], rows_per_partition: int):
+    def __init__(self, store: SnapshotStore, key: Sequence[str], version: Optional[int], rows_per_partition: int, base_stamp: Optional[int] = None):
         self.store = store
         self.version = version
         self.rows_per_partition = rows_per_partition
+        self._base_stamp = base_stamp
         self._used = False
         if version is not None:
             self._empty = False
@@ -699,6 +720,7 @@ class VersionedIndex(SortedIndex):
         new_version = self.store.commit(
             staged, self.key, self.rows_per_partition,
             n_partitions=n_parts, carry_files=carry,
+            expected_stamp=self._base_stamp,
         )
         self._used = True
         return self.store.at_version(new_version)
@@ -795,6 +817,7 @@ class VersionedIndex(SortedIndex):
         new_version = self.store.commit(
             staged, self.key, self.rows_per_partition,
             n_partitions=n_parts, carry_files=full,
+            expected_stamp=self._base_stamp,
         )
         self._used = True
         return self.store.at_version(new_version)

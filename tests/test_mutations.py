@@ -236,3 +236,35 @@ def test_df_batch_partial_cow_touches_bounded_files(store, spark):
     carried = {f["path"] for f in before} & {f["path"] for f in after}
     assert len(carried) >= len(before) - 2  # only the touched range rewrote
     assert dict(scan(idx2))["k005"] == "B"
+
+
+# ---- object-store-safe manifest commits (conditional put, no rename) ----
+
+
+def test_concurrent_writer_loses_with_commit_conflict(store, spark):
+    """Two writers race read→stage→commit on the same store: the second
+    commit against a stale manifest stamp must fail with COMMIT_CONFLICT
+    and leave the winner's state untouched (the descriptor-CAS semantics
+    the reference gets from Cassandra LWTs)."""
+    from index_spark.errors import CommitConflictError
+
+    store.create(["key"]).insert([kv("a", "1")])
+    # writer 1 and writer 2 both take handles off the same committed version
+    w1 = SnapshotStore(spark, store.base_path).latest()
+    w2 = SnapshotStore(spark, store.base_path).latest()
+    w1.insert([kv("b", "2")], version="w1")  # w1 commits first
+    with pytest.raises(CommitConflictError):
+        w2.insert([kv("c", "3")], version="w2")
+    # winner's commit is intact; loser wrote nothing
+    assert scan(store.latest()) == [("a", "1"), ("b", "2")]
+    # the loser retries the reference way: reread latest, re-stage, commit
+    SnapshotStore(spark, store.base_path).latest().insert([kv("c", "3")], version="w2r")
+    assert scan(store.latest()) == [("a", "1"), ("b", "2"), ("c", "3")]
+
+
+def test_create_race_rejects_second_writer(store, spark):
+    from index_spark.errors import CommitConflictError, IndexAlreadyExistsError
+
+    store.create(["key"])
+    with pytest.raises((CommitConflictError, IndexAlreadyExistsError)):
+        SnapshotStore(spark, store.base_path).create(["key"])
