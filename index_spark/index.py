@@ -75,16 +75,26 @@ class SortedIndex:
         assert len(vals) == len(self.key), "get() requires the full key"
         return self.df.filter(key_eq(self.key, vals))
 
+    # Above this many requested keys, multi-get stops inlining the request
+    # as a literal predicate / broadcast and shuffle-joins instead — the
+    # reference's per-leaf batching (Index.scala:820-867) at file scale: a
+    # million-key request neither fits an In() filter nor belongs in every
+    # task's memory as a broadcast.
+    GET_ALL_BROADCAST_LIMIT = 10_000
+
     def get_all(self, keys: Sequence[Any], must_find_all: bool = False) -> DataFrame:
         """Sorted multi-get (semi-join semantics, Index.scala:820-867).
 
-        Single-column keys use ``isin`` (compiles to an ``In`` pushdown
-        filter); composite keys broadcast-semi-join a literal DataFrame.
-        ``must_find_all`` performs the reference's KEY_NOT_FOUND check via an
-        anti-join on the requested keys.
+        Size-dispatched: small single-column requests use ``isin`` (an
+        ``In`` pushdown filter), small composite requests broadcast-semi-
+        join a literal DataFrame, and requests past
+        ``GET_ALL_BROADCAST_LIMIT`` become a shuffle semi-join — the
+        request set is data then, not a predicate. ``must_find_all``
+        performs the reference's KEY_NOT_FOUND check via an anti-join on
+        the requested keys.
         """
         tuples = [as_tuple(k) for k in keys]
-        if len(self.key) == 1:
+        if len(self.key) == 1 and len(tuples) <= self.GET_ALL_BROADCAST_LIMIT:
             flat = [t[0] for t in tuples]
             out = self.df.filter(F.col(self.key[0]).isin(flat))
             if must_find_all:
@@ -95,6 +105,19 @@ class SortedIndex:
             return self._ordered(out, reverse=False, limit=None)
         spark = self.df.sparkSession
         keys_df = spark.createDataFrame(tuples, schema=self.key)
+        if len(tuples) > self.GET_ALL_BROADCAST_LIMIT:
+            # huge request: keep it distributed — dedup then shuffle
+            # semi-join on the key (sort-merge/hash picked by AQE)
+            keys_df = keys_df.distinct()
+            out = self.df.join(keys_df, on=self.key, how="left_semi")
+            if must_find_all:
+                found = self.df.select(*self.key).join(
+                    keys_df, on=self.key, how="left_semi"
+                ).distinct()
+                missing = keys_df.join(found, on=self.key, how="left_anti").limit(20).collect()
+                if missing:
+                    raise KeyNotFoundError([tuple(r) for r in missing])
+            return self._ordered(out, reverse=False, limit=None)
         out = self.df.join(F.broadcast(keys_df), on=self.key, how="left_semi")
         if must_find_all:
             # scale shape: broadcast the (small) request set into the big

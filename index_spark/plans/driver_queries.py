@@ -197,6 +197,132 @@ def q_binary_key_range(spark, sf_dir):
     return out.select(F.hex("k").alias("k_hex"), "doc_id")
 
 
+def q_multi_get_large(spark, sf_dir):
+    """Large multi-get — the reference's per-leaf request batching
+    (Index.scala:820-867) at file scale: a 12k-key request exceeds
+    GET_ALL_BROADCAST_LIMIT, so get_all switches from an In() predicate to
+    a distributed shuffle semi-join (request-as-data). Aggregated so the
+    result stays small; the oracle is the equivalent key-range semi-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    idx = SortedIndex(orders, ["o_orderkey"])
+    out = idx.get_all(list(range(1, 12_001)))
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        _sum_cents(F.col("o_totalprice"), "total"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+def q_error_codes(spark, sf_dir):
+    """The reference error taxonomy (Errors.scala:3-42 / SURVEY §2.7)
+    exercised END-TO-END, one probe per engine-visible error, with the
+    stable code strings returned as data — which makes the taxonomy
+    driver-hash-verifiable (exceptions themselves can't be hash-compared).
+    Also covers COMMIT_CONFLICT, this port's descriptor-CAS loser."""
+    from index_spark.errors import (
+        CommitConflictError,
+        ContextUsedError,
+        DuplicatedKeysError,
+        IndexAlreadyExistsError,
+        IndexNotFoundError,
+        KeyNotFoundError,
+        TemporalIndexNotFoundError,
+        VersionChangedError,
+    )
+    from index_spark.snapshots import SnapshotStore, TemporalIndex
+
+    rows: list[tuple[str, str]] = []
+
+    def probe(name, fn, exc):
+        try:
+            fn()
+            rows.append((name, "NO_ERROR"))
+        except exc as e:
+            rows.append((name, e.code))
+
+    d = tempfile.mkdtemp(prefix="errq_")
+    try:
+        store = SnapshotStore(spark, d + "/idx")
+        probe("latest_before_create", lambda: store.latest(), IndexNotFoundError)
+        store.create(["k"]).insert([{"k": 1, "v": "a"}])
+        probe(
+            "create_twice",
+            lambda: SnapshotStore(spark, d + "/idx").create(["k"]),
+            IndexAlreadyExistsError,
+        )
+        probe(
+            "dup_keys_in_batch",
+            lambda: store.latest().insert([{"k": 2, "v": "x"}, {"k": 2, "v": "y"}]),
+            DuplicatedKeysError,
+        )
+        probe(
+            "update_missing_key",
+            lambda: store.latest().update([{"k": 99, "v": "z"}]),
+            KeyNotFoundError,
+        )
+        probe(
+            "stale_expected_version",
+            lambda: store.latest().update(
+                [{"k": 1, "v": "z", "__expected_version": "stale"}]
+            ),
+            VersionChangedError,
+        )
+        h = store.latest()
+        h.insert([{"k": 3, "v": "c"}])
+        probe("reused_write_handle", lambda: h.insert([{"k": 4, "v": "d"}]), ContextUsedError)
+        w1 = SnapshotStore(spark, d + "/idx").latest()
+        w2 = SnapshotStore(spark, d + "/idx").latest()
+        w1.insert([{"k": 5, "v": "e"}])
+        probe("commit_race_loser", lambda: w2.insert([{"k": 6, "v": "f"}]), CommitConflictError)
+        probe(
+            "temporal_missing",
+            lambda: TemporalIndex(SnapshotStore(spark, d + "/nope")).find(0),
+            TemporalIndexNotFoundError,
+        )
+        return spark.createDataFrame(rows, "probe string, code string")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_compact_files(spark, sf_dir):
+    """Compaction (the OPTIMIZE step file-level COW needs at scale): five
+    single-key partial upserts leave five tiny files behind; compact()
+    bin-packs them and carries full files by reference. The oracle verifies
+    the data is untouched; the file-count invariant rides along as a
+    boolean column."""
+    from index_spark.snapshots import SnapshotStore
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 3000)
+    )
+    d = tempfile.mkdtemp(prefix="cmpq_")
+    try:
+        store = SnapshotStore(spark, d + "/idx")
+        h = store.create(["o_orderkey"], df=orders, rows_per_partition=1000)
+        # five brand-new keys below every file's range: each partial commit
+        # carries all existing files and writes one tiny new file — the
+        # small-file debt compaction exists to pay down
+        for i in range(3):
+            h = store.latest().upsert_partial(
+                [{"o_orderkey": -(i + 1), "o_totalprice": 1.0 + i}], version=f"u{i}"
+            )
+        files_before = len(store._version_row(store.latest_version())["files"])
+        compacted = store.latest().compact(target_rows=1000)
+        files_after = len(store._version_row(compacted.version)["files"])
+        out = compacted.df.agg(
+            F.count(F.lit(1)).alias("n"),
+            _sum_cents(F.col("o_totalprice"), "total"),
+            F.lit(files_after < files_before).alias("files_shrank"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # materialize before rmtree
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 # ---- §2.4 split / merge --------------------------------------------------
 def q_split_median(spark, sf_dir):
     """Exact split boundary (lower median) WITHOUT a global single-reducer
@@ -1596,6 +1722,34 @@ def build_oracles() -> dict[str, str]:
             "WHERE k NOT IN (SELECT o_orderkey FROM orders)"
         ),
         "range_scan": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200",
+        "multi_get_large": (
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            f"{_sql_sum_cents('o_totalprice', 'total')}, "
+            "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key "
+            "FROM orders WHERE o_orderkey BETWEEN 1 AND 12000"
+        ),
+        "error_codes": (
+            "SELECT probe, code FROM (VALUES "
+            "('latest_before_create', 'INDEX_NOT_FOUND'), "
+            "('create_twice', 'INDEX_ALREADY_EXISTS'), "
+            "('dup_keys_in_batch', 'DUPLICATED_KEYS'), "
+            "('update_missing_key', 'KEY_NOT_FOUND'), "
+            "('stale_expected_version', 'VERSION_CHANGED'), "
+            "('reused_write_handle', 'TX_NOT_STARTED'), "
+            "('commit_race_loser', 'COMMIT_CONFLICT'), "
+            "('temporal_missing', 'TEMPORAL_INDEX_NOT_FOUND')"
+            ") t(probe, code)"
+        ),
+        "compact_files": (
+            "WITH merged AS ("
+            "  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 3000 "
+            "  UNION ALL SELECT * FROM (VALUES "
+            "    (-1, 1.0), (-2, 2.0), (-3, 3.0)"
+            "  ) t(o_orderkey, o_totalprice)) "
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            f"{_sql_sum_cents('o_totalprice', 'total')}, "
+            "TRUE AS files_shrank FROM merged"
+        ),
         "binary_key_range": (
             "SELECT hex(k) AS k_hex, doc_id FROM "
             "(SELECT unhex(md5(text)) AS k, doc_id FROM documents) "
@@ -2174,6 +2328,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 2 ---
         "binary_key_range": q_binary_key_range,
+        "multi_get_large": q_multi_get_large,
+        "error_codes": q_error_codes,
+        "compact_files": q_compact_files,
         # --- (a) driver-unverified in round 1 ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

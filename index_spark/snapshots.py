@@ -33,6 +33,7 @@ from index_spark.errors import (
     IndexAlreadyExistsError,
     IndexNotFoundError,
     KeyNotFoundError,
+    TemporalIndexNotFoundError,
     VersionChangedError,
 )
 from index_spark import catalog as catalog_io
@@ -940,21 +941,33 @@ class TemporalIndex:
     def __init__(self, store: SnapshotStore):
         self.store = store
 
+    def _check_exists(self) -> None:
+        """Reference raises the temporal-specific not-found
+        (``Errors.scala`` TEMPORAL_INDEX_NOT_FOUND) rather than the plain
+        index error when the temporal surface is addressed."""
+        if not self.store.exists():
+            raise TemporalIndexNotFoundError(self.store.base_path)
+
     def latest(self) -> VersionedIndex:
+        self._check_exists()
         return self.store.latest()
 
     def execute(self, commands: list, version: Optional[str] = None) -> VersionedIndex:
+        self._check_exists()
         return self.store.latest().execute(commands, version)
 
     def snapshot(self) -> int:
         """Returns the history timestamp (reference returns (ts, result))."""
+        self._check_exists()
         return self.store.record_snapshot()
 
     def find(self, t: int) -> Optional[int]:
         """Snapshot *version* as-of t, or None before the first snapshot."""
+        self._check_exists()
         return self.store.find_as_of(t)
 
     def find_index(self, t: Optional[int] = None) -> Optional[VersionedIndex]:
+        self._check_exists()
         if t is None:
             return self.store.latest()
         v = self.store.find_as_of(t)

@@ -219,3 +219,33 @@ def test_custom_comparator_as_computed_key(spark):
     assert [tuple(r) for r in by_ba.in_order().select("b", "a").collect()] == [
         (10, 1), (10, 2), (20, 1), (20, 2)
     ]
+
+
+def test_get_all_large_request_shuffle_path(spark, sf_dir):
+    """Past GET_ALL_BROADCAST_LIMIT the multi-get must switch to a shuffle
+    semi-join (request as data) and still return exactly the sorted hits;
+    must_find_all still raises on the missing keys."""
+    from index_spark.errors import KeyNotFoundError
+    from index_spark.index import SortedIndex
+    from index_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    idx = SortedIndex(orders, ["o_orderkey"])
+    old = SortedIndex.GET_ALL_BROADCAST_LIMIT
+    SortedIndex.GET_ALL_BROADCAST_LIMIT = 50  # force the large-request path
+    try:
+        req = list(range(1, 200)) + [-7, 10**12]  # hits plus definite misses
+        got = [r.o_orderkey for r in idx.get_all(req).select("o_orderkey").collect()]
+        want = sorted(
+            r.o_orderkey
+            for r in orders.filter(F.col("o_orderkey").isin(req)).collect()
+        )
+        assert got == want and len(got) > 0
+        import pytest as _pt
+
+        with _pt.raises(KeyNotFoundError):
+            idx.get_all(req, must_find_all=True)  # -7 and 1e12 are absent
+        # all-present request passes
+        assert idx.get_all(want, must_find_all=True).count() == len(want)
+    finally:
+        SortedIndex.GET_ALL_BROADCAST_LIMIT = old

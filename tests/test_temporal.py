@@ -112,3 +112,15 @@ def test_vacuum_retains_files_carried_by_kept_versions(spark, tmp_base):
     assert sorted(r.k for r in store.latest().df.collect()) == [0, 10, 20, 30, 40]
     with _pytest.raises(IndexNotFoundError):
         store.n_rows(1)
+
+
+def test_temporal_missing_store_raises_specific_error(spark, tmp_base):
+    """Addressing the temporal surface of an index that does not exist
+    raises TEMPORAL_INDEX_NOT_FOUND (Errors.scala), not the generic
+    INDEX_NOT_FOUND."""
+    from index_spark.errors import TemporalIndexNotFoundError
+
+    ti = TemporalIndex(SnapshotStore(spark, tmp_base + "/absent"))
+    for call in (lambda: ti.find(0), lambda: ti.find_index(0), lambda: ti.snapshot(), lambda: ti.latest()):
+        with pytest.raises(TemporalIndexNotFoundError):
+            call()
