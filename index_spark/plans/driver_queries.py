@@ -1114,8 +1114,9 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     docs = _docs_with_near_dups(spark, sf_dir).filter(
         (F.col("doc_id") % 200000) < 60
     )
-    pairs = DD.minhash_candidates(docs, num_hashes=MINHASH_N, bands=MINHASH_BANDS)
-    out = DD.jaccard_pairs(docs, pairs).filter(F.col("jaccard") >= 0.02)
+    out = DD.minhash_near_dup_pairs(
+        docs, threshold=0.02, num_hashes=MINHASH_N, bands=MINHASH_BANDS
+    )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
