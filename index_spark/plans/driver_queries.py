@@ -1120,6 +1120,70 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_near_dedup_survivors(spark, sf_dir):
+    """End-to-end near-duplicate REMOVAL (the shape a training-data pipeline
+    actually runs): MinHash-LSH candidates → Jaccard ≥ 0.5 verify → drop
+    the larger id of each confirmed pair → aggregate the survivors. One
+    persisted (shingles, signature) projection feeds candidates and
+    verification; text itself is never shuffled."""
+    docs = _docs_with_near_dups(spark, sf_dir)
+    kept = DD.minhash_dedup(docs, threshold=0.5, num_hashes=MINHASH_N, bands=MINHASH_BANDS)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def q_simhash_block_pairs(spark, sf_dir):
+    """Manku-style SimHash blocking end-to-end: 16-bit signature split into
+    two 8-bit blocks; candidates agree on ≥1 block (near signatures must —
+    pigeonhole); verified by Hamming ≤ 3. The join exchanges only
+    (id, block, value); never all-pairs."""
+    docs = _docs_with_near_dups(spark, sf_dir).filter((F.col("doc_id") % 200000) < 80)
+    toks = TX.tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+
+    def bit_hits(j: int):
+        # unary lambda only — F.filter treats a two-arg lambda as
+        # (element, index), silently replacing j with the array index
+        return F.size(F.filter(toks, lambda t: F.substring(F.md5(t), j + 1, 1).isin(HIGH_HEX)))
+
+    sig = F.lit(0)
+    for j in range(16):
+        hits = bit_hits(j)
+        sig = sig + F.when(hits * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
+    sigs = docs.select("doc_id", sig.cast("long").alias("sig"))
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("blk"),
+                F.shiftrightunsigned(F.col("sig"), j * 8).bitwiseAND(F.lit(255)).alias("v"),
+            )
+            for j in range(2)
+        ]
+    )
+    e = sigs.select("doc_id", "sig", F.explode(blocks).alias("b")).select(
+        "doc_id", "sig", F.col("b.blk").alias("blk"), F.col("b.v").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
 def q_simhash16(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     toks = TX.tokens(F.lower(F.col("text")))
@@ -1640,15 +1704,21 @@ def _sql_minhash_sig() -> str:
     return f"[{mins}]"
 
 
-def _sql_simhash16() -> str:
-    toks = SQL_TOKS_LOWER
+def _sql_simhash16_bits() -> str:
+    """The 16-bit SimHash signature expression over a token-list column w."""
     high = ", ".join(f"'{h}'" for h in HIGH_HEX)
-    bits = " + ".join(
+    return " + ".join(
         f"(CASE WHEN 2*len(list_filter(w, t -> substr(md5(t), {j+1}, 1) IN ({high}))) > len(w) "
         f"THEN {1 << j} ELSE 0 END)"
         for j in range(16)
     )
-    return f"SELECT doc_id, CAST({bits} AS BIGINT) AS sig FROM (SELECT doc_id, {toks} AS w FROM documents) WHERE doc_id < 50"
+
+
+def _sql_simhash16() -> str:
+    return (
+        f"SELECT doc_id, CAST({_sql_simhash16_bits()} AS BIGINT) AS sig "
+        f"FROM (SELECT doc_id, {SQL_TOKS_LOWER} AS w FROM documents) WHERE doc_id < 50"
+    )
 
 
 def _sql_lsh_bucket(dim: int = 64, n_planes: int = 8, vec: str = "v") -> str:
@@ -2127,6 +2197,33 @@ def build_oracles() -> dict[str, str]:
             " / greatest(len(list_distinct(list_concat(s1.sh, s2.sh))), 1) >= 0.02"
         ),
         "simhash16": _sql_simhash16(),
+        "near_dedup_survivors": (
+            f"WITH alldocs AS ({near_docs}), "
+            f"sh AS ({_sql_shingles('alldocs')}), "
+            f"sig AS (SELECT doc_id, {_sql_minhash_sig()} AS sig FROM sh), "
+            "bands AS (SELECT doc_id, b, md5(concat_ws('|', sig[2*b+1], sig[2*b+2])) AS h "
+            "          FROM sig CROSS JOIN range(0, 8) t(b)), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b FROM bands a "
+            "          JOIN bands bb ON a.b = bb.b AND a.h = bb.h AND a.doc_id < bb.doc_id), "
+            "losers AS (SELECT DISTINCT id_b FROM pairs "
+            "  JOIN sh s1 ON s1.doc_id = id_a JOIN sh s2 ON s2.doc_id = id_b "
+            "  WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)"
+            "   / greatest(len(list_distinct(list_concat(s1.sh, s2.sh))), 1) >= 0.5) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_kept, "
+            "CAST(sum(doc_id) AS BIGINT) AS id_sum, max(doc_id) AS max_id "
+            "FROM alldocs WHERE doc_id NOT IN (SELECT id_b FROM losers)"
+        ),
+        "simhash_block_pairs": (
+            f"WITH nd AS ({near_docs}), "
+            f"s AS (SELECT doc_id, CAST({_sql_simhash16_bits()} AS BIGINT) AS sig "
+            f"  FROM (SELECT doc_id, {SQL_TOKS_LOWER} AS w FROM nd WHERE doc_id % 200000 < 80)), "
+            "b AS (SELECT doc_id, sig, j AS blk, (sig >> CAST(j*8 AS INTEGER)) & 255 AS v "
+            "  FROM s CROSS JOIN range(0, 2) t(j)), "
+            "p AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b, "
+            "  CAST(bit_count(xor(a.sig, bb.sig)) AS BIGINT) AS hamming "
+            "  FROM b a JOIN b bb ON a.blk = bb.blk AND a.v = bb.v AND a.doc_id < bb.doc_id) "
+            "SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3"
+        ),
         "text_quality": _QUALITY_SQL,
         "lang_id": _sql_lang_pred(),
         "doc_fingerprint": f"SELECT doc_id, {fp} AS fp FROM documents",
@@ -2332,6 +2429,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_get_large": q_multi_get_large,
         "error_codes": q_error_codes,
         "compact_files": q_compact_files,
+        "near_dedup_survivors": q_near_dedup_survivors,
+        "simhash_block_pairs": q_simhash_block_pairs,
         # --- (a) driver-unverified in round 1 ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

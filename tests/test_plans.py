@@ -67,6 +67,8 @@ def test_no_cartesian_anywhere_in_core_queries(plans):
         # banding / sign-bucket blocking, never an all-pairs self-join
         "ngram_jaccard_pairs", "embedding_near_dups", "minhash_lsh_pairs",
         "asof_join_events", "window_count_join", "skew_salted_join",
+        "near_dedup_survivors", "simhash_block_pairs", "multi_get_large",
+        "binary_key_range",
     ]:
         p = plans(name)
         assert "CartesianProduct" not in p, name
