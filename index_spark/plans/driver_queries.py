@@ -1497,6 +1497,34 @@ def q_stream_sessionize(spark, sf_dir):
     return sessions.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
 
 
+def q_stream_user_state(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running (event count, last-seen ts) with idle-timeout eviction. Drained
+    with availableNow the whole file arrives as one micro-batch, so the
+    update-mode output is exactly one open row per user and must equal the
+    batch groupBy — which is the SQL oracle. This makes the bespoke-operator
+    path (Arrow state, GroupState timeouts) driver-hash-verifiable."""
+    import uuid as _uuid
+
+    from index_spark.streaming import read_events_stream, run_available_now
+    from index_spark.streaming.events import user_running_state
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        user_running_state(stream, timeout_ms=None),
+        "su" + _uuid.uuid4().hex[:10],
+        output_mode="update",
+        shuffle_partitions=8,
+    )
+    # update mode emits one row per (user, micro-batch) plus a closed row on
+    # eviction; counts are monotone, so max() reduces to the final state
+    # regardless of how availableNow batched the files
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("last_ts_us").alias("last_ts_us"),
+    )
+
+
 def q_stream_join_attrib(spark, sf_dir):
     """Stream-stream inner join with watermarked time-range state eviction:
     purchases attributed to same-user clicks at most 1h earlier, drained in
@@ -2197,6 +2225,10 @@ def build_oracles() -> dict[str, str]:
             " / greatest(len(list_distinct(list_concat(s1.sh, s2.sh))), 1) >= 0.02"
         ),
         "simhash16": _sql_simhash16(),
+        "stream_user_state": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "max(epoch_us(ts)) AS last_ts_us FROM events GROUP BY user_id"
+        ),
         "near_dedup_survivors": (
             f"WITH alldocs AS ({near_docs}), "
             f"sh AS ({_sql_shingles('alldocs')}), "
@@ -2431,6 +2463,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_files": q_compact_files,
         "near_dedup_survivors": q_near_dedup_survivors,
         "simhash_block_pairs": q_simhash_block_pairs,
+        "stream_user_state": q_stream_user_state,
         # --- (a) driver-unverified in round 1 ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

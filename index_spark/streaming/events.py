@@ -105,41 +105,59 @@ _STATE_SCHEMA = "n_events BIGINT, last_ts_us BIGINT"
 _OUT_SCHEMA = "user_id BIGINT, n_events BIGINT, last_ts_us BIGINT, closed BOOLEAN"
 
 
-def _user_state_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Running per-user (event count, last ts); on idle timeout emit the
-    final row flagged closed and evict the state."""
-    (user_id,) = key
-    if state.hasTimedOut:
-        n, last = state.get
-        state.remove()
-        yield pd.DataFrame(
-            [{"user_id": user_id, "n_events": n, "last_ts_us": last, "closed": True}]
-        )
-        return
-    n, last = state.get if state.exists else (0, 0)
-    for pdf in pdfs:
-        n += len(pdf)
-        if len(pdf):
-            last = max(last, int(pdf["ts_us"].max()))
-    state.update((n, last))
-    state.setTimeoutDuration(60_000)  # 60 s idle → close
-    yield pd.DataFrame([{"user_id": user_id, "n_events": n, "last_ts_us": last, "closed": False}])
+def _make_user_state_fn(timeout_ms: int):
+    def _user_state_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Running per-user (event count, last ts); on idle timeout emit the
+        final row flagged closed and evict the state."""
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"user_id": user_id, "n_events": n, "last_ts_us": last, "closed": True}]
+            )
+            return
+        n, last = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                last = max(last, int(pdf["ts_us"].max()))
+        state.update((n, last))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)  # idle → close + evict
+        yield pd.DataFrame([{"user_id": user_id, "n_events": n, "last_ts_us": last, "closed": False}])
+
+    return _user_state_fn
 
 
-def user_running_state(events: DataFrame) -> DataFrame:
+def user_running_state(events: DataFrame, timeout_ms: Optional[int] = 60_000) -> DataFrame:
     """Custom stateful operator: per-user running totals with idle eviction
-    (``applyInPandasWithState`` — Arrow-batched, update-mode output)."""
+    (``applyInPandasWithState`` — Arrow-batched, update-mode output).
+
+    Update-mode emits one row per (user, micro-batch) plus a closed row on
+    eviction — consumers wanting only the FINAL state aggregate with
+    ``max`` (counts are monotone), which is what the driver query does.
+
+    ``timeout_ms=None`` disables idle eviction (``NoTimeout``): a finite
+    availableNow drain never terminates while processing-time timeouts are
+    pending, so batch-equivalence checks use the no-timeout variant; the
+    eviction path is exercised by the long-running streaming tests."""
+    conf = (
+        GroupStateTimeout.NoTimeout
+        if timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         events.select("user_id", "ts_us")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _user_state_fn,
+            _make_user_state_fn(timeout_ms or 0),
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=conf,
         )
     )
 
@@ -267,6 +285,8 @@ def run_available_now(
         )
         q.awaitTermination(timeout_s)
     finally:
+        if q.isActive:  # drain deadline hit (e.g. pending state timeouts)
+            q.stop()
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(query_name)
