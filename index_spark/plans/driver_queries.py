@@ -1287,6 +1287,43 @@ def q_jsonl_roundtrip(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_csv_roundtrip(spark, sf_dir):
+    """Source-format coverage: orders written as headered CSV and read back
+    with an explicit schema + timestampFormat (inference would be a full
+    extra pass AND would lossily re-type). Aggregated per status; the
+    oracle reads the original parquet, so the roundtrip must be lossless
+    for keys, money (cents-exact), and timestamps (µs-exact)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    d = tempfile.mkdtemp(prefix="csvq_")
+    try:
+        path = d + "/orders_csv"
+        fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        (
+            orders.write.mode("overwrite")
+            .option("header", True)
+            .option("timestampFormat", fmt)
+            .csv(path)
+        )
+        back = (
+            spark.read.schema(orders.schema)
+            .option("header", True)
+            .option("timestampFormat", fmt)
+            .csv(path)
+        )
+        out = back.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            _sum_cents(F.col("o_totalprice"), "total"),
+            F.min(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("first_date_us"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # materialize before rmtree
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_top_bigrams(spark, sf_dir):
     """Corpus bigram counts, top 50 (tie-break on the bigram itself) — the
     count-table pass an n-gram LM or BPE-merge trainer starts from. Pure
@@ -2281,6 +2318,13 @@ def build_oracles() -> dict[str, str]:
             f"{_sql_sum_cents('o_totalprice', 'total')} FROM orders "
             "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"
         ),
+        "csv_roundtrip": (
+            "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+            f"{_sql_sum_cents('o_totalprice', 'total')}, "
+            "min(epoch_us(o_orderdate)) AS first_date_us, "
+            "max(o_orderkey) AS max_key "
+            "FROM orders GROUP BY o_orderstatus"
+        ),
         "jsonl_roundtrip": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(len(text)) AS BIGINT) AS total_chars, min(doc_id) AS min_doc "
@@ -2464,6 +2508,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_survivors": q_near_dedup_survivors,
         "simhash_block_pairs": q_simhash_block_pairs,
         "stream_user_state": q_stream_user_state,
+        "csv_roundtrip": q_csv_roundtrip,
         # --- (a) driver-unverified in round 1 ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,
