@@ -143,3 +143,18 @@ def test_q22_anti_join_and_scalar_broadcast(plans):
     p = plans("q22_idle_rich")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p  # 1-row scalar
     assert "LeftAnti" in p  # no-urgent-orders exclusion stays an anti join
+
+
+def test_catalog_integrity():
+    """Every oracle names a real query; the rows-only set (no SQL twin by
+    design: k-means / seeded planes / numpy RNG) is exactly the documented
+    three — any new query silently missing its oracle fails here instead
+    of weakening the driver gate unnoticed."""
+    qs, oracles = em.queries(), em.oracle_sql()
+    assert set(oracles) <= set(qs), set(oracles) - set(qs)
+    assert set(qs) - set(oracles) == {
+        "multimodal_features",
+        "ivf_trained_topk",
+        "lsh_sign_topk",
+    }
+    assert len(qs) >= 104
