@@ -64,6 +64,37 @@ def read_latest(base_path: str, name: str) -> Optional[tuple[dict, int]]:
         return json.load(f), stamp
 
 
+def prune(base_path: str, name: str, keep_latest: int = 16) -> int:
+    """Delete all but the newest ``keep_latest`` stamped catalog files.
+
+    Every commit leaves one immutable file behind; a long mutation history
+    would otherwise make the LIST step (and the directory itself) grow
+    without bound. Readers only ever resolve the HIGHEST stamp, so deleting
+    older stamps never changes what any reader sees — a reader that listed
+    before the delete reads a file that still exists (deletes go oldest-
+    first). The commit protocol is unaffected: put-if-absent targets a
+    stamp above the highest, which is always kept. Returns #deleted."""
+    stamps = []
+    pat = _stamp_re(name)
+    try:
+        entries = os.listdir(base_path)
+    except FileNotFoundError:
+        return 0
+    for e in entries:
+        if (m := pat.match(e)):
+            stamps.append(int(m.group(1)))
+    stamps.sort()
+    doomed = stamps[:-keep_latest] if keep_latest > 0 else stamps
+    n = 0
+    for s in doomed:
+        try:
+            os.unlink(os.path.join(base_path, f"{name}.v{s}.json"))
+            n += 1
+        except FileNotFoundError:
+            pass
+    return n
+
+
 def commit(base_path: str, name: str, obj: dict, expected_stamp: Optional[int]) -> int:
     """Conditional put of the next catalog version.
 

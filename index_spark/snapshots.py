@@ -457,6 +457,10 @@ class SnapshotStore:
                     os.remove(p)
         m["versions"] = [row for row in m["versions"] if row["version"] in pinned]
         self._write_manifest(m)
+        # the commit history also leaves one immutable stamped manifest file
+        # per commit — prune the tail so LIST cost stays bounded over a long
+        # mutation history (readers only ever resolve the highest stamp)
+        catalog_io.prune(self.base_path, _MANIFEST_NAME)
         return removed
 
 

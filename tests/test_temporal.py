@@ -124,3 +124,28 @@ def test_temporal_missing_store_raises_specific_error(spark, tmp_base):
     for call in (lambda: ti.find(0), lambda: ti.find_index(0), lambda: ti.snapshot(), lambda: ti.latest()):
         with pytest.raises(TemporalIndexNotFoundError):
             call()
+
+
+def test_vacuum_prunes_stamped_manifests(spark, tmp_base):
+    """A long mutation history leaves one immutable stamped manifest per
+    commit; vacuum must bound that tail while the latest stamp (what every
+    reader resolves) survives and the data stays intact."""
+    import glob
+
+    from index_spark import catalog as catalog_io
+
+    store = SnapshotStore(spark, tmp_base + "/pidx")
+    idx = store.create(["key"])
+    for i in range(6):
+        idx = store.latest().insert([{"key": f"k{i}", "value": str(i)}], version=f"v{i}")
+    before = len(glob.glob(tmp_base + "/pidx/_manifest.v*.json"))
+    assert before >= 7  # create + 6 commits
+    store.vacuum(keep_last=1)
+    after = glob.glob(tmp_base + "/pidx/_manifest.v*.json")
+    # bounded tail, newest stamp kept, store still fully readable
+    assert len(after) <= 16
+    assert len(scan(store.latest())) == 6
+    # explicit aggressive prune keeps only the newest
+    catalog_io.prune(tmp_base + "/pidx", "_manifest", keep_latest=1)
+    assert len(glob.glob(tmp_base + "/pidx/_manifest.v*.json")) == 1
+    assert len(scan(store.latest())) == 6
