@@ -2500,15 +2500,6 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # erred on the old loader, then (c) the 43 that already hash-matched.
     # Functionally the dict is identical either way.
     return {
-        # --- new in round 2 ---
-        "binary_key_range": q_binary_key_range,
-        "multi_get_large": q_multi_get_large,
-        "error_codes": q_error_codes,
-        "compact_files": q_compact_files,
-        "near_dedup_survivors": q_near_dedup_survivors,
-        "simhash_block_pairs": q_simhash_block_pairs,
-        "stream_user_state": q_stream_user_state,
-        "csv_roundtrip": q_csv_roundtrip,
         # --- (a) driver-unverified in round 1 ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,
@@ -2556,6 +2547,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "stream_join_attrib": q_stream_join_attrib,
         "stream_dedup": q_stream_dedup,
+        # --- new in round 2 (driver-unverified) ---
+        "binary_key_range": q_binary_key_range,
+        "multi_get_large": q_multi_get_large,
+        "error_codes": q_error_codes,
+        "compact_files": q_compact_files,
+        "near_dedup_survivors": q_near_dedup_survivors,
+        "simhash_block_pairs": q_simhash_block_pairs,
+        "stream_user_state": q_stream_user_state,
+        "csv_roundtrip": q_csv_roundtrip,
         # --- (b) erred in round 1 (events loader), fixed this round ---
         "asof_lookup": q_asof_lookup,
         "asof_state": q_asof_state,

@@ -560,6 +560,9 @@ class ShardedIndex:
                             os.remove(fp)
             _shutil.rmtree(p, ignore_errors=True)
             removed_dirs.append(p)
+        # bound the sharded catalog's own stamped-file tail (shard stores
+        # prune theirs inside store.vacuum)
+        catalog_io.prune(self.base_path, _CATALOG_NAME)
         return {"versions": removed_versions, "dirs": removed_dirs}
 
     # --------------------------------------------------------- split/merge
