@@ -495,16 +495,24 @@ def q_version_changed_check(spark, sf_dir):
 
 
 # ---- §2.5 temporal -------------------------------------------------------
+def _ts_at_most(us: int):
+    """Pushdown-friendly event-time bound: compare the PHYSICAL ts column —
+    Catalyst inverts the ntz→tz cast under the UTC session zone and pushes
+    LessThanOrEqual(ts, …) into the parquet scan, so row groups outside the
+    bound never load. A predicate on the computed ts_us reads everything."""
+    return F.col("ts") <= F.timestamp_micros(F.lit(us))
+
+
 def q_asof_lookup(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    return ev.filter(F.col("ts_us") <= T_ASOF_US).agg(F.max("ts_us").alias("as_of_ts_us"))
+    return ev.filter(_ts_at_most(T_ASOF_US)).agg(F.max("ts_us").alias("as_of_ts_us"))
 
 
 def q_asof_state(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
     return (
-        ev.filter(F.col("ts_us") <= T_ASOF_US)
+        ev.filter(_ts_at_most(T_ASOF_US))
         .select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "value")

@@ -158,3 +158,11 @@ def test_catalog_integrity():
         "lsh_sign_topk",
     }
     assert len(qs) >= 104
+
+
+def test_asof_time_bound_reaches_the_scan(plans):
+    """Event-time bounds must be expressed on the physical ts column so the
+    parquet scan prunes row groups — a bound on the derived ts_us column
+    silently reads the whole events table."""
+    p = plans("asof_lookup")
+    assert "LessThanOrEqual(ts," in p.split("PushedFilters")[1][:200]
