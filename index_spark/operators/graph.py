@@ -9,10 +9,11 @@ Scale notes: this is min-label propagation — each round is one shuffle
 (join on the edge key + groupBy min), and it converges in graph-diameter
 rounds. Near-dup graphs are shallow (dupes link to an original, diameters
 of a few), so the round count is small and data-independent-ish. For
-adversarial deep graphs at 100 TB, swap the loop body for the
-large-star/small-star alternation (Kiveris et al., "Connected Components in
-MapReduce and Beyond"), which converges in O(log n) rounds over the same
-primitives. Each round ``localCheckpoint``s to truncate lineage — without it
+adversarial deep graphs at 100 TB use
+:func:`connected_components_star` — the large-star/small-star alternation
+(Kiveris et al. 2014, "Connected Components in MapReduce and Beyond"),
+which contracts chains in O(log² n) rounds over the same join+groupBy
+primitives (tested equivalent, incl. a 60-node path in ≤12 rounds). Each round ``localCheckpoint``s to truncate lineage — without it
 the plan doubles per iteration and the driver, not the data, becomes the
 bottleneck.
 """
@@ -62,3 +63,83 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def connected_components_star(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 30
+) -> DataFrame:
+    """Two-phase large-star/small-star connected components (Kiveris et al.
+    2014, "Connected Components in MapReduce and Beyond" — the alternating
+    formulation). Same (id, label) contract as :func:`connected_components`.
+
+    Why it exists: min-label propagation converges in DIAMETER rounds —
+    fine for shallow near-dup graphs, catastrophic for an adversarial
+    path/chain graph at 100 TB (a 10^6-long chain = 10^6 shuffles). The
+    star operations contract chains in O(log² n) rounds (O(log n) in
+    practice) using the same join+groupBy primitives:
+
+    - large-star: for every node u, connect each strictly-LARGER neighbor
+      v to u's minimum neighbor-or-self m(u);
+    - small-star: connect each neighbor v ≤ u (and u) to m(u).
+
+    Both keep the invariant that the edge set's connectivity is unchanged
+    while monotonically lowering every node's reachable minimum; the fixed
+    point is a star centered at each component's min id. Every round
+    ``localCheckpoint``s to truncate lineage, like the propagation loop.
+    """
+    def _large_star(e: DataFrame) -> DataFrame:
+        # operates on the SYMMETRIZED neighborhood: for each u with
+        # m = min(Γ(u) ∪ {u}), emit (v, m) for every neighbor v > u.
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.union(sym.select("u", F.col("u").alias("v")))
+            .groupBy("u")
+            .agg(F.min("v").alias("m"))
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # input is big→small oriented (large-star emits v > m); for each u
+        # with m = min(Γ(u) ∪ {u}) over its SMALLER neighbors, emit (v, m)
+        # for every neighbor and (u, m).
+        m = (
+            e.union(e.select("u", F.col("u").alias("v")))
+            .groupBy("u")
+            .agg(F.min("v").alias("m"))
+        )
+        withm = e.join(m, "u")
+        return (
+            withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        stable = (
+            e2.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(e2).limit(1).count() == 0
+        )
+        e = e2
+        if stable:
+            break
+    else:
+        raise RuntimeError(f"star CC did not converge in {max_iter} rounds")
+    # fixed point: stars — every edge points at its component's min; the
+    # centers label themselves
+    labels = e.select(F.col("u").alias("id"), F.col("v").alias("label"))
+    centers = e.select(F.col("v").alias("id")).distinct().withColumn("label", F.col("id"))
+    return labels.union(centers).groupBy("id").agg(F.min("label").alias("label"))

@@ -268,3 +268,19 @@ def test_create_race_rejects_second_writer(store, spark):
     store.create(["key"])
     with pytest.raises((CommitConflictError, IndexAlreadyExistsError)):
         SnapshotStore(spark, store.base_path).create(["key"])
+
+
+def test_execute_mixed_list_and_df_payloads(store, spark):
+    """One atomic transaction mixing a driver-list command and a DataFrame
+    command: shared version string, single commit, partial-COW planner
+    falls back to coarse [lo, hi] bounds when any payload is a DataFrame."""
+    idx = store.create(["key"]).insert([kv(f"k{i}", str(i)) for i in range(10)])
+    batch_df = spark.createDataFrame([kv("k3", "DF"), kv("zz", "NEW")])
+    nxt = store.latest().execute(
+        [Update([kv("k1", "L")]), Insert(batch_df, upsert=True)], version="mix"
+    )
+    got = dict(scan(nxt))
+    assert got["k1"] == "L" and got["k3"] == "DF" and got["zz"] == "NEW"
+    vs = versions_of(nxt)
+    assert vs["k1"] == vs["k3"] == vs["zz"] == "mix"  # one shared version
+    assert vs["k5"] != "mix"  # untouched rows keep their writer version
