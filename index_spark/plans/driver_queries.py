@@ -1621,6 +1621,21 @@ def q_dedup_clusters(spark, sf_dir):
     return cc.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same cluster resolution through the large-star/small-star alternation
+    (Kiveris et al.) — the log-round scale path for adversarial deep
+    duplicate graphs. Must produce the identical (doc, cluster-min) map as
+    the propagation version, so it shares that query's oracle."""
+    from index_spark.operators.graph import connected_components_star
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    pairs = DD.minhash_near_dup_pairs(
+        docs, threshold=0.5, num_hashes=MINHASH_N, bands=MINHASH_BANDS
+    )
+    cc = connected_components_star(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    return cc.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def q_skew_salted_join(spark, sf_dir):
     """Salted fact⋈dim join (lineitem⋈part on partkey, salt=8): results are
     identical to the plain join — the salt only respreads reducers — so the
@@ -1857,7 +1872,7 @@ def build_oracles() -> dict[str, str]:
         "round(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)"
         " / greatest(len(list_distinct(list_concat(s1.sh, s2.sh))), 1), 6)"
     )
-    return {
+    out = {
         # --- reference surface
         "point_get": "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 1000",
         "multi_get": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey IN (3,141,592,653,589,793,238,462)",
@@ -2499,6 +2514,9 @@ def build_oracles() -> dict[str, str]:
             ") WHERE new_s = 1 GROUP BY user_id"
         ),
     }
+    # the star-CC variant must produce the identical cluster map
+    out["dedup_clusters_star"] = out["dedup_clusters"]
+    return out
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2564,6 +2582,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_block_pairs": q_simhash_block_pairs,
         "stream_user_state": q_stream_user_state,
         "csv_roundtrip": q_csv_roundtrip,
+        "dedup_clusters_star": q_dedup_clusters_star,
         # --- (b) erred in round 1 (events loader), fixed this round ---
         "asof_lookup": q_asof_lookup,
         "asof_state": q_asof_state,
