@@ -138,6 +138,36 @@ class SortedIndex:
         """Full scan in key order (``inOrder``/``reverse``)."""
         return self._ordered(self.df, reverse, limit)
 
+    def pages(self, page_size: int, reverse: bool = False):
+        """Seek-paginated iteration: yield key-ordered pages of
+        ``page_size`` rows, each fetched as ``gt(last_key_of_previous_page,
+        limit=page_size)`` — the reference's async-iterator protocol
+        (``RichAsyncIndexIterator.scala:13-41``: hasNext/next pulls one
+        block at a time, resuming from the last key).
+
+        Seek pagination beats OFFSET pagination structurally: every page is
+        an indexed top-k continuation (``TakeOrderedAndProject`` above a
+        scan whose pushed ``gt`` bound prunes all already-read partitions),
+        where OFFSET N re-reads and discards N rows per page. Pagination is
+        inherently driver-paced, so each yielded page is the COLLECTED row
+        list (like the reference iterator's block of tuples); iteration
+        stops at the first short page."""
+        last: Optional[tuple] = None
+        while True:
+            if last is None:
+                page = self.in_order(reverse=reverse, limit=page_size)
+            elif reverse:
+                page = self.lt(last, reverse=True, limit=page_size)
+            else:
+                page = self.gt(last, limit=page_size)
+            rows = page.collect()
+            if not rows:
+                return
+            yield rows
+            if len(rows) < page_size:
+                return
+            last = tuple(rows[-1][k] for k in self.key)
+
     def head(self, n: int = 1) -> DataFrame:
         """First n tuples in key order (QueryableIndex.scala:85)."""
         return self._ordered(self.df, reverse=False, limit=n)

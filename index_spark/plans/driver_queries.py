@@ -323,6 +323,21 @@ def q_compact_files(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_seek_pagination(spark, sf_dir):
+    """Seek-paginated scan (the reference's async-iterator protocol,
+    RichAsyncIndexIterator.scala:13-41): each page is gt(last_key,
+    limit=n) — an indexed top-k continuation whose pushed bound prunes
+    everything already read, vs OFFSET's read-and-discard. Pages are
+    re-assembled with their page number; the oracle reproduces the
+    assignment with a rank window."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 600)
+    idx = SortedIndex(orders.select("o_orderkey", "o_totalprice"), ["o_orderkey"])
+    out = []
+    for pno, rows in enumerate(idx.pages(50), start=1):
+        out += [{"page": pno, "o_orderkey": r.o_orderkey} for r in rows]
+    return spark.createDataFrame(out, "page int, o_orderkey long")
+
+
 # ---- §2.4 split / merge --------------------------------------------------
 def q_split_median(spark, sf_dir):
     """Exact split boundary (lower median) WITHOUT a global single-reducer
@@ -1909,6 +1924,10 @@ def build_oracles() -> dict[str, str]:
             f"{_sql_sum_cents('o_totalprice', 'total')}, "
             "TRUE AS files_shrank FROM merged"
         ),
+        "seek_pagination": (
+            "SELECT CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 50) + 1 AS INTEGER) AS page, "
+            "o_orderkey FROM orders WHERE o_orderkey <= 600"
+        ),
         "binary_key_range": (
             "SELECT hex(k) AS k_hex, doc_id FROM "
             "(SELECT unhex(md5(text)) AS k, doc_id FROM documents) "
@@ -2583,6 +2602,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_user_state": q_stream_user_state,
         "csv_roundtrip": q_csv_roundtrip,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "seek_pagination": q_seek_pagination,
         # --- (b) erred in round 1 (events loader), fixed this round ---
         "asof_lookup": q_asof_lookup,
         "asof_state": q_asof_state,

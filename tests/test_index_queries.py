@@ -249,3 +249,26 @@ def test_get_all_large_request_shuffle_path(spark, sf_dir):
         assert idx.get_all(want, must_find_all=True).count() == len(want)
     finally:
         SortedIndex.GET_ALL_BROADCAST_LIMIT = old
+
+
+def test_pages_seek_pagination(spark, sf_dir):
+    """pages() must stream the exact in_order sequence in page_size chunks,
+    forward and reverse, resuming from the last key of each page."""
+    from index_spark.index import SortedIndex
+    from index_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    idx = SortedIndex(orders, ["o_orderkey"])
+    want = [r.o_orderkey for r in idx.in_order().select("o_orderkey").collect()]
+
+    got, sizes = [], []
+    for rows in idx.pages(40):
+        got += [r.o_orderkey for r in rows]
+        sizes.append(len(rows))
+    assert got == want
+    assert all(s == 40 for s in sizes[:-1]) and 0 < sizes[-1] <= 40
+
+    rev = []
+    for rows in idx.pages(64, reverse=True):
+        rev += [r.o_orderkey for r in rows]
+    assert rev == want[::-1]
