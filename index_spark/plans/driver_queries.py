@@ -338,6 +338,47 @@ def q_seek_pagination(spark, sf_dir):
     return spark.createDataFrame(out, "page int, o_orderkey long")
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Change feed between snapshot versions (the CDF an incremental
+    consumer reads instead of re-scanning): v0 = orders(key<=3000);
+    tx = upsert(price bump on %211==0) + insert(-1,-2) + remove of two
+    known keys; diff(v0, v1) must report exactly those keys with their
+    change kinds. Writer-version comparison classifies rows — values are
+    never compared. The oracle recomputes the change set from the same
+    algebra."""
+    from index_spark.commands import Insert, Remove, Update
+    from index_spark.snapshots import SnapshotStore
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 3000)
+    )
+    d = tempfile.mkdtemp(prefix="diffq_")
+    try:
+        store = SnapshotStore(spark, d + "/idx")
+        h = store.create(["o_orderkey"], df=orders, rows_per_partition=500_000)
+        bumped = orders.filter(F.col("o_orderkey") % 211 == 0).select(
+            "o_orderkey", (F.col("o_totalprice") + 1.0).alias("o_totalprice")
+        )
+        fresh = spark.range(1, 3).select(
+            (-F.col("id")).alias("o_orderkey"), F.lit(0.0).alias("o_totalprice")
+        )
+        doomed = [r.o_orderkey for r in orders.orderBy("o_orderkey").limit(2).collect()]
+        h2 = h.execute(
+            [
+                Insert(bumped.unionByName(fresh), upsert=True),
+                Remove([{"o_orderkey": k} for k in doomed]),
+            ],
+            version="tx-diff",
+        )
+        out = store.diff(0, h2.version).select("o_orderkey", "change")
+        out = spark.createDataFrame(out.collect(), out.schema)  # materialize before rmtree
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 # ---- §2.4 split / merge --------------------------------------------------
 def q_split_median(spark, sf_dir):
     """Exact split boundary (lower median) WITHOUT a global single-reducer
@@ -1924,6 +1965,15 @@ def build_oracles() -> dict[str, str]:
             f"{_sql_sum_cents('o_totalprice', 'total')}, "
             "TRUE AS files_shrank FROM merged"
         ),
+        "snapshot_diff": (
+            "WITH doomed AS (SELECT o_orderkey FROM orders WHERE o_orderkey <= 3000 "
+            "               ORDER BY o_orderkey LIMIT 2) "
+            "SELECT o_orderkey, 'update' AS change FROM orders "
+            "  WHERE o_orderkey <= 3000 AND o_orderkey % 211 = 0 "
+            "  AND o_orderkey NOT IN (SELECT o_orderkey FROM doomed) "
+            "UNION ALL SELECT * FROM (VALUES (-1, 'insert'), (-2, 'insert')) t(o_orderkey, change) "
+            "UNION ALL SELECT o_orderkey, 'delete' FROM doomed"
+        ),
         "seek_pagination": (
             "SELECT CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 50) + 1 AS INTEGER) AS page, "
             "o_orderkey FROM orders WHERE o_orderkey <= 600"
@@ -2603,6 +2653,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": q_csv_roundtrip,
         "dedup_clusters_star": q_dedup_clusters_star,
         "seek_pagination": q_seek_pagination,
+        "snapshot_diff": q_snapshot_diff,
         # --- (b) erred in round 1 (events loader), fixed this round ---
         "asof_lookup": q_asof_lookup,
         "asof_state": q_asof_state,

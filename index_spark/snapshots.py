@@ -358,6 +358,42 @@ class SnapshotStore:
             return self.spark.read.parquet(*[f["path"] for f in files])
         return self.spark.read.parquet(self._version_path(version))
 
+    def diff(self, from_version: int, to_version: int) -> DataFrame:
+        """Change feed between two snapshot versions: one row per key whose
+        state differs, with ``change ∈ {insert, update, delete}`` plus the
+        old/new writer-version columns (the CDF a downstream incremental
+        consumer reads instead of re-scanning the snapshot).
+
+        Plan shape: full outer join of the two snapshots on the key —
+        ONE shuffle on the key (or none, since both sides are the SAME
+        range layout: identically-partitioned sorted parquet zips
+        locality-friendly). Under file-level COW, carried files are
+        byte-identical between versions, and the writer-version comparison
+        (not value comparison) classifies rows, so wide values never need
+        comparing. A key rewritten with the same writer version string in
+        both snapshots reports nothing — correct, since COW carries, never
+        rewrites-in-place."""
+        self._version_row(from_version)
+        self._version_row(to_version)
+        key = self._read_manifest()["key"]
+        a = self.read(from_version).select(
+            *key, F.col(VERSION_COL).alias("__v_old")
+        )
+        b = self.read(to_version).select(
+            *key, F.col(VERSION_COL).alias("__v_new")
+        )
+        j = a.join(b, on=list(key), how="full_outer")
+        change = (
+            F.when(F.col("__v_old").isNull(), F.lit("insert"))
+            .when(F.col("__v_new").isNull(), F.lit("delete"))
+            .when(F.col("__v_old") != F.col("__v_new"), F.lit("update"))
+        )
+        return (
+            j.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(*key, "change", "__v_old", "__v_new")
+        )
+
     def latest_version(self) -> int:
         m = self._read_manifest()
         if not m["versions"]:

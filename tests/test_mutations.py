@@ -284,3 +284,23 @@ def test_execute_mixed_list_and_df_payloads(store, spark):
     vs = versions_of(nxt)
     assert vs["k1"] == vs["k3"] == vs["zz"] == "mix"  # one shared version
     assert vs["k5"] != "mix"  # untouched rows keep their writer version
+
+
+def test_snapshot_diff_change_feed(store, spark):
+    """diff(v_from, v_to) reports exactly the changed keys with kinds;
+    carried files under partial COW produce no false positives."""
+    rows = [kv(f"k{i:03d}", str(i)) for i in range(30)]
+    idx = store.create(["key"], df=spark.createDataFrame(rows), rows_per_partition=10)
+    v0 = idx.version
+    idx = store.latest().execute(
+        [
+            Insert([kv("k005", "UP"), kv("zzz", "NEW")], upsert=True),
+            Remove([{"key": "k020"}]),
+        ],
+        version="feed",
+    )
+    got = {(r.key, r.change) for r in store.diff(v0, idx.version).collect()}
+    assert got == {("k005", "update"), ("zzz", "insert"), ("k020", "delete")}
+    # reverse direction flips the kinds
+    rev = {(r.key, r.change) for r in store.diff(idx.version, v0).collect()}
+    assert rev == {("k005", "update"), ("zzz", "delete"), ("k020", "insert")}
