@@ -379,6 +379,44 @@ def q_snapshot_diff(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_sharded_time_travel(spark, sf_dir):
+    """Logical time travel over the SHARDED index: snapshot the 2-shard
+    state, run a cross-shard mutation batch, then read the range BOTH ways
+    — as_of(snapshot) must show the pre-mutation state, latest the post.
+    History pins whole shard lists, so the view survives later splits.
+    Returned as (era, n, total) rows; the oracle recomputes both eras from
+    the base algebra."""
+    from index_spark.commands import Insert, Update
+    from index_spark.sharded import ShardedIndex
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 2000)
+    )
+    d = tempfile.mkdtemp(prefix="sttq_")
+    try:
+        sh = ShardedIndex.create(
+            spark, d + "/sh", ["o_orderkey"], orders, n_shards=2, rows_per_partition=500_000
+        )
+        t0 = sh.snapshot()
+        sh.execute([
+            Update([{"o_orderkey": 7, "o_totalprice": 0.0}]),
+            Insert([{"o_orderkey": -5, "o_totalprice": 5.0}]),
+        ])
+        def era(tag, view):
+            return view.range(-100, 3000).agg(
+                F.lit(tag).alias("era"),
+                F.count(F.lit(1)).alias("n"),
+                _sum_cents(F.col("o_totalprice"), "total"),
+            )
+        out = era("before", sh.as_of(t0)).unionByName(era("after", sh))
+        out = spark.createDataFrame(out.collect(), out.schema)  # materialize before rmtree
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 # ---- §2.4 split / merge --------------------------------------------------
 def q_split_median(spark, sf_dir):
     """Exact split boundary (lower median) WITHOUT a global single-reducer
@@ -1965,6 +2003,17 @@ def build_oracles() -> dict[str, str]:
             f"{_sql_sum_cents('o_totalprice', 'total')}, "
             "TRUE AS files_shrank FROM merged"
         ),
+        "sharded_time_travel": (
+            "WITH base AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 2000), "
+            "after AS (SELECT o_orderkey, CASE WHEN o_orderkey = 7 THEN 0.0 ELSE o_totalprice END "
+            "          AS o_totalprice FROM base "
+            "          UNION ALL SELECT -5, 5.0) "
+            "SELECT 'before' AS era, CAST(count(*) AS BIGINT) AS n, "
+            f"{_sql_sum_cents('o_totalprice', 'total')} FROM base "
+            "UNION ALL "
+            "SELECT 'after', CAST(count(*) AS BIGINT), "
+            f"{_sql_sum_cents('o_totalprice', 'total')} FROM after"
+        ),
         "snapshot_diff": (
             "WITH doomed AS (SELECT o_orderkey FROM orders WHERE o_orderkey <= 3000 "
             "               ORDER BY o_orderkey LIMIT 2) "
@@ -2654,6 +2703,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "seek_pagination": q_seek_pagination,
         "snapshot_diff": q_snapshot_diff,
+        "sharded_time_travel": q_sharded_time_travel,
         # --- (b) erred in round 1 (events loader), fixed this round ---
         "asof_lookup": q_asof_lookup,
         "asof_state": q_asof_state,
