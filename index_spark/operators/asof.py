@@ -36,9 +36,20 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Left as-of join. ``right_cols`` defaults to all non-key, non-ts
-    columns of ``right``; they appear suffixed on the output."""
+    columns of ``right``; they appear suffixed on the output.
+
+    ``direction``: "backward" (latest right ≤ left, the default) or
+    "forward" (earliest right ≥ left) — forward is the same carry trick
+    over a DESCENDING timeline, so it stays one shuffle with no extra
+    pass. ``tolerance`` (same units as the ts columns) bounds the match
+    distance: carried values farther than it are nulled AFTER the carry,
+    so the window shape is unchanged (pandas ``merge_asof`` semantics)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on and c != right_ts]
@@ -65,14 +76,29 @@ def asof_join(
         rhs_aligned.select(*left.columns, "__side", "__ts", *carried)
     )
 
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = both.select(
         *left.columns,
         "__side",
+        "__ts",
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    out = filled.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        rts = F.col(f"{right_ts}{suffix}")
+        dist = (F.col("__ts") - rts) if direction == "backward" else (rts - F.col("__ts"))
+        out = out.select(
+            *left.columns,
+            "__side",
+            "__ts",
+            *[
+                F.when(dist <= F.lit(tolerance), F.col(c)).alias(c)
+                for c in carried
+            ],
+        )
+    return out.drop("__side", "__ts")

@@ -622,6 +622,21 @@ def q_asof_join_events(spark, sf_dir):
     return out.select("event_id", F.col("ts_us_right").alias("signup_ts_us"))
 
 
+def q_asof_join_tolerance(spark, sf_dir):
+    """As-of join with a match-distance bound (pandas merge_asof
+    semantics): each purchase ← latest signup at most 3 days before it;
+    farther matches null out. Same one-shuffle carry plan as the unbounded
+    as-of; the oracle's correlated subquery carries the same bound."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts_us")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts_us")
+    out = asof_join(
+        purchases, signups, on=["user_id"], left_ts="ts_us", right_ts="ts_us",
+        tolerance=3 * 86_400_000_000,
+    )
+    return out.select("event_id", F.col("ts_us_right").alias("signup_ts_us"))
+
+
 def q_window_lag(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -2105,6 +2120,12 @@ def build_oracles() -> dict[str, str]:
             "    (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) rn "
             f"  FROM events WHERE epoch_us(ts) <= {T_ASOF_US}) WHERE rn = 1"
         ),
+        "asof_join_tolerance": (
+            "SELECT p.event_id, "
+            "  (SELECT max(epoch_us(s.ts)) FROM events s WHERE s.event_type = 'signup' "
+            "   AND s.user_id = p.user_id AND epoch_us(s.ts) <= epoch_us(p.ts) AND epoch_us(s.ts) >= epoch_us(p.ts) - 259200000000) AS signup_ts_us "
+            "FROM events p WHERE p.event_type = 'purchase'"
+        ),
         "asof_join_events": (
             "SELECT p.event_id, "
             "  (SELECT max(epoch_us(s.ts)) FROM events s WHERE s.event_type = 'signup' "
@@ -2704,6 +2725,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seek_pagination": q_seek_pagination,
         "snapshot_diff": q_snapshot_diff,
         "sharded_time_travel": q_sharded_time_travel,
+        "asof_join_tolerance": q_asof_join_tolerance,
         # --- (b) erred in round 1 (events loader), fixed this round ---
         "asof_lookup": q_asof_lookup,
         "asof_state": q_asof_state,

@@ -289,3 +289,42 @@ def test_word_ngrams_all_multiplicity_and_short_docs(spark):
     assert got[0] == ["a b", "b a", "a b"]  # multiplicity preserved
     assert got[1] == [] and got[2] == []  # sub-k docs contribute nothing
     assert got[3] == ["x y"]  # lowercased
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    """direction=forward → earliest right >= left (ties inclusive);
+    tolerance nulls matches farther than the bound, like pandas
+    merge_asof. Checked against a brute-force Python model."""
+    from index_spark.operators.asof import asof_join
+
+    left = [(1, 10), (1, 25), (1, 40), (2, 5), (2, 100)]
+    right = [(1, 8, "a"), (1, 25, "b"), (1, 60, "c"), (2, 50, "d")]
+    ldf = spark.createDataFrame(left, "k long, ts long")
+    rdf = spark.createDataFrame(right, "k long, ts long, val string")
+
+    def model(direction, tol):
+        out = {}
+        for lk, lts in left:
+            cands = [
+                (rts, v)
+                for rk, rts, v in right
+                if rk == lk
+                and (rts <= lts if direction == "backward" else rts >= lts)
+                and (tol is None or abs(rts - lts) <= tol)
+            ]
+            if cands:
+                best = min(cands, key=lambda t: abs(t[0] - lts))
+                out[(lk, lts)] = best[1]
+            else:
+                out[(lk, lts)] = None
+        return out
+
+    for direction, tol in [("backward", None), ("forward", None), ("backward", 10), ("forward", 20)]:
+        got = {
+            (r.k, r.ts): r.val_right
+            for r in asof_join(
+                ldf, rdf, on=["k"], left_ts="ts", right_ts="ts",
+                direction=direction, tolerance=tol,
+            ).collect()
+        }
+        assert got == model(direction, tol), (direction, tol)
