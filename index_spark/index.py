@@ -138,7 +138,19 @@ class SortedIndex:
         """Full scan in key order (``inOrder``/``reverse``)."""
         return self._ordered(self.df, reverse, limit)
 
-    def pages(self, page_size: int, reverse: bool = False):
+    def _page_query(
+        self, seek_cols: list[str], last: Optional[tuple], page_size: int, reverse: bool
+    ) -> DataFrame:
+        """One seek-pagination page: rows strictly past ``last`` in
+        ``seek_cols`` order, limited to ``page_size`` (an indexed top-k
+        continuation — ``TakeOrderedAndProject`` above a scan whose pushed
+        bound prunes already-read partitions)."""
+        df = self.df
+        if last is not None:
+            df = df.filter((key_lt if reverse else key_gt)(seek_cols, last, False))
+        return df.orderBy(*sort_cols(seek_cols, reverse)).limit(page_size)
+
+    def pages(self, page_size: int, reverse: bool = False, tiebreaker: Optional[str] = None):
         """Seek-paginated iteration: yield key-ordered pages of
         ``page_size`` rows, each fetched as ``gt(last_key_of_previous_page,
         limit=page_size)`` — the reference's async-iterator protocol
@@ -146,27 +158,48 @@ class SortedIndex:
         block at a time, resuming from the last key).
 
         Seek pagination beats OFFSET pagination structurally: every page is
-        an indexed top-k continuation (``TakeOrderedAndProject`` above a
-        scan whose pushed ``gt`` bound prunes all already-read partitions),
-        where OFFSET N re-reads and discards N rows per page. Pagination is
-        inherently driver-paced, so each yielded page is the COLLECTED row
-        list (like the reference iterator's block of tuples); iteration
-        stops at the first short page."""
+        an indexed top-k continuation, where OFFSET N re-reads and discards
+        N rows per page. Pagination is inherently driver-paced, so each
+        yielded page is the COLLECTED row list (like the reference
+        iterator's block of tuples); iteration stops at the first short
+        page.
+
+        The seek resume assumes the seek key is UNIQUE per row: if the
+        declared key has duplicates and a page boundary lands inside a tie
+        group, the remaining tied rows would be silently skipped (and tie
+        order within a page is nondeterministic). For non-unique keys pass
+        ``tiebreaker`` — a column name making (key..., tiebreaker) unique —
+        and it joins both the ordering and the seek bound."""
+        seek_cols = self.key + ([tiebreaker] if tiebreaker else [])
         last: Optional[tuple] = None
         while True:
-            if last is None:
-                page = self.in_order(reverse=reverse, limit=page_size)
-            elif reverse:
-                page = self.lt(last, reverse=True, limit=page_size)
-            else:
-                page = self.gt(last, limit=page_size)
-            rows = page.collect()
+            rows = self._page_query(seek_cols, last, page_size, reverse).collect()
             if not rows:
                 return
             yield rows
             if len(rows) < page_size:
                 return
-            last = tuple(rows[-1][k] for k in self.key)
+            last = tuple(rows[-1][c] for c in seek_cols)
+
+    def pages_df(self, page_size: int, reverse: bool = False, tiebreaker: Optional[str] = None):
+        """Distributed seek pagination: like :meth:`pages` but each yielded
+        page is a DataFrame (same pushed seek bound), so consumers can feed
+        pages into further Spark stages without funneling row data through
+        the driver. Per page it pays one column-pruned boundary probe — a
+        collect of the page's SEEK COLUMNS only (≤ page_size narrow rows) —
+        which also detects the final short page. Same uniqueness contract
+        and ``tiebreaker`` escape hatch as :meth:`pages`."""
+        seek_cols = self.key + ([tiebreaker] if tiebreaker else [])
+        last: Optional[tuple] = None
+        while True:
+            page = self._page_query(seek_cols, last, page_size, reverse)
+            boundary = page.select(*seek_cols).collect()
+            if not boundary:
+                return
+            yield page
+            if len(boundary) < page_size:
+                return
+            last = tuple(boundary[-1][c] for c in seek_cols)
 
     def head(self, n: int = 1) -> DataFrame:
         """First n tuples in key order (QueryableIndex.scala:85)."""

@@ -272,3 +272,50 @@ def test_pages_seek_pagination(spark, sf_dir):
     for rows in idx.pages(64, reverse=True):
         rev += [r.o_orderkey for r in rows]
     assert rev == want[::-1]
+
+
+def test_pages_duplicate_keys_with_tiebreaker(spark, sf_dir):
+    """Non-unique seek key: a page boundary inside a tie group would skip
+    the remaining tied rows; passing tiebreaker= (here the unique line
+    number) restores exactly-once delivery."""
+    from index_spark.index import SortedIndex
+    from index_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    idx = SortedIndex(orders, ["o_custkey"])  # duplicate keys: many orders/cust
+    want = sorted(
+        (r.o_custkey, r.o_orderkey)
+        for r in orders.select("o_custkey", "o_orderkey").collect()
+    )
+    got = []
+    # page size 7 deliberately lands boundaries inside custkey tie groups
+    for rows in idx.pages(7, tiebreaker="o_orderkey"):
+        got += [(r.o_custkey, r.o_orderkey) for r in rows]
+    assert got == want  # nothing skipped, nothing repeated, in order
+
+
+def test_pages_df_distributed_pagination(spark, sf_dir):
+    """pages_df() yields DataFrames (not collected rows): same sequence as
+    pages(), and each non-first page's plan carries the pushed seek bound
+    so already-read ranges are pruned at the scan."""
+    from index_spark.index import SortedIndex
+    from index_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    idx = SortedIndex(orders, ["o_orderkey"])
+    want = [r.o_orderkey for r in idx.in_order().select("o_orderkey").collect()]
+
+    got, n_pages = [], 0
+    for page in idx.pages_df(40):
+        assert hasattr(page, "collect")  # a DataFrame, not a row list
+        if n_pages == 1:  # second page must seek past the first
+            plan = page._jdf.queryExecution().executedPlan().toString()
+            assert "o_orderkey" in plan
+        got += [r.o_orderkey for r in page.collect()]
+        n_pages += 1
+    assert got == want and n_pages == len(want) // 40 + (1 if len(want) % 40 else 0)
+
+    rev = []
+    for page in idx.pages_df(64, reverse=True):
+        rev += [r.o_orderkey for r in page.collect()]
+    assert rev == want[::-1]
