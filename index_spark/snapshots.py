@@ -277,6 +277,7 @@ class SnapshotStore:
         n_partitions: Optional[int] = None,
         carry_files: Optional[list[dict]] = None,
         expected_stamp: Optional[int] = None,
+        writer_version: Optional[str] = None,
     ) -> int:
         """Write ``df`` as the next snapshot version (sorted, range-partitioned).
 
@@ -303,8 +304,27 @@ class SnapshotStore:
                     f"handle's base {expected_stamp} — take a fresh handle"
                 )
             m[self._MV] = expected_stamp
+        if writer_version is not None:
+            # A caller-supplied writer-version string is a transaction id
+            # (the reference's ctx id — unique per transaction): reusing one
+            # across commits would make diff()'s writer-version comparison
+            # blind to genuine updates (__v_old == __v_new). Reject reuse
+            # rather than suffix-uniquify, so expected-version CC keeps
+            # comparing exactly the string the caller wrote.
+            if any(row.get("writer_version") == writer_version for row in m["versions"]):
+                raise ValueError(
+                    f"writer version {writer_version!r} was already used by a "
+                    "previous commit; version strings are per-transaction ids"
+                )
         version = (m["versions"][-1]["version"] + 1) if m["versions"] else 0
-        path = self._version_path(version)
+        # Unique per-commit data directory: two truly-concurrent writers from
+        # the same base stamp both compute the same next version NUMBER; a
+        # shared v{N} directory would let the loser's part-files land in the
+        # winner's directory before _file_stats lists it (manifest CAS
+        # correct, data silently wrong). With a uuid suffix, visibility is
+        # decided SOLELY by the manifest put-if-absent; a losing writer's
+        # directory is orphaned and reclaimed by vacuum().
+        path = os.path.join(self.base_path, f"v{version:06d}-{uuid.uuid4().hex[:8]}")
         part_cols = [F.col(c) for c in key]
         ranged = (
             df.repartitionByRange(n_partitions, *part_cols)
@@ -334,13 +354,20 @@ class SnapshotStore:
                 "ts": _now_ns(prev_ts),
                 "n_rows": n_rows,
                 "files": files,
+                "data_path": path,
+                **({"writer_version": writer_version} if writer_version else {}),
             }
         )
         self._write_manifest(m)
         return version
 
     def _version_path(self, version: int) -> str:
+        # legacy (pre data_path manifests) dir layout — readers prefer the
+        # manifest-recorded data_path
         return os.path.join(self.base_path, f"v{version:06d}")
+
+    def _version_dir(self, row: dict) -> str:
+        return row.get("data_path") or self._version_path(row["version"])
 
     # --------------------------------------------------------------- reads
     def _version_row(self, version: int) -> dict:
@@ -356,7 +383,7 @@ class SnapshotStore:
             # file-level COW: a version is a file LIST (possibly spanning
             # older version directories), not necessarily one directory.
             return self.spark.read.parquet(*[f["path"] for f in files])
-        return self.spark.read.parquet(self._version_path(version))
+        return self.spark.read.parquet(self._version_dir(row))
 
     def diff(self, from_version: int, to_version: int) -> DataFrame:
         """Change feed between two snapshot versions: one row per key whose
@@ -372,7 +399,15 @@ class SnapshotStore:
         (not value comparison) classifies rows, so wide values never need
         comparing. A key rewritten with the same writer version string in
         both snapshots reports nothing — correct, since COW carries, never
-        rewrites-in-place."""
+        rewrites-in-place (and :meth:`commit` rejects reuse of an explicit
+        writer-version string across commits, so carry is the ONLY way two
+        snapshots share one)."""
+        if from_version > to_version:
+            raise ValueError(
+                f"diff requires from_version <= to_version, got "
+                f"{from_version} > {to_version} (a swapped range would "
+                "silently invert insert/delete semantics)"
+            )
         self._version_row(from_version)
         self._version_row(to_version)
         key = self._read_manifest()["key"]
@@ -464,21 +499,36 @@ class SnapshotStore:
         pinned |= set(pin or ()) & set(versions)
         removed = [v for v in versions if v not in pinned]
 
+        import re as _re
+
         referenced: set[str] = set()
+        kept_dirs: set[str] = set()
         for row in m["versions"]:
             if row["version"] not in pinned:
                 continue
+            kept_dirs.add(os.path.abspath(self._version_dir(row)))
             files = row.get("files")
             if files:
                 referenced |= {os.path.abspath(f["path"]) for f in files}
-            else:  # legacy dir-level version: everything under its dir
+            else:  # dir-level version (no file stats): everything under its dir
                 referenced |= {
                     os.path.abspath(p)
-                    for p in _glob.glob(os.path.join(self._version_path(row["version"]), "*"))
+                    for p in _glob.glob(os.path.join(self._version_dir(row), "*"))
                 }
         removed_rows = [row for row in m["versions"] if row["version"] in set(removed)]
-        for v in removed:
-            vdir = self._version_path(v)
+        # Sweep every version-pattern directory that is not a kept version's:
+        # this covers both dropped versions' dirs AND orphaned dirs left by
+        # losing concurrent writers (data written, manifest CAS lost). Safe
+        # under the single-writer vacuum contract above — an IN-FLIGHT
+        # commit's dir would look orphaned, which is exactly why concurrent
+        # vacuum is excluded. Kept versions may reference files inside a
+        # dropped/orphaned dir (file-level COW), so deletion stays per-FILE.
+        vpat = _re.compile(r"v\d{6}(-[0-9a-f]{8})?$")
+        for vdir in _glob.glob(os.path.join(self.base_path, "v*")):
+            if not os.path.isdir(vdir) or not vpat.fullmatch(os.path.basename(vdir)):
+                continue
+            if os.path.abspath(vdir) in kept_dirs:
+                continue
             for p in _glob.glob(os.path.join(vdir, "*")):
                 if os.path.abspath(p) not in referenced:
                     os.remove(p) if os.path.isfile(p) else _shutil.rmtree(p, ignore_errors=True)
@@ -581,6 +631,17 @@ class VersionedIndex(SortedIndex):
         return None if self._empty else self.df
 
     @staticmethod
+    def _maybe_broadcast(keys_df: DataFrame, rows) -> DataFrame:
+        """Build side of the COW anti-join. Driver-list batches are known
+        small (the reference's transactional API shape) — force broadcast.
+        DataFrame batches can be arbitrary-size (bulk/streaming ingestion,
+        whole micro-batches) — a forced broadcast would materialize the
+        batch keys on the driver and in every executor (driver OOM at
+        scale); leave it unhinted and AQE picks broadcast vs shuffle from
+        runtime stats."""
+        return keys_df if isinstance(rows, DataFrame) else F.broadcast(keys_df)
+
+    @staticmethod
     def _dup_keys_in_batch(batch: DataFrame, key: list[str]) -> list[tuple]:
         dups = (
             batch.groupBy(*key).count().filter(F.col("count") > 1).select(*key).limit(20).collect()
@@ -670,7 +731,7 @@ class VersionedIndex(SortedIndex):
 
         # COW: keep current rows whose key is not overwritten, add the batch.
         batch_keys = batch.select(*key)
-        kept = cur.join(F.broadcast(batch_keys), on=key, how="left_anti")
+        kept = cur.join(self._maybe_broadcast(batch_keys, rows), on=key, how="left_anti")
         return kept.unionByName(batch.drop("__upsert"))
 
     def _staged_update(self, cur: Optional[DataFrame], rows, version: str) -> DataFrame:
@@ -690,7 +751,7 @@ class VersionedIndex(SortedIndex):
             batch = batch.drop("__expected_version")
 
         batch = batch.withColumn(VERSION_COL, F.lit(version))
-        kept = cur.join(F.broadcast(batch.select(*key)), on=key, how="left_anti")
+        kept = cur.join(self._maybe_broadcast(batch.select(*key), rows), on=key, how="left_anti")
         return kept.unionByName(batch.select(*kept.columns))
 
     def _staged_remove(self, cur: Optional[DataFrame], keys) -> DataFrame:
@@ -703,7 +764,7 @@ class VersionedIndex(SortedIndex):
         if cur is None:
             raise KeyNotFoundError(self._head_keys(keys, key))
         self._check_exists_and_versions(batch, cur, has_expect)
-        return cur.join(F.broadcast(batch.select(*key)), on=key, how="left_anti")
+        return cur.join(self._maybe_broadcast(batch.select(*key), keys), on=key, how="left_anti")
 
     # ---------------------------------------------------------------- public
     def execute(self, commands: list, version: Optional[str] = None) -> "VersionedIndex":
@@ -724,6 +785,7 @@ class VersionedIndex(SortedIndex):
         the rows it would see over the full snapshot.
         """
         self._check_usable()
+        explicit_version = version is not None
         version = version or str(uuid.uuid4())
         plan = self._partial_plan(commands)
         n_parts: Optional[int] = None
@@ -762,6 +824,10 @@ class VersionedIndex(SortedIndex):
             staged, self.key, self.rows_per_partition,
             n_partitions=n_parts, carry_files=carry,
             expected_stamp=self._base_stamp,
+            # record caller-supplied transaction ids so commit() can reject
+            # reuse (which would blind diff()'s writer-version comparison);
+            # auto-generated uuids cannot collide, no need to record them
+            writer_version=version if explicit_version else None,
         )
         self._used = True
         return self.store.at_version(new_version)

@@ -262,6 +262,75 @@ def test_concurrent_writer_loses_with_commit_conflict(store, spark):
     assert scan(store.latest()) == [("a", "1"), ("b", "2"), ("c", "3")]
 
 
+def test_commit_data_dirs_unique_per_commit(store, spark):
+    """Every commit writes its data under its own uuid-suffixed directory
+    (recorded as data_path in the manifest row): visibility is decided
+    solely by the manifest CAS, so a mid-flight concurrent writer can
+    never land part-files inside another commit's directory."""
+    import re
+
+    store.create(["key"], df=spark.createDataFrame([kv("a", "1")]))
+    store.latest().insert([kv("b", "2")])
+    store.latest().insert([kv("c", "3")])
+    rows = store._read_manifest()["versions"]
+    dirs = [r["data_path"] for r in rows]
+    assert len(set(dirs)) == 3  # one unique dir per commit
+    for d in dirs:
+        assert re.fullmatch(r"v\d{6}-[0-9a-f]{8}", d.rsplit("/", 1)[-1])
+
+
+def test_midflight_concurrent_writers_never_mix_data(store, spark):
+    """The mid-flight overlap window: two writers off the same base stamp
+    both stage and write data before either's CAS resolves. Exactly one
+    manifest commit wins; the final table must contain the base rows plus
+    exactly ONE batch — never a silent mix of both writers' files."""
+    import threading
+
+    from index_spark.errors import CommitConflictError
+
+    store.create(["key"], df=spark.createDataFrame([kv("a", "1")]))
+    w1 = SnapshotStore(spark, store.base_path).latest()
+    w2 = SnapshotStore(spark, store.base_path).latest()
+    errors: dict[str, BaseException] = {}
+    barrier = threading.Barrier(2)
+
+    def run(name, handle, row):
+        barrier.wait()
+        try:
+            handle.insert([row], version=name)
+        except CommitConflictError as e:
+            errors[name] = e
+
+    t1 = threading.Thread(target=run, args=("wA", w1, kv("b", "fromA")))
+    t2 = threading.Thread(target=run, args=("wB", w2, kv("c", "fromB")))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert len(errors) == 1  # exactly one loser
+    got = scan(SnapshotStore(spark, store.base_path).latest())
+    winner_row = ("b", "fromA") if "wB" in errors else ("c", "fromB")
+    assert got == sorted([("a", "1"), winner_row])
+    # loser's orphaned data directory is reclaimable
+    store.vacuum(keep_last=10)  # keeps all committed versions
+    assert scan(SnapshotStore(spark, store.base_path).latest()) == sorted(
+        [("a", "1"), winner_row]
+    )
+
+
+def test_vacuum_reclaims_orphaned_commit_dir(store, spark):
+    """A losing writer's data directory (written, never referenced by any
+    manifest row) is swept by vacuum without touching live data."""
+    import os
+
+    store.create(["key"], df=spark.createDataFrame([kv("a", "1")]))
+    store.latest().insert([kv("b", "2")])
+    orphan = os.path.join(store.base_path, "v000099-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
+        f.write("junk")
+    store.vacuum(keep_last=10)
+    assert not os.path.exists(orphan)
+    assert scan(store.latest()) == [("a", "1"), ("b", "2")]
+
+
 def test_create_race_rejects_second_writer(store, spark):
     from index_spark.errors import CommitConflictError, IndexAlreadyExistsError
 
@@ -301,6 +370,13 @@ def test_snapshot_diff_change_feed(store, spark):
     )
     got = {(r.key, r.change) for r in store.diff(v0, idx.version).collect()}
     assert got == {("k005", "update"), ("zzz", "insert"), ("k020", "delete")}
-    # reverse direction flips the kinds
-    rev = {(r.key, r.change) for r in store.diff(idx.version, v0).collect()}
-    assert rev == {("k005", "update"), ("zzz", "delete"), ("k020", "insert")}
+    # reversed arguments are rejected instead of silently inverting the
+    # insert/delete kinds (an accidental swap would corrupt a downstream
+    # incremental consumer)
+    with pytest.raises(ValueError):
+        store.diff(idx.version, v0)
+    # an explicit writer-version string is a per-transaction id: reusing
+    # one across commits would blind the change feed's writer-version
+    # comparison, so the store rejects it
+    with pytest.raises(ValueError):
+        store.latest().insert([kv("yyy", "again")], version="feed")
