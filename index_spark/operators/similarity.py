@@ -79,6 +79,61 @@ def train_centroids(
     return [list(map(float, c)) for c in cents]
 
 
+def _fold_dot(a, b) -> float:
+    """Driver-side dot product as a LEFT-TO-RIGHT double fold — bit-identical
+    to the engine-side :func:`index_spark.functions.vectors.dot` (an
+    F.aggregate fold) and to the SQL oracle's list_sum fold. numpy's
+    np.dot uses blocked/pairwise summation, which can differ in the last
+    ulp and flip a sign/argmax near a boundary — never use it where a
+    driver-side score must agree with an engine-side one."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def train_centroids_deterministic(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int = 7,
+) -> list[list[float]]:
+    """Lloyd's k-means made cross-engine REPLAYABLE (exact-oracle-able):
+
+    - the training sample is a deterministic id predicate
+      (``id % sample_mod == 0``), not an RNG sample — still a bounded
+      fraction of the table at any scale;
+    - init = the ``n_cells`` sample vectors with the smallest ids;
+    - each iteration assigns by argmax fold-dot (ties → lowest cell) and
+      recomputes centroids as the per-cell element-wise mean ROUNDED to 6
+      decimals — the rounding collapses cross-engine summation-order noise
+      (Spark's partition-parallel avg vs a single-threaded replay), so an
+      unrolled SQL twin reproduces the exact same centroids;
+    - an emptied cell keeps its previous centroid.
+
+    Each iteration is one shuffle of (cell, vector) at sample size; the
+    element-wise mean is a plain columnar aggregate (no UDF)."""
+    s = df.filter((F.col(id_col) % sample_mod) == 0).select(
+        F.col(id_col).alias("__id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
+    )
+    seeds = s.orderBy("__id").limit(n_cells).collect()
+    cents = [[float(x) for x in r["__v"]] for r in seeds]
+    for _ in range(iters):
+        assigned = assign_cells(s, cents, vec_col="__v")
+        rows = (
+            assigned.groupBy("cell")
+            .agg(*[F.round(F.avg(F.col("__v")[i]), 6).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        new = {r["cell"]: [float(r[f"c{i}"]) for i in range(dim)] for r in rows}
+        cents = [new.get(c, cents[c]) for c in range(len(cents))]
+    return cents
+
+
 def assign_cells(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
     """Add a ``cell`` column = argmax-dot centroid (JVM-side: the centroid
     matrix is a literal array of arrays, folded with zip_with/aggregate)."""
@@ -107,9 +162,9 @@ def ivf_topk(
     ``indexed`` must carry the ``cell`` column (from :func:`assign_cells`);
     at scale it is written partitioned by cell so the probe is partition
     pruning, not a filter scan."""
-    qn = np.array(qvec, dtype=np.float64)
-    cell_scores = [(i, float(np.dot(qn, np.array(c)))) for i, c in enumerate(centroids)]
-    probe = [i for i, _ in sorted(cell_scores, key=lambda t: -t[1])[:nprobe]]
+    cell_scores = [(i, _fold_dot(qvec, c)) for i, c in enumerate(centroids)]
+    # ties → lowest cell id, matching the SQL twin's (score DESC, cell ASC)
+    probe = [i for i, _ in sorted(cell_scores, key=lambda t: (-t[1], t[0]))[:nprobe]]
     q = _query_lit(qvec)
     return (
         indexed.filter(F.col("cell").isin(probe))
@@ -166,8 +221,9 @@ def lsh_topk(
     """ANN top-k within the query's bucket (± multiprobe neighbors at
     Hamming ≤ d over bucket bits — recall knob)."""
     planes = _hyperplanes(dim, n_planes, seed)
-    qn = np.array(qvec, dtype=np.float64)
-    qbits = int(sum((1 << j) for j, p in enumerate(planes) if float(np.dot(qn, p)) >= 0))
+    # fold-dot (not np.dot): the query's bucket must be bit-identical to
+    # the bucket the engine-side fold would assign the same vector
+    qbits = int(sum((1 << j) for j, p in enumerate(planes) if _fold_dot(qvec, p) >= 0))
     probes = {qbits}
     if multiprobe_hamming >= 1:
         probes |= {qbits ^ (1 << j) for j in range(n_planes)}

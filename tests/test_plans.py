@@ -147,16 +147,14 @@ def test_q22_anti_join_and_scalar_broadcast(plans):
 
 def test_catalog_integrity():
     """Every oracle names a real query; the rows-only set (no SQL twin by
-    design: k-means / seeded planes / numpy RNG) is exactly the documented
-    three — any new query silently missing its oracle fails here instead
-    of weakening the driver gate unnoticed."""
+    design: numpy-RNG fake media decode) is exactly the documented one —
+    any new query silently missing its oracle fails here instead of
+    weakening the driver gate unnoticed. (ivf_trained_topk and
+    lsh_sign_topk gained exact oracles in round 3: deterministic replayable
+    k-means + embedded plane literals.)"""
     qs, oracles = em.queries(), em.oracle_sql()
     assert set(oracles) <= set(qs), set(oracles) - set(qs)
-    assert set(qs) - set(oracles) == {
-        "multimodal_features",
-        "ivf_trained_topk",
-        "lsh_sign_topk",
-    }
+    assert set(qs) - set(oracles) == {"multimodal_features"}
     assert len(qs) >= 104
 
 
