@@ -1,1 +1,1 @@
-from index_spark.operators import asof, dedup, similarity  # noqa: F401
+from index_spark.operators import asof, decontam, dedup, quality, similarity, stats  # noqa: F401

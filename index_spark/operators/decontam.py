@@ -1,0 +1,60 @@
+"""Benchmark decontamination: n-gram collision scan.
+
+Public LM training pipelines remove (or at least flag) training documents
+sharing long word n-grams with evaluation benchmarks — the 13-gram rule of
+GPT-2/GPT-3 and The Pile (Brown et al. 2020 appendix C; Gao et al. 2020).
+The engine-side shape is an inverted-index join:
+
+1. shingle the (small) benchmark side into distinct word k-grams, hash
+   each to the corpus-standard 28-bit md5 prefix (same convention as
+   MinHash — one md5 per shingle);
+2. shingle the corpus the same way;
+3. equi-join on the hash — with the benchmark side broadcast, this is a
+   map-side hash probe: the corpus is scanned ONCE, nothing about the
+   corpus is shuffled, and the output is (doc_id, hit evidence).
+
+At 100 TB the benchmark shingle set (thousands of docs) fits comfortably
+in a broadcast; if it ever didn't, dropping the broadcast hint degrades
+gracefully to a shuffle join on the 8-byte hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from index_spark.functions import text as TX
+
+
+def _shingle_hashes(df: DataFrame, k: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, h): one row per DISTINCT word-k-gram of the normalized text,
+    hashed md5-prefix → 28-bit int (the MinHash hash convention)."""
+    sh = df.select(
+        F.col(id_col), F.explode(TX.word_shingles(F.col(text_col), k)).alias("s")
+    )
+    return sh.select(
+        id_col, F.conv(F.substring(F.md5("s"), 1, 7), 16, 10).cast("long").alias("h")
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag corpus documents colliding with the benchmark on ≥1 word
+    k-gram. Returns ``(doc_id, n_hits, n_bench_docs)`` — distinct
+    colliding shingle hashes and distinct benchmark documents hit —
+    sorted client-side by the caller. Documents with zero collisions are
+    absent (the common case; callers anti-join to get the clean set)."""
+    doc_sh = _shingle_hashes(docs, k, id_col, text_col)
+    bench_sh = _shingle_hashes(bench, k, bench_id_col, text_col).select(
+        F.col(bench_id_col).alias("__bench_id"), "h"
+    )
+    hits = doc_sh.join(F.broadcast(bench_sh), on="h", how="inner")
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("h").alias("n_hits"),
+        F.countDistinct("__bench_id").alias("n_bench_docs"),
+    )

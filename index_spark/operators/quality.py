@@ -1,0 +1,77 @@
+"""Repetition-based document quality signals (training-data filtering).
+
+The repetition family of quality filters — "drop documents dominated by a
+few repeated n-grams" — is standard in public LM data pipelines (Rae et
+al. 2021, *Scaling Language Models: Methods, Analysis & Insights from
+Training Gopher*, appendix A1.1; also C4/MassiveText-style cleanup). This
+module computes the per-document signals as plain columnar aggregations:
+
+- ``top_frac``: share of the document's k-grams taken by its single most
+  frequent k-gram;
+- ``dup_frac``: share of k-gram OCCURRENCES belonging to k-grams that
+  occur more than once.
+
+Plan shape (the 100 TB story): explode k-grams → two-level aggregate —
+``groupBy(doc, gram).count`` then ``groupBy(doc)`` — both shuffles hash on
+``(doc_id[, gram])`` with map-side partial aggregation, and only (id,
+gram, count) triples ever move; the document text itself is never
+shuffled. No UDFs, no per-doc quadratic array scans (an
+``F.transform``-over-distinct-grams formulation would be O(len²) per doc
+— fine at 60 tokens, pathological at 10k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from index_spark.functions import text as TX
+
+
+def repetition_stats(
+    df: DataFrame, k: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document k-gram repetition signals.
+
+    Returns one row per document that has at least one k-gram:
+    ``(id_col, n_grams, top_frac, dup_frac)`` — fractions as doubles.
+    Documents shorter than ``k`` tokens contribute no k-grams and are
+    absent (callers treat absence as "passes": nothing to repeat).
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(TX.word_ngrams_all(F.col(text_col), k)).alias("g"),
+    )
+    per_gram = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_frac"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).cast("double")
+            / F.sum("c")
+        ).alias("dup_frac"),
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    k: int = 2,
+    max_top_frac: float = 0.18,
+    max_dup_frac: float = 0.60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Annotate documents with their repetition signals and a ``passes``
+    flag (defaults echo Gopher's published 2-gram thresholds). Documents
+    with no k-grams pass vacuously. One broadcast-sized join back onto the
+    corpus is avoided: the stats carry the id, so callers semi-join on it
+    when they want the surviving text."""
+    stats = repetition_stats(df, k=k, id_col=id_col, text_col=text_col)
+    return stats.select(
+        id_col,
+        "n_grams",
+        F.round("top_frac", 6).alias("top_frac"),
+        F.round("dup_frac", 6).alias("dup_frac"),
+        ((F.col("top_frac") <= max_top_frac) & (F.col("dup_frac") <= max_dup_frac)).alias(
+            "passes"
+        ),
+    )

@@ -1575,6 +1575,157 @@ def q_lsh_sign_topk(spark, sf_dir):
     )
 
 
+# ---- pipeline quality / decontamination / stats (new in round 3) ---------
+def q_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1): top-bigram fraction + duplicated-bigram fraction, with the
+    published 2-gram thresholds as a ``passes`` flag. Two-level aggregate —
+    only (doc_id, gram, count) triples shuffle, never the text."""
+    from index_spark.operators.quality import repetition_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_filter(docs, k=2)
+
+
+def q_contamination_scan(spark, sf_dir):
+    """Benchmark decontamination (the 13-gram rule of GPT-3/The Pile, at
+    k=3 for this vocabulary): docs with doc_id%97==0 play the benchmark;
+    the rest of the corpus is scanned for shingle-hash collisions via a
+    broadcast inverted-index join — corpus scanned once, nothing about the
+    corpus shuffled. Returns (doc_id, n_hits, n_bench_docs) for colliding
+    docs only."""
+    from index_spark.operators.decontam import ngram_contamination
+
+    docs_all = load_table(spark, sf_dir, "documents")
+    bench = docs_all.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs_all.filter(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(corpus, bench, k=3)
+
+
+def q_group_percentiles(spark, sf_dir):
+    """Exact per-group discrete percentiles (p50/p90/p99 of order value in
+    integer cents) with one group-key shuffle and within-partition ordering
+    — no global sort, no approx sketch (exactness keeps it
+    driver-hash-verifiable)."""
+    from index_spark.operators.stats import grouped_percentile_disc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", _cents(F.col("o_totalprice")).alias("cents")
+    )
+    return grouped_percentile_disc(orders, ["o_orderpriority"], "cents", [0.5, 0.9, 0.99])
+
+
+def q_incremental_maint(spark, sf_dir):
+    """Incremental view maintenance off the change feed: maintain a
+    per-priority (n, total) aggregate across a COW transaction WITHOUT
+    re-scanning the snapshot. diff(v0, v1) yields the changed keys; joining
+    those keys back to the two snapshots (CDF keys ≪ table — the joins
+    prune to touched files) gives +new/−old deltas to apply to the v0
+    aggregate. Returns the MAINTAINED aggregate plus a recompute-equality
+    flag; the oracle recomputes the final state from base algebra, so a
+    hash match certifies maintenance == recompute. At 100 TB this is the
+    difference between an incremental refresh and a full rescan."""
+    from index_spark.commands import Insert, Remove
+    from index_spark.snapshots import SnapshotStore
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 3000)
+    )
+    d = tempfile.mkdtemp(prefix="ivmq_")
+    try:
+        store = SnapshotStore(spark, d + "/idx")
+        h = store.create(["o_orderkey"], df=orders, rows_per_partition=500_000)
+        bumped = orders.filter(F.col("o_orderkey") % 211 == 0).select(
+            "o_orderkey", "o_orderpriority", (F.col("o_totalprice") + 1.0).alias("o_totalprice")
+        )
+        fresh = spark.createDataFrame(
+            [(-1, "1-URGENT", 10.0), (-2, "1-URGENT", 20.0)],
+            "o_orderkey long, o_orderpriority string, o_totalprice double",
+        )
+        doomed = [r.o_orderkey for r in orders.orderBy("o_orderkey").limit(2).collect()]
+        h2 = h.execute(
+            [
+                Insert(bumped.unionByName(fresh), upsert=True),
+                Remove([{"o_orderkey": k} for k in doomed]),
+            ],
+            version="tx-ivm",
+        )
+        v0, v1 = store.read(0), store.read(h2.version)
+        cdf = store.diff(0, h2.version).select("o_orderkey", "change")
+        plus = (
+            cdf.filter(F.col("change").isin("insert", "update"))
+            .join(v1, on="o_orderkey")
+            .select(
+                F.col("o_orderpriority").alias("pr"),
+                _cents(F.col("o_totalprice")).alias("dc"),
+                F.lit(1).cast("long").alias("dn"),
+            )
+        )
+        minus = (
+            cdf.filter(F.col("change").isin("update", "delete"))
+            .join(v0, on="o_orderkey")
+            .select(
+                F.col("o_orderpriority").alias("pr"),
+                (-_cents(F.col("o_totalprice"))).alias("dc"),
+                F.lit(-1).cast("long").alias("dn"),
+            )
+        )
+        delta = plus.unionByName(minus).groupBy("pr").agg(
+            F.sum("dc").alias("dc"), F.sum("dn").alias("dn")
+        )
+        agg0 = v0.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+            F.count(F.lit(1)).alias("n0"), F.sum(_cents(F.col("o_totalprice"))).alias("c0")
+        )
+        maintained = agg0.join(delta, on="pr", how="full_outer").select(
+            "pr",
+            (F.coalesce(F.col("n0"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
+            (F.coalesce(F.col("c0"), F.lit(0)) + F.coalesce(F.col("dc"), F.lit(0))).alias("c"),
+        )
+        recomputed = v1.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+            F.count(F.lit(1)).alias("rn"), F.sum(_cents(F.col("o_totalprice"))).alias("rc")
+        )
+        out = (
+            maintained.join(recomputed, on="pr", how="full_outer")
+            .select(
+                F.col("pr").alias("o_orderpriority"),
+                F.col("n"),
+                (F.col("c").cast("double") / 100).alias("total"),
+                (
+                    F.col("n").eqNullSafe(F.col("rn")) & F.col("c").eqNullSafe(F.col("rc"))
+                ).alias("matches"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # materialize before rmtree
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    """Source-format coverage: orders written as ORC and read back (types
+    survive natively — ORC is Spark's other first-class columnar sink).
+    Aggregated per priority; the oracle reads the original parquet, so the
+    roundtrip must be lossless for keys, money, and timestamps."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    d = tempfile.mkdtemp(prefix="orcq_")
+    try:
+        path = d + "/orders_orc"
+        orders.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        out = back.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            _sum_cents(F.col("o_totalprice"), "total"),
+            F.min(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("first_date_us"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # materialize before rmtree
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 # ---- multimodal ----------------------------------------------------------
 def q_pipeline_end_to_end(spark, sf_dir):
     """The flagship training-data pipeline composed end-to-end: corpus with
@@ -2624,6 +2775,62 @@ def build_oracles() -> dict[str, str]:
         ),
         "lsh_sign_topk": _sql_lsh_topk(),
         "ivf_trained_topk": _sql_ivf_trained(),
+        "repetition_quality": (
+            "WITH g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN "
+            "list_transform(range(1, len(w)), i -> concat_ws(' ', w[i], w[i+1])) "
+            "ELSE [] END) AS g "
+            f"FROM (SELECT doc_id, {SQL_TOKS_LOWER} AS w FROM documents)), "
+            "pg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2), "
+            "st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, "
+            "CAST(max(c) AS DOUBLE)/sum(c) AS top_frac, "
+            "CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)/sum(c) AS dup_frac "
+            "FROM pg GROUP BY 1) "
+            "SELECT doc_id, n_grams, round(top_frac, 6) AS top_frac, "
+            "round(dup_frac, 6) AS dup_frac, "
+            "top_frac <= 0.18 AND dup_frac <= 0.60 AS passes FROM st"
+        ),
+        "contamination_scan": (
+            f"WITH b AS ({_sql_shingles('(SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0)')}), "
+            f"c AS ({_sql_shingles('(SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0)')}), "
+            "bh AS (SELECT doc_id AS bench_id, ('0x' || substr(md5(s),1,7))::BIGINT AS h "
+            "FROM (SELECT doc_id, unnest(sh) AS s FROM b)), "
+            "ch AS (SELECT doc_id, ('0x' || substr(md5(s),1,7))::BIGINT AS h "
+            "FROM (SELECT doc_id, unnest(sh) AS s FROM c)) "
+            "SELECT ch.doc_id, CAST(count(DISTINCT ch.h) AS BIGINT) AS n_hits, "
+            "CAST(count(DISTINCT bh.bench_id) AS BIGINT) AS n_bench_docs "
+            "FROM ch JOIN bh USING (h) GROUP BY 1"
+        ),
+        "group_percentiles": (
+            "WITH r AS (SELECT o_orderpriority, "
+            f"{_sql_cents('o_totalprice')} AS cents, "
+            f"row_number() OVER (PARTITION BY o_orderpriority ORDER BY {_sql_cents('o_totalprice')}) AS rn, "
+            "count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders) "
+            "SELECT o_orderpriority, "
+            "min(CASE WHEN rn >= ceil(0.5 * n) THEN cents END) AS p50, "
+            "min(CASE WHEN rn >= ceil(0.9 * n) THEN cents END) AS p90, "
+            "min(CASE WHEN rn >= ceil(0.99 * n) THEN cents END) AS p99 "
+            "FROM r GROUP BY 1"
+        ),
+        "incremental_maint": (
+            "WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice "
+            "FROM orders WHERE o_orderkey <= 3000), "
+            "doomed AS (SELECT o_orderkey FROM base ORDER BY o_orderkey LIMIT 2), "
+            "final AS ("
+            "SELECT o_orderkey, o_orderpriority, "
+            "CASE WHEN o_orderkey % 211 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice "
+            "FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM doomed) "
+            "UNION ALL SELECT -1, '1-URGENT', 10.0 "
+            "UNION ALL SELECT -2, '1-URGENT', 20.0) "
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+            f"{_sql_sum_cents('o_totalprice', 'total')}, TRUE AS matches "
+            "FROM final GROUP BY 1"
+        ),
+        "orc_roundtrip": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+            f"{_sql_sum_cents('o_totalprice', 'total')}, "
+            "min(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS first_date_us, "
+            "max(o_orderkey) AS max_key FROM orders GROUP BY 1"
+        ),
         "embedding_near_dups": (
             "WITH base AS ("
             "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
@@ -2781,6 +2988,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (b) oracles upgraded rows-only -> exact in round 3 ---
         "lsh_sign_topk": q_lsh_sign_topk,
         "ivf_trained_topk": q_ivf_trained_topk,
+        # --- (c) new in round 3 ---
+        "repetition_quality": q_repetition_quality,
+        "contamination_scan": q_contamination_scan,
+        "group_percentiles": q_group_percentiles,
+        "incremental_maint": q_incremental_maint,
+        "orc_roundtrip": q_orc_roundtrip,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

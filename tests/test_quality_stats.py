@@ -1,0 +1,112 @@
+"""Round-3 pipeline operators: repetition quality, decontamination,
+grouped exact percentiles, change-feed-driven incremental maintenance —
+each checked against an independent pure-Python model, plus the plan
+shapes that make them 100 TB-safe."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from index_spark.operators.decontam import ngram_contamination
+from index_spark.operators.quality import repetition_filter, repetition_stats
+from index_spark.operators.stats import grouped_percentile_disc
+
+
+def _bigrams(text):
+    toks = text.lower().split()
+    return [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+
+
+def test_repetition_stats_match_python_model(spark):
+    docs = [
+        (1, "a b a b a b a b"),          # one bigram dominates
+        (2, "w x y z p q r s"),          # all bigrams unique
+        (3, "m m m m m m"),              # single repeated token
+        (4, "one"),                      # no bigrams -> absent from stats
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df, k=2).collect()}
+    assert set(got) == {1, 2, 3}
+    for doc_id, text in docs[:3]:
+        cnt = Counter(_bigrams(text))
+        n = sum(cnt.values())
+        assert got[doc_id].n_grams == n
+        assert got[doc_id].top_frac == pytest.approx(max(cnt.values()) / n)
+        dup = sum(c for c in cnt.values() if c > 1)
+        assert got[doc_id].dup_frac == pytest.approx(dup / n)
+
+
+def test_repetition_filter_thresholds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),
+            # long enough that a unique top bigram is a small fraction
+            (2, "one two three four five six seven eight nine ten eleven twelve"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.passes for r in repetition_filter(df, k=2).collect()}
+    assert got == {1: False, 2: True}
+
+
+def test_contamination_flags_copied_ngrams(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words then the quick brown fox appears verbatim"),
+            (2, "completely unrelated clean document with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_hits, r.n_bench_docs) for r in
+           ngram_contamination(corpus, bench, k=3).collect()}
+    # doc 1 shares 'the quick brown' and 'quick brown fox'; doc 2 is clean
+    assert 1 in got and got[1][0] >= 2 and got[1][1] == 1
+    assert 2 not in got
+
+
+def test_contamination_join_is_broadcast(spark):
+    bench = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    corpus = spark.createDataFrame([(2, "a b c x y")], "doc_id long, text string")
+    plan = ngram_contamination(corpus, bench, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # benchmark side never shuffles the corpus
+
+
+def test_grouped_percentile_disc_matches_python(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(f"g{i % 3}", rng.randrange(0, 10_000)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: r for r in grouped_percentile_disc(df, ["g"], "v", [0.5, 0.9, 0.99]).collect()}
+    import math
+
+    for g in {"g0", "g1", "g2"}:
+        vals = sorted(v for gg, v in rows if gg == g)
+        for p, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            want = vals[math.ceil(p * len(vals)) - 1]  # value at rank ceil(p*n)
+            assert got[g][col] == want, (g, col)
+
+
+def test_grouped_percentiles_no_global_sort(spark, sf_dir):
+    """The plan shuffles ONCE on the group key; ordering is within-group
+    (window sort), never a rangepartitioning global sort."""
+    import __spark_entry__ as em
+
+    df = em.queries()["group_percentiles"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(o_orderpriority" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_incremental_maint_matches_recompute(spark, sf_dir):
+    """Every maintained row must equal the direct recompute (the matches
+    flag the oracle certifies)."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["incremental_maint"](spark, sf_dir).collect()
+    assert rows and all(r.matches for r in rows)
