@@ -52,6 +52,81 @@ def repetition_stats(
     )
 
 
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) —
+    the gibberish/boilerplate detector complementing the repetition
+    fractions: near-zero entropy means one token dominates; an unusually
+    high value for the length means random noise. −Σ p·ln p computed from
+    the same (doc, term, tf) aggregate tf·idf uses; the left-to-right SQL
+    replay is exact after round(·, 6)."""
+    terms = df.select(
+        F.col(id_col), F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("t")
+    )
+    tf = terms.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    # H = ln N − (Σ tf·ln tf)/N. The float Σ is computed as a LEFT-TO-RIGHT
+    # fold over the SORTED tf list — a plain F.sum over doubles is
+    # combine-order-dependent and would break the catalog's "no floating
+    # accumulation" hash-determinism rule. Integer sums (N) stay exact.
+    tf_sorted = F.sort_array(F.collect_list("tf"))
+    s = F.aggregate(
+        tf_sorted,
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * F.log(v.cast("double")),
+    )
+    return (
+        tf.groupBy(id_col)
+        .agg(F.sum("tf").alias("n_tokens"), s.alias("__s"))
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("__s") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("entropy"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, top_k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k terms by tf·idf (idf = ln(N/df), the classic
+    unsmoothed form) — the keyword/topic signal a curation pipeline uses
+    for corpus composition reports.
+
+    Plan shape: explode tokens → (doc, term, tf) aggregate → document
+    frequency aggregate on the term → broadcast-joined corpus size → one
+    window top-k per document. Shuffles hash on (doc, term) then (term);
+    the text never re-shuffles after the explode, and df/N are tiny
+    relative to the term-frequency table at any scale."""
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col), F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("t")
+    )
+    tf = terms.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, on="t")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("t").asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= top_k)
+        .select(id_col, F.col("__rk").alias("rank"), "t", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
 def repetition_filter(
     df: DataFrame,
     k: int = 2,

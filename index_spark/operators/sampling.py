@@ -49,6 +49,31 @@ def stratified_hash_sample(
     return df.filter(bucket < rate)
 
 
+def weighted_hash_sample(
+    df: DataFrame, key: str, weight_col, id_suffix: str = ""
+) -> DataFrame:
+    """Probability-proportional-to-weight sampling, deterministic by key
+    hash (curriculum/quality-weighted subsampling of a training corpus —
+    keep a document with probability equal to its quality weight in
+    [0, 1], reproducibly across runs and engines).
+
+    keep ⇔ u(key) < weight, where u = the md5 28-bit-prefix of the key
+    rendered as a uniform double in [0, 1). Dividing by 2^28 (a power of
+    two) is exact, so the comparison replays bit-identically in a SQL
+    oracle. Pure narrow filter: no shuffle, no RNG state, trivially
+    repartition-safe at any scale. ``id_suffix`` salts the hash so
+    independent sampling passes decorrelate."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(key).cast("string"), F.lit(id_suffix))), 1, 7),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(1 << 28))
+    )
+    return df.filter(u < weight_col)
+
+
 def pack_sequences(
     df: DataFrame, part: str, order: str, tokens: str, budget: int
 ) -> DataFrame:

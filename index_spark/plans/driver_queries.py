@@ -1702,6 +1702,45 @@ def q_incremental_maint(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 terms by tf·idf (idf = ln(N/df)) — corpus
+    keyword/topic reporting. Two aggregates + broadcast corpus size + one
+    per-doc window top-k; the text never re-shuffles after the explode.
+    Deterministic tie-break (tfidf DESC, term ASC) keeps the hash stable."""
+    from index_spark.operators.quality import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, top_k=3)
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the token distribution — the
+    gibberish/boilerplate signal complementing the repetition fractions.
+    The float Σ tf·ln tf is a left-to-right fold over the SORTED tf list in
+    both engines (a plain double sum would be combine-order-dependent and
+    break hash determinism)."""
+    from index_spark.operators.quality import token_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_entropy(docs)
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic subsampling (curriculum-style PPS
+    sampling): keep each doc with probability least(n_chars/500, 1) using
+    the md5-prefix of its id as the uniform draw — reproducible across
+    runs, engines, and repartitionings; a pure narrow filter at any scale.
+    Aggregated per language for a stable hash."""
+    from index_spark.operators.sampling import weighted_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars").cast("double") / F.lit(500.0), F.lit(1.0))
+    kept = weighted_hash_sample(docs, "doc_id", w)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("kept_chars")
+    )
+
+
 def q_orc_roundtrip(spark, sf_dir):
     """Source-format coverage: orders written as ORC and read back (types
     survive natively — ORC is Spark's other first-class columnar sink).
@@ -2825,6 +2864,34 @@ def build_oracles() -> dict[str, str]:
             f"{_sql_sum_cents('o_totalprice', 'total')}, TRUE AS matches "
             "FROM final GROUP BY 1"
         ),
+        "tfidf_top_terms": (
+            f"WITH terms AS (SELECT doc_id, unnest({SQL_TOKS_LOWER}) AS t FROM documents), "
+            "tf AS (SELECT doc_id, t, count(*) AS tf FROM terms GROUP BY 1, 2), "
+            "dfr AS (SELECT t, count(*) AS df FROM tf GROUP BY 1), "
+            "nd AS (SELECT count(*) AS n_docs FROM documents), "
+            "sc AS (SELECT doc_id, t, CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf "
+            "FROM tf JOIN dfr USING (t), nd), "
+            "rk AS (SELECT doc_id, t, tfidf, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, t ASC) AS rank FROM sc) "
+            "SELECT doc_id, CAST(rank AS INT) AS rank, t, round(tfidf, 6) AS tfidf "
+            "FROM rk WHERE rank <= 3"
+        ),
+        "token_entropy": (
+            f"WITH terms AS (SELECT doc_id, unnest({SQL_TOKS_LOWER}) AS t FROM documents), "
+            "tf AS (SELECT doc_id, t, count(*) AS tf FROM terms GROUP BY 1, 2), "
+            "ag AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
+            "list_sum(list_transform(list(tf ORDER BY tf), v -> CAST(v AS DOUBLE) * ln(CAST(v AS DOUBLE)))) AS s "
+            "FROM tf GROUP BY 1) "
+            "SELECT doc_id, n_tokens, "
+            "round(ln(CAST(n_tokens AS DOUBLE)) - s / CAST(n_tokens AS DOUBLE), 6) AS entropy "
+            "FROM ag"
+        ),
+        "weighted_sample": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, "
+            "CAST(sum(n_chars) AS BIGINT) AS kept_chars FROM documents "
+            "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT / 268435456.0 "
+            "< least(n_chars / 500.0, 1.0) GROUP BY 1"
+        ),
         "orc_roundtrip": (
             "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
             f"{_sql_sum_cents('o_totalprice', 'total')}, "
@@ -2994,6 +3061,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_percentiles": q_group_percentiles,
         "incremental_maint": q_incremental_maint,
         "orc_roundtrip": q_orc_roundtrip,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "token_entropy": q_token_entropy,
+        "weighted_sample": q_weighted_sample,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

@@ -103,6 +103,73 @@ def test_grouped_percentiles_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan
 
 
+def test_tfidf_top_terms_matches_python(spark):
+    import math
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry cherry date"),
+        (3, "apple apple apple elderberry"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from index_spark.operators.quality import tfidf_top_terms
+
+    got = {(r.doc_id, r.rank): (r.t, r.tfidf) for r in tfidf_top_terms(df, top_k=2).collect()}
+    # model
+    tf = {d: Counter(t.split()) for d, t in docs}
+    dfreq = Counter(term for c in tf.values() for term in c)
+    n = len(docs)
+    for d, c in tf.items():
+        scored = sorted(
+            ((term, cnt * math.log(n / dfreq[term])) for term, cnt in c.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:2]
+        for rk, (term, score) in enumerate(scored, start=1):
+            t, s = got[(d, rk)]
+            assert t == term and s == pytest.approx(score, abs=1e-6), (d, rk)
+
+
+def test_token_entropy_matches_python(spark):
+    import math
+
+    docs = [
+        (1, "a a a a"),                      # zero entropy
+        (2, "a b c d"),                      # uniform: ln 4
+        (3, "a a b"),                        # mixed
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from index_spark.operators.quality import token_entropy
+
+    got = {r.doc_id: (r.n_tokens, r.entropy) for r in token_entropy(df).collect()}
+    for d, text in docs:
+        cnt = Counter(text.split())
+        n = sum(cnt.values())
+        h = -sum(c / n * math.log(c / n) for c in cnt.values())
+        assert got[d][0] == n
+        assert got[d][1] == pytest.approx(h, abs=1e-6), d
+
+
+def test_weighted_hash_sample_deterministic_and_correct(spark):
+    import hashlib
+
+    rows = [(i, i % 7 / 7.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    from index_spark.operators.sampling import weighted_hash_sample
+
+    kept1 = {r.k for r in weighted_hash_sample(df, "k", F.col("w")).collect()}
+    kept2 = {r.k for r in weighted_hash_sample(df, "k", F.col("w")).collect()}
+    assert kept1 == kept2  # reproducible
+    want = {
+        k
+        for k, w in rows
+        if int(hashlib.md5(str(k).encode()).hexdigest()[:7], 16) / (1 << 28) < w
+    }
+    assert kept1 == want  # exactly the hash-threshold rule
+    # salting decorrelates passes
+    salted = {r.k for r in weighted_hash_sample(df, "k", F.col("w"), id_suffix="s2").collect()}
+    assert salted != kept1
+
+
 def test_incremental_maint_matches_recompute(spark, sf_dir):
     """Every maintained row must equal the direct recompute (the matches
     flag the oracle certifies)."""
