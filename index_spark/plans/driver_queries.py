@@ -338,6 +338,30 @@ def q_seek_pagination(spark, sf_dir):
     return spark.createDataFrame(out, "page int, o_orderkey long")
 
 
+def q_seek_pagination_df(spark, sf_dir):
+    """Distributed pagination (``pages_df``): each page stays a DataFrame
+    — here every page is aggregated (n, cents total, last key) ENGINE-side
+    and only the per-page aggregate rows are unioned, so page row data
+    never crosses the driver (contrast ``seek_pagination``, the collected
+    row-list protocol). The oracle reproduces the page assignment with a
+    rank window."""
+    from functools import reduce
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 600)
+    idx = SortedIndex(orders.select("o_orderkey", "o_totalprice"), ["o_orderkey"])
+    aggs = []
+    for pno, page in enumerate(idx.pages_df(150), start=1):
+        aggs.append(
+            page.agg(
+                F.lit(pno).alias("page"),
+                F.count(F.lit(1)).alias("n"),
+                _sum_cents(F.col("o_totalprice"), "total"),
+                F.max("o_orderkey").alias("last_key"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), aggs)
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Change feed between snapshot versions (the CDF an incremental
     consumer reads instead of re-scanning): v0 = orders(key<=3000);
@@ -2323,6 +2347,13 @@ def build_oracles() -> dict[str, str]:
             "SELECT CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 50) + 1 AS INTEGER) AS page, "
             "o_orderkey FROM orders WHERE o_orderkey <= 600"
         ),
+        "seek_pagination_df": (
+            "WITH pg AS (SELECT CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 150) + 1 AS INTEGER) AS page, "
+            "o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 600) "
+            "SELECT page, CAST(count(*) AS BIGINT) AS n, "
+            f"{_sql_sum_cents('o_totalprice', 'total')}, "
+            "max(o_orderkey) AS last_key FROM pg GROUP BY 1"
+        ),
         "binary_key_range": (
             "SELECT hex(k) AS k_hex, doc_id FROM "
             "(SELECT unhex(md5(text)) AS k, doc_id FROM documents) "
@@ -3064,6 +3095,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_entropy": q_token_entropy,
         "weighted_sample": q_weighted_sample,
+        "seek_pagination_df": q_seek_pagination_df,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,
