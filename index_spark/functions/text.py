@@ -143,6 +143,16 @@ ROLL_B = 1_000_003  # polynomial base
 ROLL_M = 4_294_967_311  # prime > 2^32; acc·B + h < 2^53 — no int64 overflow
 
 
+def md5_prefix28(col: Column) -> Column:
+    """The corpus-standard 28-bit string hash: first 7 hex chars of md5,
+    parsed as an integer. ONE definition for every operator (MinHash
+    permutation input, rolling fingerprint, decontamination shingle hash,
+    weighted-sampling uniform draw) — its SQL twin is
+    ``('0x' || substr(md5(x), 1, 7))::BIGINT``; drifting any copy would
+    silently break that engine↔oracle parity for just that operator."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
 def rolling_fingerprint(col: Column) -> Column:
     """Rabin-Karp-style rolling polynomial fingerprint over BPE-ish tokens:
     h = fold((acc·B + md5_28bit(token)) mod M). Order-sensitive (unlike a
@@ -150,11 +160,10 @@ def rolling_fingerprint(col: Column) -> Column:
     content-defined fingerprint family. One md5 per token; the fold is a
     single ``aggregate``, and DuckDB's ``list_reduce`` replays it exactly
     (fold-from-zero and reduce-from-first coincide: (0·B + h1) mod M = h1)."""
-    th = lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")  # noqa: E731
     return F.aggregate(
         bpe_tokens(col),
         F.lit(0).cast("long"),
-        lambda acc, t: (acc * F.lit(ROLL_B) + th(t)) % F.lit(ROLL_M),
+        lambda acc, t: (acc * F.lit(ROLL_B) + md5_prefix28(t)) % F.lit(ROLL_M),
     )
 
 

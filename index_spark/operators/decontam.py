@@ -27,13 +27,18 @@ from index_spark.functions import text as TX
 
 def _shingle_hashes(df: DataFrame, k: int, id_col: str, text_col: str) -> DataFrame:
     """(id, h): one row per DISTINCT word-k-gram of the normalized text,
-    hashed md5-prefix → 28-bit int (the MinHash hash convention)."""
-    sh = df.select(
+    hashed md5-prefix → 28-bit int (the MinHash hash convention).
+
+    Documents with fewer than ``k`` tokens contribute NO shingles: the
+    contract is "shares a long word n-gram", and ``word_shingles``'
+    whole-text fallback for short docs would otherwise let a 1-2 word (or
+    empty) benchmark row flag unrelated short corpus docs as contaminated
+    via the degenerate full-string (or empty-string) shingle."""
+    long_enough = F.size(TX.tokens(TX.normalize_text(F.col(text_col)))) >= k
+    sh = df.filter(long_enough).select(
         F.col(id_col), F.explode(TX.word_shingles(F.col(text_col), k)).alias("s")
     )
-    return sh.select(
-        id_col, F.conv(F.substring(F.md5("s"), 1, 7), 16, 10).cast("long").alias("h")
-    )
+    return sh.select(id_col, TX.md5_prefix28(F.col("s")).alias("h"))
 
 
 def ngram_contamination(

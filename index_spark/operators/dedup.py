@@ -116,7 +116,9 @@ def minhash_signature(col: Column, num_hashes: int = 16, shingle_k: int = 3) -> 
     prime = F.lit(MINHASH_PRIME).cast("long")
 
     def perms_of(s: Column) -> Column:
-        h = F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+        from index_spark.functions.text import md5_prefix28
+
+        h = md5_prefix28(s)
         return F.element_at(
             F.transform(
                 F.array(h),

@@ -62,14 +62,16 @@ def weighted_hash_sample(
     two) is exact, so the comparison replays bit-identically in a SQL
     oracle. Pure narrow filter: no shuffle, no RNG state, trivially
     repartition-safe at any scale. ``id_suffix`` salts the hash so
-    independent sampling passes decorrelate."""
-    u = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col(key).cast("string"), F.lit(id_suffix))), 1, 7),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(float(1 << 28))
+    independent sampling passes decorrelate. ``weight_col`` may be a
+    Column or a column name — a bare string must resolve to a column, not
+    silently become a literal (`u < lit("w")` would cast to NULL and drop
+    every row)."""
+    from index_spark.functions.text import md5_prefix28
+
+    if isinstance(weight_col, str):
+        weight_col = F.col(weight_col)
+    u = md5_prefix28(F.concat(F.col(key).cast("string"), F.lit(id_suffix))) / F.lit(
+        float(1 << 28)
     )
     return df.filter(u < weight_col)
 

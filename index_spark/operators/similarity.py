@@ -108,28 +108,40 @@ def train_centroids_deterministic(
       fraction of the table at any scale;
     - init = the ``n_cells`` sample vectors with the smallest ids;
     - each iteration assigns by argmax fold-dot (ties → lowest cell) and
-      recomputes centroids as the per-cell element-wise mean ROUNDED to 6
-      decimals — the rounding collapses cross-engine summation-order noise
-      (Spark's partition-parallel avg vs a single-threaded replay), so an
-      unrolled SQL twin reproduces the exact same centroids;
+      recomputes centroids as the per-cell element-wise mean, where the
+      float sum is a LEFT-TO-RIGHT fold over the cell's vectors in id
+      order (a plain ``F.avg`` would be combine-order-dependent — the
+      floating-accumulation hazard the catalog bans), then ROUNDED to 6
+      decimals; an unrolled SQL twin replaying the same id-ordered fold
+      reproduces the exact same centroids bit-for-bit;
     - an emptied cell keeps its previous centroid.
 
     Each iteration is one shuffle of (cell, vector) at sample size; the
-    element-wise mean is a plain columnar aggregate (no UDF)."""
+    per-cell vector list is bounded by the sample, not the table."""
     s = df.filter((F.col(id_col) % sample_mod) == 0).select(
         F.col(id_col).alias("__id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
     )
     seeds = s.orderBy("__id").limit(n_cells).collect()
     cents = [[float(x) for x in r["__v"]] for r in seeds]
+    zero = F.array(*[F.lit(0.0)] * dim)
     for _ in range(iters):
         assigned = assign_cells(s, cents, vec_col="__v")
+        # id-sorted struct list -> element-wise left-to-right vector fold
+        vecs = F.transform(
+            F.sort_array(F.collect_list(F.struct("__id", "__v"))), lambda st: st["__v"]
+        )
+        summed = F.aggregate(vecs, zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b))
         rows = (
             assigned.groupBy("cell")
-            .agg(*[F.round(F.avg(F.col("__v")[i]), 6).alias(f"c{i}") for i in range(dim)])
+            .agg(F.count(F.lit(1)).alias("n"), summed.alias("s"))
+            .select(
+                "cell",
+                F.transform("s", lambda x: F.round(x / F.col("n"), 6)).alias("c"),
+            )
             .collect()
         )
-        new = {r["cell"]: [float(r[f"c{i}"]) for i in range(dim)] for r in rows}
+        new = {r["cell"]: [float(x) for x in r["c"]] for r in rows}
         cents = [new.get(c, cents[c]) for c in range(len(cents))]
     return cents
 

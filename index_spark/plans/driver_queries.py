@@ -2114,6 +2114,14 @@ def _sql_lang_pred(src: str = "documents", extra_cols: list[tuple[str, str]] | N
     """
 
 
+# decontamination source table: the benchmark/corpus split with the
+# ≥k-token guard of decontam._shingle_hashes (same normalized tokenizer)
+_SQL_DECONTAM_SRC = (
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 97 {op} 0 "
+    f"AND len(regexp_extract_all({SQL_NORM}, '\\S+')) >= 3)"
+)
+
+
 def _sql_shingles(src: str = "documents") -> str:
     """CTE body producing (doc_id, sh) distinct word-3-gram shingles."""
     return f"""
@@ -2196,12 +2204,20 @@ def _sql_ivf_trained(
     """Exact SQL twin of ``q_ivf_trained_topk``: the deterministic k-means
     (``train_centroids_deterministic``) unrolled as CTEs — sample by id
     predicate, seed from the smallest sample ids, per-iteration argmax
-    assignment (ties → lowest cell) and 6-decimal-rounded element-wise
-    means (the rounding collapses cross-engine summation-order noise), an
-    emptied cell keeping its previous centroid via COALESCE — then probe
-    the top-``nprobe`` cells by query-centroid dot and exact cosine top-k
+    assignment (ties → lowest cell) and element-wise means whose float
+    sums fold LEFT-TO-RIGHT over the cell's vectors in id order (bitwise
+    identical to the Spark fold — a plain avg would be
+    combine-order-dependent), rounded to 6 decimals, an emptied cell
+    keeping its previous centroid via COALESCE — then probe the
+    top-``nprobe`` cells by query-centroid dot and exact cosine top-k
     within."""
-    avg_list = "[" + ", ".join(f"round(avg(v[{i + 1}]), 6)" for i in range(dim)) + "]"
+    mean_list = (
+        "["
+        + ", ".join(
+            f"round(list_sum(list_transform(l, x -> x[{i + 1}])) / n, 6)" for i in range(dim)
+        )
+        + "]"
+    )
 
     def dotexpr(vexpr: str, cexpr: str) -> str:
         return f"list_sum(list_transform(range(1, {dim}+1), i -> {vexpr}[i] * {cexpr}[i]))"
@@ -2220,7 +2236,9 @@ def _sql_ivf_trained(
             f"row_number() OVER (PARTITION BY s.id ORDER BY {dotexpr('s.v', 'p.c')} DESC, p.cell ASC) AS rn "
             f"FROM s, {prev} p) WHERE rn = 1), "
             f"c{it} AS (SELECT p.cell, COALESCE(n.c, p.c) AS c FROM {prev} p LEFT JOIN "
-            f"(SELECT cell, {avg_list} AS c FROM a{it} GROUP BY cell) n USING (cell)), "
+            f"(SELECT cell, {mean_list} AS c FROM "
+            f"(SELECT cell, list(v ORDER BY id) AS l, count(*) AS n FROM a{it} GROUP BY cell)"
+            f") n USING (cell)), "
         )
         prev = f"c{it}"
     sql += (
@@ -2859,9 +2877,12 @@ def build_oracles() -> dict[str, str]:
             "round(dup_frac, 6) AS dup_frac, "
             "top_frac <= 0.18 AND dup_frac <= 0.60 AS passes FROM st"
         ),
+        # the len(...)>=3 guard mirrors _shingle_hashes: docs shorter than
+        # k tokens contribute no shingles (no degenerate whole-text /
+        # empty-string collisions)
         "contamination_scan": (
-            f"WITH b AS ({_sql_shingles('(SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0)')}), "
-            f"c AS ({_sql_shingles('(SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0)')}), "
+            f"WITH b AS ({_sql_shingles(_SQL_DECONTAM_SRC.format(op='='))}), "
+            f"c AS ({_sql_shingles(_SQL_DECONTAM_SRC.format(op='<>'))}), "
             "bh AS (SELECT doc_id AS bench_id, ('0x' || substr(md5(s),1,7))::BIGINT AS h "
             "FROM (SELECT doc_id, unnest(sh) AS s FROM b)), "
             "ch AS (SELECT doc_id, ('0x' || substr(md5(s),1,7))::BIGINT AS h "

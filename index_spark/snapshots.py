@@ -310,12 +310,19 @@ class SnapshotStore:
             # across commits would make diff()'s writer-version comparison
             # blind to genuine updates (__v_old == __v_new). Reject reuse
             # rather than suffix-uniquify, so expected-version CC keeps
-            # comparing exactly the string the caller wrote.
-            if any(row.get("writer_version") == writer_version for row in m["versions"]):
+            # comparing exactly the string the caller wrote. The used-id
+            # set lives at MANIFEST level (not per version row) so vacuum
+            # pruning old rows cannot forget an id whose rows may still be
+            # carried (file-level COW) into live versions.
+            used = m.setdefault("writer_versions", [])
+            if writer_version in used or any(
+                row.get("writer_version") == writer_version for row in m["versions"]
+            ):
                 raise ValueError(
                     f"writer version {writer_version!r} was already used by a "
                     "previous commit; version strings are per-transaction ids"
                 )
+            used.append(writer_version)
         version = (m["versions"][-1]["version"] + 1) if m["versions"] else 0
         # Unique per-commit data directory: two truly-concurrent writers from
         # the same base stamp both compute the same next version NUMBER; a

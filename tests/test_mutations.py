@@ -380,3 +380,10 @@ def test_snapshot_diff_change_feed(store, spark):
     # comparison, so the store rejects it
     with pytest.raises(ValueError):
         store.latest().insert([kv("yyy", "again")], version="feed")
+    # ... and the used-id set must SURVIVE vacuum pruning the old manifest
+    # rows (else a reused id after vacuum silently blinds the feed)
+    store.latest().insert([kv("yyy", "1")], version="feed2")
+    store.latest().insert([kv("www", "1")], version="feed3")
+    store.vacuum(keep_last=1)
+    with pytest.raises(ValueError):
+        store.latest().insert([kv("xxx", "again")], version="feed")

@@ -69,6 +69,13 @@ def test_no_cartesian_anywhere_in_core_queries(plans):
         "asof_join_events", "window_count_join", "skew_salted_join",
         "near_dedup_survivors", "simhash_block_pairs", "multi_get_large",
         "binary_key_range",
+        # round-3 additions: the decontam join is a broadcast hash probe,
+        # tfidf/entropy/repetition are explode+aggregate chains — none may
+        # degrade to a nested-loop/cartesian (the broadcast corpus-size
+        # scalar in tfidf is a 1-row crossJoin, which Spark plans as a
+        # BroadcastNestedLoopJoin of a single row — exempted explicitly)
+        "contamination_scan", "repetition_quality", "token_entropy",
+        "group_percentiles", "weighted_sample",
     ]:
         p = plans(name)
         assert "CartesianProduct" not in p, name

@@ -69,6 +69,22 @@ def test_contamination_flags_copied_ngrams(spark):
     assert 2 not in got
 
 
+def test_contamination_ignores_short_docs(spark):
+    """Docs shorter than k tokens contribute no shingles: a 1-2 word (or
+    empty) benchmark row must not flag unrelated short corpus docs via the
+    degenerate whole-text/empty-string shingle."""
+    bench = spark.createDataFrame(
+        [(100, "hi"), (101, ""), (102, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "hi"), (2, ""), (3, "contains alpha beta gamma inside")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in ngram_contamination(corpus, bench, k=3).collect()}
+    assert got == {3}  # only the real 3-gram collision; short docs silent
+
+
 def test_contamination_join_is_broadcast(spark):
     bench = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
     corpus = spark.createDataFrame([(2, "a b c x y")], "doc_id long, text string")

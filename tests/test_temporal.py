@@ -78,12 +78,16 @@ def test_vacuum_keeps_pinned_and_latest(spark, tmp_base):
     for i in range(1, 5):
         idx = store.latest().insert([{"k": 0, "v": f"rewrite{i}"}], upsert=True)
     assert store.latest_version() == 4
+    # capture the doomed version's REAL data dir before vacuum prunes its
+    # manifest row (uuid-suffixed data_path, not the legacy _version_path)
+    v2_dir = store._version_dir(store._version_row(2))
+    assert os.path.exists(v2_dir)
 
     removed = store.vacuum(keep_last=1)
     assert sorted(removed) == [1, 2, 3]  # v0 pinned by history, v4 latest
     assert store.latest().count() == 5
     assert ti.find_index(pinned_ts).count() == 5
-    assert not os.path.exists(store._version_path(2))
+    assert not os.path.exists(v2_dir)  # physical deletion actually happened
     with _pytest.raises(IndexNotFoundError):
         store.n_rows(2)
 
