@@ -1726,6 +1726,49 @@ def q_incremental_maint(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) multi-dimensional clustering: interleave customer
+    and order-day bits into one Z-value, bucket along the curve, and
+    report each bucket's bounding box in BOTH dimensions — the
+    file-skipping evidence (every box narrow in every dim, vs a
+    single-column sort leaving the other dim spanning the domain). Pure
+    integer bit math, bit-identical in the oracle."""
+    from index_spark.operators.layout import zorder_layout_stats
+
+    d = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey").bitwiseAND(F.lit(65535))).alias("ck"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .bitwiseAND(F.lit(65535))
+        ).alias("dd"),
+    )
+    return zorder_layout_stats(d, ["ck", "dd"], n_buckets=8)
+
+
+def _sql_zorder(n_buckets: int = 8, bits: int = 16) -> str:
+    """Exact SQL twin of q_zorder_layout: identical bit interleave, rank
+    bucketing, and per-bucket min/max boxes."""
+    zterms = " + ".join(
+        f"((({c} >> {i}) & 1) << {i * 2 + j})"
+        for i in range(bits)
+        for j, c in enumerate(("ck", "dd"))
+    )
+    return (
+        "WITH d AS (SELECT o_custkey & 65535 AS ck, "
+        "CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) & 65535 AS dd "
+        "FROM orders), "
+        f"z AS (SELECT ck, dd, {zterms} AS z FROM d), "
+        "r AS (SELECT ck, dd, row_number() OVER (ORDER BY z, ck, dd) - 1 AS rn, "
+        "count(*) OVER () AS total FROM z) "
+        "SELECT CAST(floor(rn / ceil(CAST(total AS DOUBLE) / "
+        f"{n_buckets})) AS INT) AS __bucket, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "min(ck) AS min_ck, max(ck) AS max_ck, min(dd) AS min_dd, max(dd) AS max_dd "
+        "FROM r GROUP BY 1"
+    )
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-document top-3 terms by tf·idf (idf = ln(N/df)) — corpus
     keyword/topic reporting. Two aggregates + broadcast corpus size + one
@@ -2928,6 +2971,7 @@ def build_oracles() -> dict[str, str]:
             "SELECT doc_id, CAST(rank AS INT) AS rank, t, round(tfidf, 6) AS tfidf "
             "FROM rk WHERE rank <= 3"
         ),
+        "zorder_layout": _sql_zorder(),
         "token_entropy": (
             f"WITH terms AS (SELECT doc_id, unnest({SQL_TOKS_LOWER}) AS t FROM documents), "
             "tf AS (SELECT doc_id, t, count(*) AS tf FROM terms GROUP BY 1, 2), "
@@ -3117,6 +3161,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "weighted_sample": q_weighted_sample,
         "seek_pagination_df": q_seek_pagination_df,
+        "zorder_layout": q_zorder_layout,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,
