@@ -418,19 +418,34 @@ class ShardedIndex:
             for sid, rs in routed.items():
                 per_shard.setdefault(sid, []).append(mk(rs))
 
-        new_versions: dict[int, int] = {}
-        for s in cat["shards"]:
-            cmds = per_shard.get(s["id"])
-            if not cmds:
-                continue
+        # Per-shard commits are independent (disjoint stores, disjoint key
+        # ranges) until the single catalog swap below, so run them
+        # CONCURRENTLY — a serial loop would make a wide transaction's
+        # latency O(#touched shards) in fixed commit overhead. Spark's
+        # driver is thread-safe for concurrent job submission; each thread
+        # drives its own store's jobs. Any shard failure cancels nothing
+        # already durable but the catalog stays put, so every orphan stays
+        # invisible exactly as in the serial path (vacuum reclaims them).
+        def _commit_one(s: dict) -> tuple[int, int]:
             h = self._handle(s, cat)
             if h is None:
                 h = SnapshotStore(self.spark, s["path"]).create(
                     key, rows_per_partition=cat["rows_per_partition"],
                     max_n_items=cat["shard_capacity"],
                 )
-            new = h.execute(cmds, version)  # raises → catalog stays put
-            new_versions[s["id"]] = new.version
+            return s["id"], h.execute(per_shard[s["id"]], version).version
+
+        touched = [s for s in cat["shards"] if per_shard.get(s["id"])]
+        new_versions: dict[int, int] = {}
+        if len(touched) <= 1:
+            new_versions.update(_commit_one(s) for s in touched)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(touched))) as pool:
+                # list() propagates the FIRST shard error (raises → catalog
+                # stays put), matching the serial path's contract
+                new_versions.update(pool.map(_commit_one, touched))
         for s in cat["shards"]:
             if s["id"] in new_versions:
                 s["version"] = new_versions[s["id"]]
