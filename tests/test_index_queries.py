@@ -294,6 +294,32 @@ def test_pages_duplicate_keys_with_tiebreaker(spark, sf_dir):
     assert got == want  # nothing skipped, nothing repeated, in order
 
 
+def test_pages_edge_cases(spark):
+    """page_size 1, exact page-boundary totals, and empty input — the
+    off-by-one traps of seek resume."""
+    from index_spark.index import SortedIndex
+
+    df = spark.createDataFrame([(i,) for i in range(6)], "k long")
+    idx = SortedIndex(df, ["k"])
+    # page_size 1: six pages, exact sequence
+    assert [r.k for rows in idx.pages(1) for r in rows] == list(range(6))
+    # total is an exact multiple of page_size: no phantom empty page fetch
+    pages = list(idx.pages(3))
+    assert [len(p) for p in pages] == [3, 3]
+    # empty input: zero pages from both protocols
+    empty = SortedIndex(df.filter("k < 0"), ["k"])
+    assert list(empty.pages(10)) == []
+    assert list(empty.pages_df(10)) == []
+    # all-identical keys: tiebreaker makes every row reachable
+    dup = spark.createDataFrame([(1, i) for i in range(5)], "k long, r long")
+    got = [
+        (row.k, row.r)
+        for rows in SortedIndex(dup, ["k"]).pages(2, tiebreaker="r")
+        for row in rows
+    ]
+    assert got == [(1, i) for i in range(5)]
+
+
 def test_pages_df_distributed_pagination(spark, sf_dir):
     """pages_df() yields DataFrames (not collected rows): same sequence as
     pages(), and each non-first page's plan carries the pushed seek bound
