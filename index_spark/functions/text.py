@@ -231,3 +231,22 @@ def simhash64(text: pd.Series) -> pd.Series:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two int64 SimHash values (JVM-side bit_count)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# --------------------------------------------------------------- redaction
+# PII scrubbing is regex-class work the JVM does in whole-stage codegen —
+# a narrow map, no shuffle, trivially scale-free. Patterns stay in the
+# RE2-compatible common subset (no backrefs/lookaround) so the SQL oracle
+# replays them verbatim.
+NUMBER_PAT = "[0-9]+"
+EMAIL_PAT = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+
+def redact(col: Column, pattern: str = NUMBER_PAT, token: str = "<NUM>") -> Column:
+    """Replace every match of ``pattern`` with ``token``."""
+    return F.regexp_replace(col, pattern, token)
+
+
+def match_count(col: Column, pattern: str = NUMBER_PAT) -> Column:
+    """Number of non-overlapping matches of ``pattern``."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))

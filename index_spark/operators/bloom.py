@@ -1,0 +1,94 @@
+"""Deterministic Bloom-filter semi-join pruning.
+
+The scale problem: a semi-join ``big ⋉ small`` still shuffles the big
+side on the join key (or, broadcast, ships the full key set). A Bloom
+filter replaces that with an O(m)-bit broadcast and a NARROW filter on
+the big side — no shuffle of the probe table at all — at the cost of a
+bounded false-positive rate. This is the same idea behind Spark's own
+runtime row-group/bloom pushdown (``spark.sql.optimizer.runtime
+.bloomFilter.enabled``); this module implements it explicitly so the
+filter is *deterministic* and replayable in the SQL oracle (Spark's
+built-in ``bloom_filter_agg`` uses an engine-private hash, which a
+DuckDB twin could never reproduce bit-for-bit).
+
+Construction (classic double hashing, Kirsch & Mitzenmacher 2006): for a
+key's string form, ``h1 = md5-prefix-28bit(key)``, ``h2 = md5-prefix
+(key ∥ '#') | 1`` (forced odd so it is a generator mod the power-of-two
+``m``), and the i-th probe position is ``(h1 + i·h2) mod m``. The bitset
+is packed into ``m/64`` longs, built distributively (``groupBy(word).agg
+(bit_or(mask))`` — each 64-bit word reduced map-side) and collapsed to a
+single one-row DataFrame that broadcasts to the probe side; no key list
+ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+BLOOM_K = 3  # probes per key
+
+
+def _h(key: Column, salt: str = "") -> Column:
+    src = F.concat(key.cast("string"), F.lit(salt)) if salt else key.cast("string")
+    return F.conv(F.substring(F.md5(src), 1, 7), 16, 10).cast("long")
+
+
+def probe_positions(key: Column, m: int, k: int = BLOOM_K) -> Column:
+    """Array of the ``k`` Bloom probe positions for ``key`` (each in
+    ``[0, m)``). ``m`` must be a power of two (odd ``h2`` is then
+    coprime with it, so the k probes never degenerate)."""
+    assert m & (m - 1) == 0, "m must be a power of two"
+    h1, h2 = _h(key), _h(key, "#").bitwiseOR(F.lit(1))
+    return F.array(*[((h1 + F.lit(i) * h2) % m).alias(f"p{i}") for i in range(k)])
+
+
+def build_bloom(df: DataFrame, key_col: str, m: int = 1 << 16, k: int = BLOOM_K) -> DataFrame:
+    """One-row DataFrame ``(bits: array<long>)`` — the packed Bloom bitset
+    over ``df``'s keys, ``m/64`` words. Dense (zero-filled) so the probe
+    side can test membership with one O(1) ``element_at``."""
+    pos = df.select(
+        F.explode(probe_positions(F.col(key_col), m, k)).alias("pos")
+    ).select(
+        F.shiftright("pos", 6).alias("w"),
+        F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+    )
+    words = pos.groupBy("w").agg(F.bit_or("mask").alias("bits"))
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("__m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m // 64 - 1)),
+            lambda i: F.coalesce(F.element_at("__m", i), F.lit(0).cast("long")),
+        ).alias("bits")
+    )
+
+
+def bloom_prune(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    m: int = 1 << 16,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Rows of ``probe`` whose key passes the Bloom filter built over
+    ``build``'s keys. The probe side stays narrow: one broadcast
+    cross-join of the single bitset row, then a scan-local filter — no
+    shuffle, no key-set broadcast. May keep false positives (bounded by
+    (set_bits/m)^k); never drops a true match — callers either tolerate
+    the FP rate (pre-filter before an exact join) or verify downstream."""
+    bloom = build_bloom(build.select(build_key), build_key, m, k)
+    pos = probe_positions(F.col(probe_key), m, k)
+    probed = probe.crossJoin(F.broadcast(bloom)).withColumns(
+        {f"__p{i}": F.element_at(pos, i + 1) for i in range(k)}
+    )
+    # the word/mask test needs a column shift amount, which the PySpark
+    # shiftleft wrapper doesn't take — the SQL parser does
+    member = None
+    for i in range(k):
+        t = F.expr(
+            f"(element_at(bits, CAST(shiftright(__p{i}, 6) AS INT) + 1) & "
+            f"shiftleft(1L, CAST(__p{i} % 64 AS INT))) != 0"
+        )
+        member = t if member is None else member & t
+    return probed.where(member).drop("bits", *[f"__p{i}" for i in range(k)])

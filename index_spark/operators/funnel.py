@@ -1,0 +1,106 @@
+"""Ordered-event analytics: funnels and first-seen cumulative counts.
+
+Two event-stream primitives a product/behavioral pipeline runs constantly,
+expressed so neither ever materializes per-user event lists:
+
+- :func:`funnel_counts` — strictly-ordered step conversion (step i+1 must
+  happen AFTER the user's earliest step i). Each stage is a conditional
+  min-aggregate hashed on the user key plus a broadcast join of the
+  previous stage's (user, ts) frontier — the frontier is one row per
+  surviving user, orders of magnitude smaller than the event table, so
+  the big side never re-shuffles after its first stage aggregate.
+- :func:`first_seen_cumulative` — running distinct-user counts per day.
+  The naive formulation (``count(DISTINCT user) OVER (ORDER BY day)``)
+  re-scans every prior day's users per day — O(days · users) state and a
+  single-reducer window at scale. The first-seen trick is exact and one
+  aggregate: a user contributes to the distinct count of day d iff d is
+  their FIRST day, so cumulative-distinct = running sum of first-seen
+  counts — a window over one row per (type, day), driver-tiny.
+
+Timestamps compare as ``ts_us`` (bigint epoch-µs, the canonical events
+column) so the SQL oracle's ``epoch_us`` comparisons replay exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """One-row funnel summary over ``steps`` (strict temporal order).
+
+    Columns: ``step<i>_users`` for each step (users whose earliest
+    qualifying step-i event exists after their step-(i-1) time) and
+    ``conv_<i>`` = step<i>/step<i-1> rounded to 6 decimals (an int/int
+    double division — deterministic)."""
+    assert len(steps) >= 2
+    frontier = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    frontiers = [frontier]
+    for step in steps[1:]:
+        prev = frontiers[-1].withColumnRenamed("__t", "__prev_t")
+        frontier = (
+            events.where(F.col(type_col) == step)
+            .join(F.broadcast(prev), on=user_col)
+            .where(F.col(ts_col) > F.col("__prev_t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("__t"))
+        )
+        frontiers.append(frontier)
+    counts = [
+        f.agg(F.count(F.lit(1)).alias(f"step{i + 1}_users"))
+        for i, f in enumerate(frontiers)
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    convs = [
+        F.round(
+            F.col(f"step{i + 1}_users").cast("double")
+            / F.col(f"step{i}_users").cast("double"),
+            6,
+        ).alias(f"conv_{i + 1}")
+        for i in range(1, len(steps))
+    ]
+    return out.select(*[f"step{i + 1}_users" for i in range(len(steps))], *convs)
+
+
+def first_seen_cumulative(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per (event_type, day): the number of users seen for the first time
+    that day and the exact cumulative distinct-user count up to and
+    including it. Returns ``(event_type, day, new_users, cum_users)`` —
+    only days where at least one user debuts appear (days between them
+    would repeat the previous cumulative value)."""
+    first = events.groupBy(type_col, user_col).agg(
+        F.min(F.to_date(ts_col)).alias("__day")
+    )
+    daily = first.groupBy(type_col, "__day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy("__day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # day as ISO string: DATE round-trips through pandas as midnight
+    # datetimes on one engine and dates on the other — strings hash alike
+    return daily.select(
+        type_col,
+        F.date_format("__day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

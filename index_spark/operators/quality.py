@@ -150,3 +150,56 @@ def repetition_filter(
             "passes"
         ),
     )
+
+
+def unigram_nll(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram language model — the cheap perplexity proxy public pipelines
+    use to rank documents by "typicality" before an expensive LM scorer
+    (CCNet-style; Wenzek et al. 2020 train a KenLM, the unigram variant
+    is its one-shuffle degenerate case). Low NLL = stopword-ish; high =
+    rare-token-heavy (non-language or misfiled content).
+
+    Model: p(w) = n_w / N over the whole corpus (no smoothing — every
+    scored token is in-vocabulary by construction). Score = −Σ tf·ln
+    p(w) / n_tokens, in nats.
+
+    Plan shape: one (doc, term, tf) aggregate, one (term) aggregate for
+    the vocab, a broadcast join of vocab + corpus size back onto the tf
+    table, then a per-doc rollup — term strings shuffle once, text never
+    does. The float Σ is a left-to-right fold over the SORTED per-term
+    contribution list (catalog hash-determinism rule; a plain double sum
+    is combine-order-dependent).
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("t")
+    )
+    tf = terms.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("t").agg(F.sum("tf").alias("n_w"))
+    total = vocab.agg(F.sum("n_w").alias("n_total"))
+    contrib = (
+        tf.join(F.broadcast(vocab), on="t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "tf",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_w").cast("double") / F.col("n_total").cast("double"))
+            ).alias("c"),
+        )
+    )
+    s = F.aggregate(
+        F.sort_array(F.collect_list("c")), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(F.sum("tf").alias("n_tokens"), s.alias("__s"))
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(-F.col("__s") / F.col("n_tokens").cast("double"), 6).alias("nll"),
+        )
+    )

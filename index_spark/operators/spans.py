@@ -1,0 +1,79 @@
+"""Substring-level duplicate-span detection (training-data dedup).
+
+Document-level near-dedup (MinHash/SimHash, :mod:`.dedup`) misses the
+common failure mode where *parts* of documents repeat across the corpus —
+boilerplate headers, license blocks, templated paragraphs. The public
+remedy (Lee et al. 2021, *Deduplicating Training Data Makes Language
+Models Better*) finds token spans that occur more than once anywhere in
+the corpus. The exact suffix-array construction there is a single-machine
+algorithm; the Spark-native equivalent used by public pipelines is
+fixed-length token k-gram spans + a corpus-wide frequency join, which
+finds every duplicated substring of length ≥ k (any longer duplicate
+contains a duplicated k-gram).
+
+Plan shape (the 100 TB story): explode k-gram spans → hash each span to a
+7-hex md5 prefix (28-bit int) → two-level aggregate: ``groupBy(doc,
+hash)`` then ``groupBy(hash)`` for corpus totals → join back → per-doc
+rollup. Only (id, hash, count) triples ever enter a shuffle; span TEXT is
+dropped at the map side, so shuffled bytes are ~12/span regardless of
+span length. Both shuffles hash-partition with map-side partial
+aggregation; no window, no sort, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from index_spark.functions import text as TX
+
+
+def span_hashes(df: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per token k-gram span occurrence: ``(id_col, h)`` with
+    ``h`` the 28-bit md5-prefix hash of the span text (the same hashing
+    family the MinHash pipeline uses, so the SQL oracle replays it
+    exactly). Documents shorter than ``k`` tokens contribute nothing."""
+    return df.select(
+        F.col(id_col),
+        F.explode(TX.word_ngrams_all(F.col(text_col), k)).alias("__g"),
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 7), 16, 10).cast("long").alias("h"),
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document duplicated-span statistics.
+
+    A span is *duplicated* when its hash occurs ≥ 2 times corpus-wide
+    (across documents or repeated within one — both are verbatim
+    repetition a dedup pass wants to know about, matching the
+    "substring repeated anywhere" semantics of Lee et al. 2021 §3).
+
+    Returns ``(id_col, n_spans, n_dup_spans, dup_frac)`` for every
+    document with at least one span; ``dup_frac`` is the fraction of this
+    document's span occurrences that are duplicated, rounded to 6
+    decimals (an int/int division — deterministic across engines).
+    """
+    spans = span_hashes(df, k=k, id_col=id_col, text_col=text_col)
+    per_doc = spans.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c"))
+    corpus = per_doc.groupBy("h").agg(F.sum("c").alias("tot"))
+    return (
+        per_doc.join(corpus, on="h")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(F.when(F.col("tot") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+                "n_dup_spans"
+            ),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )

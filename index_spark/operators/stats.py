@@ -52,3 +52,67 @@ def grouped_percentile_disc(
         for p in ps
     ]
     return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def profile_columns(df: DataFrame, cols: Sequence[tuple[str, "F.Column"]]) -> DataFrame:
+    """One-pass data profiling: per listed column its null count, exact
+    distinct count, and min/max (stringified). ``cols`` maps output names
+    to already-canonicalized expressions (money as integer cents, time as
+    epoch-µs) so the stringification is engine-portable — profiling raw
+    doubles would hash-diverge on formatting.
+
+    Plan: a SINGLE aggregate over one scan (the multiple exact distincts
+    expand the input ``len(cols)``-way map-side — Spark's standard
+    multi-distinct Expand — but nothing rescans the source), then the
+    one-row result explodes into one row per column. At 100 TB this is
+    the cheapest exact profile available: one pass, partial aggregation
+    everywhere, output size O(columns)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{name}"),
+            F.countDistinct(c).alias(f"__nd_{name}"),
+            F.min(c).cast("string").alias(f"__mn_{name}"),
+            F.max(c).cast("string").alias(f"__mx_{name}"),
+        ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(name).alias("column"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{name}")).alias("n_nulls"),
+            F.col(f"__nd_{name}").alias("n_distinct"),
+            F.col(f"__mn_{name}").alias("min_val"),
+            F.col(f"__mx_{name}").alias("max_val"),
+        )
+        for name, _ in cols
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def fixed_histogram(
+    df: DataFrame, value: "F.Column", lo: int, hi: int, nbuckets: int
+) -> DataFrame:
+    """Equi-width histogram over integer ``value`` with FIXED bounds —
+    one shuffle on the (tiny) bucket id, all-integer bucket arithmetic so
+    the SQL twin is exact. Values outside [lo, hi) clamp into the edge
+    buckets (profiling convention). Returns (bucket, lo_edge, n)."""
+    span = hi - lo
+    b = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(nbuckets - 1).cast("long"),
+            F.expr(f"((__v - {lo}L) * {nbuckets}L) div {span}L"),
+        ),
+    )
+    return (
+        df.select(value.cast("long").alias("__v"))
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * (span // nbuckets)).alias("lo_edge"),
+            "n",
+        )
+    )

@@ -2128,6 +2128,158 @@ def q_events_type_summary(spark, sf_dir):
     )
 
 
+def q_dup_span_stats(spark, sf_dir):
+    """Substring-level duplicate spans (Lee et al. 2021 semantics via
+    5-token k-gram hashes): per-doc duplicated-span counts and fraction.
+    Only (id, 28-bit hash, count) triples shuffle — span text is dropped
+    map-side, so shuffled bytes are constant per span at any corpus
+    size."""
+    from index_spark.operators.spans import duplicate_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_stats(docs, k=5)
+
+
+def q_bloom_prune_join(spark, sf_dir):
+    """Bloom-filter semi-join pruning (Kirsch-Mitzenmacher double
+    hashing, m=1024, k=3): the probe table is filtered by an O(m)-bit
+    broadcast instead of shuffling on the join key. Deliberately small
+    ``m`` so the false-positive arm is exercised — the summary row counts
+    passes, true members, and FPs, all replayed exactly by the SQL twin
+    (Spark's builtin bloom_filter_agg hash is engine-private and
+    unverifiable)."""
+    from index_spark.operators.bloom import bloom_prune
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = cust.where(F.col("c_acctbal") > 9000)
+    passed = bloom_prune(orders, build, "o_custkey", "c_custkey", m=1024)
+    true_m = orders.join(
+        build.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+        "o_custkey",
+        "left_semi",
+    )
+    return (
+        passed.agg(
+            F.count(F.lit(1)).alias("n_pass"), F.sum("o_orderkey").alias("pass_key_sum")
+        )
+        .crossJoin(true_m.agg(F.count(F.lit(1)).alias("n_true")))
+        .select(
+            "n_pass",
+            "n_true",
+            (F.col("n_pass") - F.col("n_true")).alias("n_false_pos"),
+            "pass_key_sum",
+        )
+    )
+
+
+def q_unigram_nll(spark, sf_dir):
+    """Perplexity-proxy quality score: per-doc mean negative
+    log-likelihood under the corpus unigram LM (the CCNet-style ranking
+    signal). One term shuffle + broadcast vocab join; left-to-right fold
+    over the sorted contribution list keeps the float Σ hashable."""
+    from index_spark.operators.quality import unigram_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_nll(docs)
+
+
+def q_funnel_steps(spark, sf_dir):
+    """Strictly-ordered 3-step funnel (view → click → purchase): each
+    stage joins the previous stage's per-user frontier (user-count-sized,
+    broadcast) onto the type-filtered events — the event table never
+    re-shuffles across stages. Epoch-µs comparisons replay exactly in
+    SQL."""
+    from index_spark.operators.funnel import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+def q_first_seen_users(spark, sf_dir):
+    """Exact running distinct users per (event_type, day) via the
+    first-seen trick: cumulative-distinct = running sum of per-day debut
+    counts — one aggregate + a window over (types × days) rows, instead
+    of the O(days·users) count(DISTINCT) OVER formulation that funnels
+    through one reducer at scale."""
+    from index_spark.operators.funnel import first_seen_cumulative
+
+    ev = load_table(spark, sf_dir, "events")
+    return first_seen_cumulative(ev)
+
+
+def q_pagerank_parts(spark, sf_dir):
+    """Fixed-iteration integer PageRank over the part↔supplier bipartite
+    graph (distinct lineitem pairs, both directions). Integer mass units
+    + truncating division make every round bit-exact under any
+    partitioning, so the 3-round power iteration unrolls into an exact
+    SQL oracle — float PageRank could never hash-match. Top-10 hubs by
+    rank with a node-id tiebreak."""
+    from index_spark.operators.graph import pagerank_int
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("a"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+    ).distinct()
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return (
+        pagerank_int(edges, iterations=3)
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(10)
+    )
+
+
+def q_profile_orders(spark, sf_dir):
+    """One-pass exact data profiling (null/distinct/min/max per column)
+    over orders — money canonicalized to integer cents and dates to
+    epoch-µs BEFORE stringification, so min/max formatting is
+    engine-portable. Single scan; multi-distinct via Spark's Expand."""
+    from index_spark.operators.stats import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        orders,
+        [
+            ("o_orderkey", F.col("o_orderkey")),
+            ("o_custkey", F.col("o_custkey")),
+            ("o_orderstatus", F.col("o_orderstatus")),
+            ("o_orderpriority", F.col("o_orderpriority")),
+            ("o_totalprice_cents", _cents(F.col("o_totalprice"))),
+            ("o_orderdate_us", F.unix_micros(F.col("o_orderdate").cast("timestamp"))),
+        ],
+    )
+
+
+def q_price_histogram(spark, sf_dir):
+    """Equi-width histogram of order totals (10 buckets over [0, 500k),
+    integer-cents bucket arithmetic — exact in both engines). One shuffle
+    on the 10-value bucket id; the profiling complement to
+    profile_orders."""
+    from index_spark.operators.stats import fixed_histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    return fixed_histogram(orders, _cents(F.col("o_totalprice")), 0, 50_000_000, 10)
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII-style scrubbing exemplar: redact digit runs from the event
+    props payload, reporting per-type match counts and byte savings.
+    Pure codegen'd regex map — no shuffle beyond the 5-group rollup; the
+    pattern stays in the RE2-compatible subset so the SQL twin replays
+    it verbatim."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(TX.match_count(F.col("props"))).alias("nums_redacted"),
+        F.sum(F.length("props") - F.length(TX.redact(F.col("props")))).alias(
+            "chars_delta"
+        ),
+    )
+
+
 # =========================================================================
 # DuckDB oracle twins
 # =========================================================================
@@ -2347,7 +2499,126 @@ def build_oracles() -> dict[str, str]:
         "round(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)"
         " / greatest(len(list_distinct(list_concat(s1.sh, s2.sh))), 1), 6)"
     )
+    # bloom double-hash helpers (Kirsch-Mitzenmacher): h1/h2 from md5
+    # prefixes of the key's string form, h2 forced odd; replicated from
+    # operators/bloom.py so membership (incl. false positives) replays.
+    def _sql_bloom_h(key: str) -> str:
+        return (
+            f"('0x'||substr(md5({key}),1,7))::BIGINT AS h1, "
+            f"(('0x'||substr(md5({key}||'#'),1,7))::BIGINT | 1) AS h2"
+        )
+
     out = {
+        # --- round-3 batch 2: pipeline + analytics operators
+        "dup_span_stats": (
+            f"WITH t AS (SELECT doc_id, {SQL_TOKS_LOWER} AS w FROM documents), "
+            "g AS (SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS g "
+            "  FROM t, UNNEST(range(1, greatest(len(w)-3, 1))) AS r(i) WHERE len(w) >= 5), "
+            "h AS (SELECT doc_id, ('0x'||substr(md5(g),1,7))::BIGINT AS h FROM g), "
+            "pd AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS c FROM h GROUP BY 1,2), "
+            "corpus AS (SELECT h, CAST(sum(c) AS BIGINT) AS tot FROM pd GROUP BY 1) "
+            "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_spans, "
+            "CAST(sum(CASE WHEN tot>=2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_spans, "
+            "round(CAST(sum(CASE WHEN tot>=2 THEN c ELSE 0 END) AS DOUBLE)"
+            "/CAST(sum(c) AS DOUBLE), 6) AS dup_frac "
+            "FROM pd JOIN corpus USING(h) GROUP BY 1"
+        ),
+        "bloom_prune_join": (
+            "WITH build AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS bk "
+            "  FROM customer WHERE c_acctbal > 9000), "
+            f"h AS (SELECT bk, {_sql_bloom_h('bk')} FROM build), "
+            "bits AS (SELECT DISTINCT (h1 + i*h2) % 1024 AS pos FROM h, range(0,3) r(i)), "
+            f"ph AS (SELECT o_orderkey, {_sql_bloom_h('CAST(o_custkey AS VARCHAR)')} FROM orders), "
+            "pp AS (SELECT o_orderkey, (h1 + i*h2) % 1024 AS pos FROM ph, range(0,3) r(i)), "
+            "passed AS (SELECT o_orderkey FROM pp JOIN bits USING(pos) "
+            "  GROUP BY o_orderkey HAVING count(*) = 3), "
+            "tm AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM orders "
+            "  JOIN (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 9000) b "
+            "  ON o_custkey = c_custkey), "
+            "pa AS (SELECT CAST(count(*) AS BIGINT) AS n_pass, "
+            "  CAST(sum(o_orderkey) AS BIGINT) AS pass_key_sum FROM passed) "
+            "SELECT n_pass, n_true, CAST(n_pass - n_true AS BIGINT) AS n_false_pos, "
+            "pass_key_sum FROM pa, tm"
+        ),
+        "unigram_nll": (
+            f"WITH terms AS (SELECT doc_id, unnest({SQL_TOKS_LOWER}) AS t FROM documents), "
+            "tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY 1,2), "
+            "vocab AS (SELECT t, CAST(sum(tf) AS BIGINT) AS n_w FROM tf GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM vocab), "
+            "c AS (SELECT doc_id, tf, CAST(tf AS DOUBLE) * "
+            "  ln(CAST(n_w AS DOUBLE)/CAST(n_total AS DOUBLE)) AS c "
+            "  FROM tf JOIN vocab USING(t), tot) "
+            "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
+            "round(-list_sum(list(c ORDER BY c)) / CAST(sum(tf) AS DOUBLE), 6) AS nll "
+            "FROM c GROUP BY 1"
+        ),
+        "funnel_steps": (
+            "WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events "
+            "  WHERE event_type='view' GROUP BY 1), "
+            "t2 AS (SELECT e.user_id, min(epoch_us(ts)) AS t FROM events e JOIN t1 USING(user_id) "
+            "  WHERE event_type='click' AND epoch_us(ts) > t1.t GROUP BY 1), "
+            "t3 AS (SELECT e.user_id, min(epoch_us(ts)) AS t FROM events e JOIN t2 USING(user_id) "
+            "  WHERE event_type='purchase' AND epoch_us(ts) > t2.t GROUP BY 1) "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM t1) AS step1_users, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM t2) AS step2_users, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM t3) AS step3_users, "
+            "round((SELECT CAST(count(*) AS DOUBLE) FROM t2)/(SELECT count(*) FROM t1), 6) AS conv_2, "
+            "round((SELECT CAST(count(*) AS DOUBLE) FROM t3)/(SELECT count(*) FROM t2), 6) AS conv_3"
+        ),
+        "first_seen_users": (
+            "WITH f AS (SELECT event_type, user_id, min(CAST(ts AS DATE)) AS day "
+            "  FROM events GROUP BY 1,2), "
+            "d AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1,2) "
+            "SELECT event_type, strftime(day, '%Y-%m-%d') AS day, new_users, "
+            "CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users "
+            "FROM d"
+        ),
+        "pagerank_parts": (
+            "WITH pairs AS (SELECT DISTINCT 'p'||l_partkey AS a, 's'||l_suppkey AS b FROM lineitem), "
+            "edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs), "
+            "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+            "nn AS (SELECT count(*) AS n FROM nodes), "
+            "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1), "
+            "r0 AS (SELECT node, 1000000000000 // n AS rank FROM nodes, nn), "
+            + "".join(
+                f"i{j} AS (SELECT e.dst AS node, sum(r.rank // d.deg) AS s FROM edges e "
+                f"  JOIN r{j - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1), "
+                f"r{j} AS (SELECT n.node, (1000000000000 * 15) // (100 * nn.n) "
+                f"  + (85 * coalesce(s, 0)) // 100 AS rank "
+                f"  FROM nodes n LEFT JOIN i{j} ON n.node = i{j}.node, nn), "
+                for j in (1, 2, 3)
+            ).rstrip(", ")
+            + " SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 "
+            "ORDER BY rank DESC, node LIMIT 10"
+        ),
+        "profile_orders": " UNION ALL ".join(
+            f"SELECT '{name}' AS \"column\", CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(*) - count({expr}) AS BIGINT) AS n_nulls, "
+            f"CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct, "
+            f"CAST(min({expr}) AS VARCHAR) AS min_val, "
+            f"CAST(max({expr}) AS VARCHAR) AS max_val FROM orders"
+            for name, expr in [
+                ("o_orderkey", "o_orderkey"),
+                ("o_custkey", "o_custkey"),
+                ("o_orderstatus", "o_orderstatus"),
+                ("o_orderpriority", "o_orderpriority"),
+                ("o_totalprice_cents", _sql_cents("o_totalprice")),
+                ("o_orderdate_us", "epoch_us(o_orderdate)"),
+            ]
+        ),
+        "price_histogram": (
+            f"WITH v AS (SELECT {_sql_cents('o_totalprice')} AS v FROM orders), "
+            "b AS (SELECT greatest(0, least(9, (v * 10) // 50000000)) AS bucket FROM v) "
+            "SELECT bucket, CAST(bucket * 5000000 AS BIGINT) AS lo_edge, "
+            "CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1"
+        ),
+        "pii_redaction": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS nums_redacted, "
+            "CAST(sum(len(props) - len(regexp_replace(props, '[0-9]+', '<NUM>', 'g'))) AS BIGINT) "
+            "AS chars_delta FROM events GROUP BY 1"
+        ),
         # --- reference surface
         "point_get": "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 1000",
         "multi_get": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey IN (3,141,592,653,589,793,238,462)",
@@ -3162,6 +3433,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "seek_pagination_df": q_seek_pagination_df,
         "zorder_layout": q_zorder_layout,
+        # --- (c2) round-3 batch 2: pipeline + analytics operators ---
+        "dup_span_stats": q_dup_span_stats,
+        "bloom_prune_join": q_bloom_prune_join,
+        "unigram_nll": q_unigram_nll,
+        "funnel_steps": q_funnel_steps,
+        "first_seen_users": q_first_seen_users,
+        "pagerank_parts": q_pagerank_parts,
+        "profile_orders": q_profile_orders,
+        "price_histogram": q_price_histogram,
+        "pii_redaction": q_pii_redaction,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,
