@@ -246,3 +246,192 @@ def lsh_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ------------------------------------------------------------ product quantization
+def _sub_slices(dim: int, n_sub: int) -> list[tuple[int, int]]:
+    """(1-based start, length) per subspace; dim must divide evenly."""
+    assert dim % n_sub == 0
+    w = dim // n_sub
+    return [(j * w + 1, w) for j in range(n_sub)]
+
+
+def _fold_l2sq(a, b) -> float:
+    """Driver-side squared L2 as a left-to-right fold (same discipline as
+    :func:`_fold_dot` — never numpy, whose pairwise summation can flip an
+    argmin near a tie boundary vs the engine-side fold)."""
+    s = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        s += d * d
+    return s
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    dim: int,
+    n_sub: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int = 7,
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace Lloyd codebooks for product quantization
+    (Jégou, Douze & Schmid 2011, "Product Quantization for Nearest
+    Neighbor Search"). Same replayability recipe as
+    :func:`train_centroids_deterministic` — id-predicate sample, smallest-id
+    seeds, per-iteration 6-decimal rounding, id-ordered left-to-right mean
+    folds, emptied codes keep their previous centroid — but assignment is
+    argmin squared-L2 (ties → lowest code), the PQ metric.
+
+    All ``n_sub`` trainings run over ONE cached sample projection; each
+    iteration is one job per subspace at sample size (cluster cost is
+    independent of the full table — the 100 TB story is that training
+    touches only the id-predicate sample)."""
+    slices = _sub_slices(dim, n_sub)
+    width = dim // n_sub
+    s = df.filter((F.col(id_col) % sample_mod) == 0).select(
+        F.col(id_col).alias("__id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
+    )
+    s = s.persist()
+    try:
+        seeds = s.orderBy("__id").limit(k).collect()
+        books = [
+            [[float(x) for x in r["__v"][start - 1 : start - 1 + width]] for r in seeds]
+            for start, _ in slices
+        ]
+        zero = F.array(*[F.lit(0.0)] * width)
+        vecs = F.transform(
+            F.sort_array(F.collect_list(F.struct("__id", "__v"))), lambda st: st["__v"]
+        )
+        summed = F.aggregate(vecs, zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b))
+        for _ in range(iters):
+            # ONE job updates all subspaces: explode (sub, code, subvec)
+            # structs, aggregate per (sub, code) — the sample is scanned
+            # once per iteration regardless of n_sub
+            parts = F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        _argmin_code(
+                            books[j], None, vec=F.slice("__v", start, width)
+                        ).alias("code"),
+                        F.slice("__v", start, width).alias("__v"),
+                    )
+                    for j, (start, _) in enumerate(slices)
+                ]
+            )
+            assigned = s.select("__id", F.explode(parts).alias("p")).select(
+                "__id", F.col("p.sub").alias("sub"), F.col("p.code").alias("code"),
+                F.col("p.__v").alias("__v"),
+            )
+            rows = (
+                assigned.groupBy("sub", "code")
+                .agg(F.count(F.lit(1)).alias("n"), summed.alias("s"))
+                .select(
+                    "sub",
+                    "code",
+                    F.transform("s", lambda x: F.round(x / F.col("n"), 6)).alias("c"),
+                )
+                .collect()
+            )
+            new = {(r["sub"], r["code"]): [float(x) for x in r["c"]] for r in rows}
+            books = [
+                [new.get((j, c), books[j][c]) for c in range(k)] for j in range(n_sub)
+            ]
+        return books
+    finally:
+        s.unpersist()
+
+
+def _argmin_code(centroids: list[list[float]], vec_col, vec=None):
+    """Column: index of the squared-L2-nearest centroid (ties → lowest
+    code). JVM-side fold over a literal centroid matrix. Pass either a
+    column name (``vec_col``) or a ready Column (``vec=``)."""
+    v = vec if vec is not None else F.col(vec_col)
+    cent_arr = F.array(*[_query_lit(c) for c in centroids])
+    dists = F.transform(
+        cent_arr,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    pairs = F.zip_with(
+        dists,
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda d, i: F.struct((-d).alias("negd"), (-i).alias("negidx")),
+    )
+    return -F.array_max(pairs).getField("negidx")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>) — the compressed index. At 64 dims / 4
+    subspaces / 8 codes this is 4 small ints per vector instead of 64
+    floats: the representation that lets a 100 TB corpus's index fit in
+    a fraction of the raw size and scan without touching the vectors."""
+    n_sub = len(codebooks)
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    code_cols = []
+    tmp = df.select(F.col(id_col), v.alias("__v"))
+    for j, (start, width) in enumerate(_sub_slices(dim, n_sub)):
+        tmp = tmp.withColumn(f"__c{j}", F.slice("__v", start, width))
+        code_cols.append(_argmin_code(codebooks[j], f"__c{j}").alias(f"code{j}"))
+    return tmp.select(F.col(id_col), *code_cols).select(
+        id_col, F.array(*[f"code{j}" for j in range(n_sub)]).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    qvec,
+    dim: int,
+    k: int = 10,
+    shortlist: int = 40,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) search + exact re-rank: the query's
+    per-subspace distance tables (n_sub × n_codes doubles, computed
+    driver-side with the deterministic fold and ROUNDED to 6 decimals)
+    become literal lookup arrays; approximate distance = fixed-order sum
+    of ``n_sub`` table lookups — a pure codegen'd expression over the
+    4-int codes, never touching the vectors. The ``shortlist`` nearest by
+    ADC (ties → lowest id) are re-ranked by exact cosine against the raw
+    vectors (an id semi-join — at scale, a point-lookup into the vector
+    store), returning the exact-scored top ``k``."""
+    n_sub = len(codebooks)
+    tables = []
+    for j, (start, width) in enumerate(_sub_slices(dim, n_sub)):
+        qsub = [float(x) for x in qvec[start - 1 : start - 1 + width]]
+        tables.append([round(_fold_l2sq(qsub, c), 6) for c in codebooks[j]])
+    adc = None
+    for j in range(n_sub):
+        term = F.element_at(
+            F.array(*[F.lit(d) for d in tables[j]]),
+            F.col("codes").getItem(j).cast("int") + 1,
+        )
+        adc = term if adc is None else adc + term
+    short = (
+        encoded.select(id_col, F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    q = _query_lit(qvec)
+    return (
+        df.join(short, on=id_col, how="left_semi")
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

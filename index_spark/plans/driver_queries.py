@@ -2264,6 +2264,33 @@ def q_price_histogram(spark, sf_dir):
     return fixed_histogram(orders, _cents(F.col("o_totalprice")), 0, 50_000_000, 10)
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): per-subspace
+    deterministic Lloyd codebooks → 4-int codes per vector → ADC
+    (asymmetric distance) shortlist via literal lookup tables → exact
+    cosine re-rank of the shortlist. The ADC scan touches only the codes
+    (4 small ints/vector — the compressed index a 100 TB corpus scans
+    instead of raw vectors); the same determinism recipe as the IVF
+    trainer (id-predicate sample, smallest-id seeds, id-ordered mean
+    folds, 6-decimal rounding, argmin ties → lowest code) lets the whole
+    train→encode→search pipeline unroll into an exact SQL oracle."""
+    from index_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    dim = len(qvec)
+    books = train_pq_codebooks(emb, dim=dim, n_sub=4, k=8, iters=2, sample_mod=7)
+    enc = pq_encode(emb, books, dim=dim)
+    out = pq_adc_topk(enc, emb, books, qvec, dim=dim, k=10, shortlist=40)
+    return out.select("vec_id", F.round("score", 6).alias("score")).orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII-style scrubbing exemplar: redact digit runs from the event
     props payload, reporting per-type match counts and byte savings.
@@ -2446,6 +2473,91 @@ def _sql_ivf_trained(
         f"FROM allv, {prev} p) WHERE rn = 1), "
         f"top AS (SELECT vec_id, {_sql_cosine('v', 'qv')} AS cos FROM asg, q "
         f"WHERE cell IN (SELECT cell FROM probe) ORDER BY cos DESC, vec_id ASC LIMIT {k}) "
+        f"SELECT vec_id, round(cos, 6) AS score FROM top ORDER BY score DESC, vec_id ASC"
+    )
+    return sql
+
+
+def _sql_pq_topk(
+    dim: int = 64,
+    n_sub: int = 4,
+    n_codes: int = 8,
+    iters: int = 2,
+    sample_mod: int = 7,
+    k: int = 10,
+    shortlist: int = 40,
+) -> str:
+    """Exact SQL twin of ``q_pq_topk``: per-subspace deterministic Lloyd
+    unrolled as CTEs (the ``_sql_ivf_trained`` recipe with argmin
+    squared-L2 assignment), then code assignment for every vector, the
+    query's per-subspace distance tables (rounded to 6 decimals exactly
+    like the driver-side fold), a fixed-order 4-term ADC sum, shortlist
+    by (adc, id), and exact cosine re-rank."""
+    w = dim // n_sub
+
+    def l2(vexpr: str, cexpr: str, off: int) -> str:
+        # squared L2 of the subvector starting at 1-based offset `off`
+        return (
+            f"list_sum(list_transform(range(1, {w}+1), "
+            f"i -> ({vexpr}[i+{off - 1}] - {cexpr}[i]) * ({vexpr}[i+{off - 1}] - {cexpr}[i])))"
+        )
+
+    mean_list = (
+        "["
+        + ", ".join(
+            f"round(list_sum(list_transform(l, x -> x[{i + 1}])) / n, 6)" for i in range(w)
+        )
+        + "]"
+    )
+    sql = (
+        f"WITH s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        f"FROM embeddings WHERE vec_id % {sample_mod} = 0), "
+        f"allv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+        f"q AS (SELECT v AS qv FROM allv WHERE vec_id = 0), "
+    )
+    for j in range(n_sub):
+        off = j * w + 1
+        # seeds: smallest-id sample vectors, sliced to this subspace
+        sql += (
+            f"s{j} AS (SELECT id, v[{off}:{off + w - 1}] AS v FROM s), "
+            f"c{j}_0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS code, v AS c "
+            f"FROM (SELECT id, v FROM s{j} ORDER BY id LIMIT {n_codes})), "
+        )
+        prev = f"c{j}_0"
+        for it in range(1, iters + 1):
+            sql += (
+                f"a{j}_{it} AS (SELECT id, v, code FROM ("
+                f"SELECT s{j}.id, s{j}.v, p.code, "
+                f"row_number() OVER (PARTITION BY s{j}.id ORDER BY {l2(f's{j}.v', 'p.c', 1)} ASC, p.code ASC) AS rn "
+                f"FROM s{j}, {prev} p) WHERE rn = 1), "
+                f"c{j}_{it} AS (SELECT p.code, COALESCE(n.c, p.c) AS c FROM {prev} p LEFT JOIN "
+                f"(SELECT code, {mean_list} AS c FROM "
+                f"(SELECT code, list(v ORDER BY id) AS l, count(*) AS n FROM a{j}_{it} GROUP BY code)"
+                f") n USING (code)), "
+            )
+            prev = f"c{j}_{it}"
+        sql += (
+            # encode every vector in this subspace; distance tables vs the query
+            f"e{j} AS (SELECT vec_id, code FROM ("
+            f"SELECT allv.vec_id, p.code, "
+            f"row_number() OVER (PARTITION BY allv.vec_id ORDER BY {l2('allv.v', 'p.c', off)} ASC, p.code ASC) AS rn "
+            f"FROM allv, {prev} p) WHERE rn = 1), "
+            f"t{j} AS (SELECT code, round({l2('qv', 'c', off)}, 6) AS d FROM {prev}, q), "
+        )
+    sql += (
+        "adc AS (SELECT e0.vec_id, round("
+        + " + ".join(f"t{j}.d" for j in range(n_sub))
+        + ", 6) AS adc_dist FROM e0 "
+        + " ".join(
+            f"JOIN e{j} ON e0.vec_id = e{j}.vec_id" for j in range(1, n_sub)
+        )
+        + " "
+        + " ".join(f"JOIN t{j} ON e{j}.code = t{j}.code" for j in range(n_sub))
+        + "), "
+        f"short AS (SELECT vec_id FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT {shortlist}), "
+        f"top AS (SELECT allv.vec_id, {_sql_cosine('allv.v', 'qv')} AS cos FROM allv, q "
+        f"WHERE allv.vec_id IN (SELECT vec_id FROM short) "
+        f"ORDER BY cos DESC, allv.vec_id ASC LIMIT {k}) "
         f"SELECT vec_id, round(cos, 6) AS score FROM top ORDER BY score DESC, vec_id ASC"
     )
     return sql
@@ -3177,6 +3289,7 @@ def build_oracles() -> dict[str, str]:
         ),
         "lsh_sign_topk": _sql_lsh_topk(),
         "ivf_trained_topk": _sql_ivf_trained(),
+        "pq_topk": _sql_pq_topk(),
         "repetition_quality": (
             "WITH g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN "
             "list_transform(range(1, len(w)), i -> concat_ws(' ', w[i], w[i+1])) "
@@ -3443,6 +3556,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": q_profile_orders,
         "price_histogram": q_price_histogram,
         "pii_redaction": q_pii_redaction,
+        "pq_topk": q_pq_topk,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

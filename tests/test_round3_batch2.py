@@ -237,3 +237,82 @@ def test_redact_and_match_count(spark):
     ).collect()
     assert out[0].r == '{"k": <NUM>, "j": <NUM>}' and out[0].c == 2
     assert out[1].r == "none" and out[1].c == 0
+
+
+# ------------------------------------------------------------- product quantization
+def _pq_model(vecs, dim, n_sub, k, iters, sample_mod):
+    """Pure-Python replay of train_pq_codebooks + pq_encode (left-to-right
+    folds, argmin ties -> lowest code, id-ordered means rounded to 6)."""
+    w = dim // n_sub
+    sample = [(i, v) for i, v in vecs if i % sample_mod == 0]
+    seeds = [v for _, v in sorted(sample)[:k]]
+    books = [[list(s[j * w : (j + 1) * w]) for s in seeds] for j in range(n_sub)]
+
+    def l2(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            d = float(x) - float(y)
+            s += d * d
+        return s
+
+    def argmin(sub, book):
+        best, bi = None, None
+        for ci, c in enumerate(book):
+            d = l2(sub, c)
+            if best is None or d < best:
+                best, bi = d, ci
+        return bi
+
+    for _ in range(iters):
+        for j in range(n_sub):
+            groups = {}
+            for i, v in sorted(sample):
+                sub = v[j * w : (j + 1) * w]
+                groups.setdefault(argmin(sub, books[j]), []).append(sub)
+            for code in range(k):
+                if code in groups:
+                    acc = [0.0] * w
+                    for sub in groups[code]:
+                        for d in range(w):
+                            acc[d] += sub[d]
+                    n = len(groups[code])
+                    books[j][code] = [round(x / n, 6) for x in acc]
+    codes = {
+        i: [argmin(v[j * w : (j + 1) * w], books[j]) for j in range(n_sub)]
+        for i, v in vecs
+    }
+    return books, codes
+
+
+def test_pq_codebooks_and_codes_match_model(spark):
+    from index_spark.operators.similarity import pq_encode, train_pq_codebooks
+
+    dim, n_sub, k = 8, 2, 4
+    vecs = [(i, [float((i * 7 + d * 3) % 11) / 10 for d in range(dim)]) for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs], "vec_id long, embedding array<double>"
+    )
+    books = train_pq_codebooks(df, dim=dim, n_sub=n_sub, k=k, iters=2, sample_mod=3)
+    mbooks, mcodes = _pq_model(vecs, dim, n_sub, k, 2, 3)
+    assert books == mbooks
+    got = {r.vec_id: list(r.codes) for r in pq_encode(df, books, dim=dim).collect()}
+    assert got == mcodes
+
+
+def test_pq_adc_reranks_to_exact_top1(spark, embeddings):
+    """ADC is approximate, but with a 40-wide shortlist the exact re-rank
+    must surface the true nearest neighbor (the query itself, score 1)."""
+    from index_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from pyspark.sql import functions as F
+
+    qvec = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    dim = len(qvec)
+    books = train_pq_codebooks(embeddings, dim=dim, n_sub=4, k=8, iters=1, sample_mod=7)
+    enc = pq_encode(embeddings, books, dim=dim)
+    top = pq_adc_topk(enc, embeddings, books, qvec, dim=dim, k=5, shortlist=40).collect()
+    assert top[0].vec_id == 0 and top[0].score == pytest.approx(1.0, abs=1e-6)
+    assert all(top[i].score >= top[i + 1].score for i in range(len(top) - 1))
