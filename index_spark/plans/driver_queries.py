@@ -2307,6 +2307,248 @@ def q_pii_redaction(spark, sf_dir):
     )
 
 
+def q_q4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS-correlated semi-join + priority rollup),
+    adapted to the fixture's columns: count 1996 orders per priority that
+    have at least one line shipped more than 60 days after the order
+    date. The EXISTS compiles to a LeftSemi hash join on the order key
+    with the date comparison as the join residual — one shuffle, no
+    row multiplication from multi-line orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.date_add(o["o_orderdate"].cast("date"), 60).cast("timestamp")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (group value + scalar-subquery threshold over the
+    SAME aggregate), partsupp-free: value per part shipped by NATION_1
+    suppliers, keeping parts whose value exceeds 1/500 of the nation
+    total. The threshold compare is ``value·500 > total`` in integer
+    cents — exact, no float fraction — and the total is a broadcast
+    one-row aggregate, not a recomputation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    nation_li = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .where(F.col("n_name") == "NATION_1")
+    )
+    per_part = nation_li.groupBy("l_partkey").agg(
+        F.sum(_cents(F.col("l_extendedprice"))).alias("__vc")
+    )
+    total = per_part.agg(F.sum("__vc").alias("__tc"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("__vc") * 500 > F.col("__tc"))
+        .select("l_partkey", (F.col("__vc").cast("double") / 100).alias("value"))
+    )
+
+
+def q_q16_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape (NOT-IN anti-join + per-group DISTINCT supplier
+    count): suppliers per (brand, size) for non-PROMO parts outside two
+    excluded brands, excluding negative-balance suppliers via an
+    anti-join (the NOT IN). Distinct count shuffles only (brand, size,
+    suppkey) triples."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    bad = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .where(
+            (F.col("p_type") != "PROMO")
+            & (~F.col("p_brand").isin("Brand#1", "Brand#2"))
+        )
+        .join(
+            F.broadcast(bad),
+            li["l_suppkey"] == bad["s_suppkey"],
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (correlated per-part average threshold): revenue
+    of Brand#3 lines whose quantity is below half the part's average
+    quantity. The correlated AVG becomes one per-part aggregate joined
+    back (broadcast — part-count-sized); the half-average compare is
+    ``2·qty·n < sum_qty`` in scaled integers, so the filter is exact in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_li = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).where(
+        F.col("p_brand") == "Brand#3"
+    )
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    per_part = brand_li.groupBy("p_partkey").agg(
+        F.sum(qty).alias("__sq"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        brand_li.join(F.broadcast(per_part), on="p_partkey")
+        .where(qty * 2 * F.col("__n") < F.col("__sq"))
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / 100).alias(
+                "avg_yearly_base"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_q20_volume_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (nested semi-join chain), partsupp-free: suppliers
+    who shipped more than half of some part's total 1996 volume. Per
+    (part, supplier) and per part aggregates share one shuffle key; the
+    share compare is ``5·supp_qty > part_qty`` in scaled integers; the
+    top 20 suppliers by dominated-part count get names via a broadcast
+    join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    li96 = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    ps = li96.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("__sq"))
+    pt = ps.groupBy("l_partkey").agg(F.sum("__sq").alias("__pq"))
+    qual = (
+        ps.join(pt, on="l_partkey")
+        .where(F.col("__sq") * 2 > F.col("__pq"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    return (
+        supp.join(F.broadcast(qual), supp["s_suppkey"] == qual["l_suppkey"])
+        .select("s_suppkey", "s_name", "n_parts")
+        .orderBy(F.col("n_parts").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
+
+
+def q_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (EXISTS + NOT-EXISTS over the same order): count
+    per supplier of late lines (shipped >90 days after order) in
+    multi-supplier orders where every OTHER supplier shipped on time —
+    i.e. this supplier alone kept the order waiting. Both EXISTS arms are
+    aggregates per (order, lateness) joined back on the order key, so no
+    O(lines²) self-join pair blowup; top 20 by count with name
+    tiebreak."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.date_add(F.col("o_orderdate").cast("date"), 90).cast("timestamp")
+        ).alias("__late"),
+    )
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("__late").cast("int")).alias("__any_late")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supps"),
+        F.sum("__any_late").alias("__n_late_supps"),
+    )
+    blamed = (
+        per_os.where(F.col("__any_late") == 1)
+        .join(per_o, on="l_orderkey")
+        .where((F.col("__n_supps") > 1) & (F.col("__n_late_supps") == 1))
+    )
+    return (
+        blamed.join(F.broadcast(supp), blamed["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
+
+
+def q_event_transitions(spark, sf_dir):
+    """Per-user event-type transition matrix (first-order Markov counts):
+    lag the type over each user's time-ordered stream, count (from, to)
+    pairs, and attach the per-from transition probability. One window
+    shuffle hashed on the user key (state per user is its own event
+    count, never global), one 25-cell rollup; event_id tiebreaks equal
+    timestamps so the lag is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_from).cast("double"), 6
+        ).alias("prob"),
+    )
+
+
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids + pairwise centroid cosine — the
+    corpus-composition report for a labeled embedding space (cluster
+    separation audit). Centroid = id-ordered left-to-right element-wise
+    mean fold rounded to 6 decimals (the catalog's replayable-float
+    recipe); the 10×10/2 centroid pairs are a broadcast self-join of a
+    label-count-sized table — the vectors themselves reduce in one
+    shuffle."""
+    from index_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    dim = len(emb.select("embedding").first()[0])
+    zero = F.array(*[F.lit(0.0)] * dim)
+    vecs = F.transform(
+        F.sort_array(F.collect_list(F.struct("vec_id", F.col("__v").alias("v")))),
+        lambda st: st["v"],
+    )
+    summed = F.aggregate(vecs, zero, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b))
+    cents = (
+        emb.select("label", "vec_id", v.alias("__v"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), summed.alias("s"))
+        .select(
+            "label", F.transform("s", lambda x: F.round(x / F.col("n"), 6)).alias("c")
+        )
+    )
+    a = cents.select(F.col("label").alias("la"), F.col("c").alias("ca"))
+    b = cents.select(F.col("label").alias("lb"), F.col("c").alias("cb"))
+    return (
+        a.join(F.broadcast(b), a["la"] < b["lb"])
+        .select("la", "lb", F.round(cosine(F.col("ca"), F.col("cb")), 6).alias("cos"))
+    )
+
+
 # =========================================================================
 # DuckDB oracle twins
 # =========================================================================
@@ -2730,6 +2972,89 @@ def build_oracles() -> dict[str, str]:
             "CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS nums_redacted, "
             "CAST(sum(len(props) - len(regexp_replace(props, '[0-9]+', '<NUM>', 'g'))) AS BIGINT) "
             "AS chars_delta FROM events GROUP BY 1"
+        ),
+        "q4_priority_exists": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count "
+            "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-07-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+            "GROUP BY 1"
+        ),
+        "q11_important_parts": (
+            f"WITH pp AS (SELECT l_partkey, sum({_sql_cents('l_extendedprice')}) AS vc "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_1' GROUP BY 1), "
+            "t AS (SELECT sum(vc) AS tc FROM pp) "
+            "SELECT l_partkey, CAST(vc AS DOUBLE)/100 AS value "
+            "FROM pp, t WHERE vc * 500 > tc"
+        ),
+        "q16_supplier_counts": (
+            "SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_type <> 'PROMO' AND p_brand NOT IN ('Brand#1', 'Brand#2') "
+            "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+            "GROUP BY 1, 2"
+        ),
+        "q17_small_qty_revenue": (
+            "WITH b AS (SELECT p_partkey, CAST(round(l_quantity*100) AS BIGINT) AS q, "
+            "l_extendedprice FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand = 'Brand#3'), "
+            "pa AS (SELECT p_partkey, sum(q) AS sq, count(*) AS n FROM b GROUP BY 1) "
+            f"SELECT CAST(sum({_sql_cents('l_extendedprice')}) AS DOUBLE)/100 AS avg_yearly_base, "
+            "CAST(count(*) AS BIGINT) AS n_lines "
+            "FROM b JOIN pa USING (p_partkey) WHERE q * 2 * n < sq"
+        ),
+        "q20_volume_suppliers": (
+            "WITH li96 AS (SELECT l_partkey, l_suppkey, "
+            "CAST(round(l_quantity*100) AS BIGINT) AS q FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'), "
+            "ps AS (SELECT l_partkey, l_suppkey, sum(q) AS sq FROM li96 GROUP BY 1, 2), "
+            "pt AS (SELECT l_partkey, sum(sq) AS pq FROM ps GROUP BY 1), "
+            "qual AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_parts "
+            "FROM ps JOIN pt USING (l_partkey) WHERE sq * 2 > pq GROUP BY 1) "
+            "SELECT s_suppkey, s_name, n_parts FROM supplier "
+            "JOIN qual ON s_suppkey = l_suppkey "
+            "ORDER BY n_parts DESC, s_suppkey ASC LIMIT 20"
+        ),
+        "q21_waiting_suppliers": (
+            "WITH lo AS (SELECT l_orderkey, l_suppkey, "
+            "CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END AS late "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+            "per_os AS (SELECT l_orderkey, l_suppkey, max(late) AS any_late "
+            "FROM lo GROUP BY 1, 2), "
+            "per_o AS (SELECT l_orderkey, count(*) AS n_supps, sum(any_late) AS n_late "
+            "FROM per_os GROUP BY 1) "
+            "SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait "
+            "FROM per_os JOIN per_o USING (l_orderkey) "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE any_late = 1 AND n_supps > 1 AND n_late = 1 "
+            "GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey ASC LIMIT 20"
+        ),
+        "event_transitions": (
+            "WITH p AS (SELECT user_id, "
+            "lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS from_type, "
+            "event_type AS to_type FROM events), "
+            "c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2) "
+            "SELECT from_type, to_type, n, "
+            "round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob "
+            "FROM c"
+        ),
+        "label_centroids": (
+            "WITH e AS (SELECT label, vec_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+            "g AS (SELECT label, count(*) AS n, list(v ORDER BY vec_id) AS l FROM e GROUP BY 1), "
+            "c AS (SELECT label, ["
+            + ", ".join(
+                f"round(list_sum(list_transform(l, x -> x[{i + 1}])) / n, 6)"
+                for i in range(64)
+            )
+            + "] AS c FROM g) "
+            "SELECT a.label AS la, b.label AS lb, "
+            f"round({_sql_cosine('a.c', 'b.c')}, 6) AS cos "
+            "FROM c a JOIN c b ON a.label < b.label"
         ),
         # --- reference surface
         "point_get": "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 1000",
@@ -3557,6 +3882,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_histogram": q_price_histogram,
         "pii_redaction": q_pii_redaction,
         "pq_topk": q_pq_topk,
+        "q4_priority_exists": q_q4_priority_exists,
+        "q11_important_parts": q_q11_important_parts,
+        "q16_supplier_counts": q_q16_supplier_counts,
+        "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q20_volume_suppliers": q_q20_volume_suppliers,
+        "q21_waiting_suppliers": q_q21_waiting_suppliers,
+        "event_transitions": q_event_transitions,
+        "label_centroids": q_label_centroids,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

@@ -316,3 +316,65 @@ def test_pq_adc_reranks_to_exact_top1(spark, embeddings):
     top = pq_adc_topk(enc, embeddings, books, qvec, dim=dim, k=5, shortlist=40).collect()
     assert top[0].vec_id == 0 and top[0].score == pytest.approx(1.0, abs=1e-6)
     assert all(top[i].score >= top[i + 1].score for i in range(len(top) - 1))
+
+
+# ------------------------------------------------------------- q21 blame logic
+def test_q21_blames_only_sole_late_supplier(spark, sf_dir):
+    """Crafted orders: blame requires (a) this supplier late, (b) order
+    has >1 supplier, (c) NO other supplier late."""
+    from index_spark.plans import driver_queries as DQ
+
+    orders = spark.createDataFrame(
+        [(1, "2000-01-01"), (2, "2000-01-01"), (3, "2000-01-01")],
+        "o_orderkey long, d string",
+    ).select("o_orderkey", F.col("d").cast("timestamp").alias("o_orderdate"))
+    li = spark.createDataFrame(
+        [
+            # order 1: supp 10 late, supp 11 on time -> blame 10
+            (1, 10, "2000-06-01"), (1, 11, "2000-01-15"),
+            # order 2: both late -> blame nobody
+            (2, 10, "2000-06-01"), (2, 11, "2000-06-01"),
+            # order 3: single supplier late -> not multi-supplier, no blame
+            (3, 10, "2000-06-01"),
+        ],
+        "l_orderkey long, l_suppkey long, s string",
+    ).select("l_orderkey", "l_suppkey", F.col("s").cast("timestamp").alias("l_shipdate"))
+    supp = spark.createDataFrame(
+        [(10, "Supp10"), (11, "Supp11")], "s_suppkey long, s_name string"
+    )
+
+    import unittest.mock as mock
+
+    tables = {"orders": orders, "lineitem": li, "supplier": supp}
+    with mock.patch.object(DQ, "load_table", lambda sp, sd, name: tables[name]):
+        got = DQ.q_q21_waiting_suppliers(spark, sf_dir).collect()
+    assert [(r.s_suppkey, r.numwait) for r in got] == [(10, 1)]
+
+
+# ------------------------------------------------------------- transitions
+def test_event_transitions_probabilities(spark, sf_dir):
+    from index_spark.plans import driver_queries as DQ
+
+    ev = DQ.load_table(spark, sf_dir, "events")
+    got = DQ.q_event_transitions(spark, sf_dir).collect()
+    # per-from probabilities sum to 1
+    sums = defaultdict(float)
+    for r in got:
+        sums[r.from_type] += r.prob
+    for s in sums.values():
+        assert s == pytest.approx(1.0, abs=1e-4)
+    # total transitions = total events - number of users (first event has no lag)
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n for r in got) == n_events - n_users
+
+
+# ------------------------------------------------------------- centroids
+def test_label_centroids_symmetric_and_bounded(spark, sf_dir):
+    from index_spark.plans import driver_queries as DQ
+
+    got = DQ.q_label_centroids(spark, sf_dir).collect()
+    n_labels = DQ.load_table(spark, sf_dir, "embeddings").select("label").distinct().count()
+    assert len(got) == n_labels * (n_labels - 1) // 2
+    assert all(-1.0 <= r.cos <= 1.0 for r in got)
+    assert all(r.la < r.lb for r in got)
