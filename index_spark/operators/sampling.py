@@ -128,3 +128,34 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         F.round(F.max("frac"), 9).alias("kth_frac"),
         F.count(F.lit(1)).alias("k"),
     )
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """The KMV sketch ITSELF as a k-row DataFrame of hash fractions —
+    the mergeable-aggregate form. A 100 TB pipeline stores one of these
+    per partition/day/source (k rows each) and answers any union's
+    distinct count later by merging sketches, never rescanning data."""
+    frac = (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, _KMV_HEX_CHARS), 16, 10)
+        .cast("double")
+        / F.lit(_KMV_SPACE)
+    )
+    return df.select(frac.alias("frac")).distinct().orderBy("frac").limit(k)
+
+
+def kmv_merge_estimate(sketches: list[DataFrame], k: int = 64) -> DataFrame:
+    """Distinct-count estimate of the UNION of the sketched sets: union
+    the sketch rows, dedupe (same value hashes identically in every
+    sketch), keep the k smallest — exactly the sketch the union's raw
+    data would have produced (KMV's merge property). Input and output
+    are k-row objects; merge cost is independent of the data the
+    sketches summarize."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    kmin = u.distinct().orderBy("frac").limit(k)
+    return kmin.agg(
+        F.round((F.count(F.lit(1)) - 1) / F.max("frac")).cast("long").alias("est_distinct"),
+        F.round(F.max("frac"), 9).alias("kth_frac"),
+        F.count(F.lit(1)).alias("k"),
+    )

@@ -2291,6 +2291,37 @@ def q_pq_topk(spark, sf_dir):
     )
 
 
+def q_kmv_union(spark, sf_dir):
+    """Mergeable-sketch union: KMV sketches of orders.o_custkey and
+    customer.c_custkey (k-row objects) merged into the union's distinct
+    estimate WITHOUT rescanning either table — the
+    store-partials-and-merge-later pattern that makes distinct counting
+    compose across days/sources at 100 TB. Per-source estimates ride
+    along; every hash step replays exactly in the SQL twin."""
+    from index_spark.operators.sampling import kmv_merge_estimate, kmv_sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sa = kmv_sketch(orders, "o_custkey").persist()
+    sb = kmv_sketch(cust, "c_custkey").persist()
+
+    def est(s, name):
+        return s.agg(
+            F.round((F.count(F.lit(1)) - 1) / F.max("frac")).cast("long").alias(name)
+        )
+
+    out = (
+        est(sa, "est_orders")
+        .crossJoin(est(sb, "est_customers"))
+        .crossJoin(
+            kmv_merge_estimate([sa, sb]).select(
+                F.col("est_distinct").alias("est_union"), "kth_frac", "k"
+            )
+        )
+    )
+    return out
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII-style scrubbing exemplar: redact digit runs from the event
     props payload, reporting per-type match counts and byte savings.
@@ -2446,8 +2477,8 @@ def q_q21_waiting_suppliers(spark, sf_dir):
     per supplier of late lines (shipped >90 days after order) in
     multi-supplier orders where every OTHER supplier shipped on time —
     i.e. this supplier alone kept the order waiting. Both EXISTS arms are
-    aggregates per (order, lateness) joined back on the order key, so no
-    O(lines²) self-join pair blowup; top 20 by count with name
+    one per-order window over the (order, supplier) aggregate, so no
+    O(lines²) self-join pair blowup and a single lineitem scan; top 20 by count with name
     tiebreak."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -2466,14 +2497,20 @@ def q_q21_waiting_suppliers(spark, sf_dir):
     per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.col("__late").cast("int")).alias("__any_late")
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("__n_supps"),
-        F.sum("__any_late").alias("__n_late_supps"),
-    )
-    blamed = (
-        per_os.where(F.col("__any_late") == 1)
-        .join(per_o, on="l_orderkey")
-        .where((F.col("__n_supps") > 1) & (F.col("__n_late_supps") == 1))
+    # both EXISTS arms as ONE window over the per-(order, supplier) rows:
+    # a separate per-order aggregate joined back would recompute the
+    # lineitem⋈orders subtree (two scans — plan-asserted against)
+    w_o = Window.partitionBy("l_orderkey")
+    blamed = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "__any_late",
+        F.count(F.lit(1)).over(w_o).alias("__n_supps"),
+        F.sum("__any_late").over(w_o).alias("__n_late_supps"),
+    ).where(
+        (F.col("__any_late") == 1)
+        & (F.col("__n_supps") > 1)
+        & (F.col("__n_late_supps") == 1)
     )
     return (
         blamed.join(F.broadcast(supp), blamed["l_suppkey"] == supp["s_suppkey"])
@@ -3055,6 +3092,17 @@ def build_oracles() -> dict[str, str]:
             "SELECT a.label AS la, b.label AS lb, "
             f"round({_sql_cosine('a.c', 'b.c')}, 6) AS cos "
             "FROM c a JOIN c b ON a.label < b.label"
+        ),
+        "kmv_union": (
+            "WITH sa AS (SELECT frac FROM (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) / 1152921504606846976.0 AS frac FROM orders) ORDER BY frac LIMIT 64), "
+            "sb AS (SELECT frac FROM (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) / 1152921504606846976.0 AS frac FROM customer) ORDER BY frac LIMIT 64), "
+            "mu AS (SELECT frac FROM (SELECT DISTINCT frac FROM (SELECT frac FROM sa UNION ALL SELECT frac FROM sb)) ORDER BY frac LIMIT 64) "
+            "SELECT "
+            "(SELECT CAST(round((count(*) - 1) / max(frac)) AS BIGINT) FROM sa) AS est_orders, "
+            "(SELECT CAST(round((count(*) - 1) / max(frac)) AS BIGINT) FROM sb) AS est_customers, "
+            "(SELECT CAST(round((count(*) - 1) / max(frac)) AS BIGINT) FROM mu) AS est_union, "
+            "(SELECT round(max(frac), 9) FROM mu) AS kth_frac, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM mu) AS k"
         ),
         # --- reference surface
         "point_get": "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 1000",
@@ -3890,6 +3938,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": q_q21_waiting_suppliers,
         "event_transitions": q_event_transitions,
         "label_centroids": q_label_centroids,
+        "kmv_union": q_kmv_union,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

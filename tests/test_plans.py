@@ -171,3 +171,59 @@ def test_asof_time_bound_reaches_the_scan(plans):
     silently reads the whole events table."""
     p = plans("asof_lookup")
     assert "LessThanOrEqual(ts," in p.split("PushedFilters")[1][:200]
+
+
+def test_batch2_queries_no_cartesian(plans):
+    """Round-3 batch-2: none of the new multi-table shapes may degrade to
+    a row-multiplying nested-loop. Single-row broadcast crossJoins (the
+    bloom bitset, scalar totals, funnel stage counts) are fine — they are
+    1×N, not N×M — so only the names WITHOUT such a scalar are gated on
+    BroadcastNestedLoopJoin too."""
+    for name in [
+        "dup_span_stats", "first_seen_users", "pagerank_parts",
+        "q4_priority_exists", "q16_supplier_counts", "q20_volume_suppliers",
+        "q21_waiting_suppliers", "event_transitions",
+    ]:
+        p = plans(name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+    for name in [
+        "bloom_prune_join", "funnel_steps", "q11_important_parts", "unigram_nll",
+        "q17_small_qty_revenue", "price_histogram", "pq_topk", "kmv_union",
+        "label_centroids",
+    ]:
+        assert "CartesianProduct" not in plans(name), name
+
+
+def test_q4_exists_is_semi_join(plans):
+    p = plans("q4_priority_exists")
+    assert "LeftSemi" in p
+    # the date-range filter reaches the orders scan
+    assert "PushedFilters" in p and "o_orderdate" in p
+
+
+def test_event_transitions_single_user_shuffle(plans):
+    """The lag window shuffles once on the user key; no unpartitioned
+    window ever sees event rows (the per-from normalization window runs
+    over the 25-cell aggregate)."""
+    p = plans("event_transitions")
+    assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_kmv_sketches_reduce_via_take_ordered(plans):
+    """Each KMV sketch is a per-partition partial top-k + single k-row
+    reduction — TakeOrderedAndProject, never a global Sort of the hashed
+    table."""
+    p = plans("kmv_union")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q21_no_lineitem_self_join(plans):
+    """The EXISTS/NOT-EXISTS arms are per-(order, supplier) aggregates —
+    the plan must contain no join of lineitem against itself (the naive
+    O(lines²) Q21 shape). Joins present: lineitem⋈orders, aggregates
+    ⋈ aggregates, and the supplier-name broadcast."""
+    p = plans("q21_waiting_suppliers")
+    # lineitem appears in exactly one scan node (formatted plans repeat
+    # each node once in the tree and once in details -> count == 2)
+    assert p.count("lineitem") <= 2, p.count("lineitem")
