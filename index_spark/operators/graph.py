@@ -201,3 +201,81 @@ def pagerank_int(
             ).alias("rank"),
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle count via degree-ordered edge orientation (Suri &
+    Vassilvitskii 2011, "Counting Triangles and the Curse of the Last
+    Reducer"). Every undirected edge is directed from its lower-ranked
+    endpoint (rank = (degree, id) — total order), wedges are generated
+    only at each edge's LOWER-degree endpoint, and a wedge (v, w) closes
+    iff the oriented edge v→w exists.
+
+    Why this is the 100 TB shape: naive wedge generation at every node
+    creates C(deg, 2) pairs at the hubs — a celebrity node with 10M
+    neighbors yields 5·10¹³ wedges on one reducer. Orientation bounds
+    every node's out-degree by O(√m), so wedge work is O(m^{3/2}) total
+    and balanced. Three shuffles: degree agg, the wedge self-join on the
+    source, and the closing-edge join.
+
+    Returns one row: (n_nodes, n_edges, n_wedges, n_triangles,
+    clustering) where clustering = 3·triangles / Σ C(deg,2) rounded to 6
+    decimals (the global clustering coefficient; int/int division)."""
+    # normalize: undirected distinct edges as (a, b), no self-loops
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = edges.select(a.alias("a"), b.alias("b")).where(F.col("a") != F.col("b")).distinct()
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    from pyspark.sql import Window
+
+    rank = deg.select(
+        "node",
+        "deg",
+        F.row_number().over(Window.orderBy("deg", "node")).alias("rk"),
+    )
+    # the rank window is over the NODE table (not edges); at extreme node
+    # counts swap row_number for zipWithIndex-style dense ids — the edge
+    # joins below are the load-bearing part
+    er = (
+        e.join(F.broadcast(rank.select(F.col("node").alias("a"), F.col("rk").alias("ra"))), on="a")
+        .join(F.broadcast(rank.select(F.col("node").alias("b"), F.col("rk").alias("rb"))), on="b")
+        .select(
+            F.when(F.col("ra") < F.col("rb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(F.col("ra") < F.col("rb"), F.col("rb")).otherwise(F.col("ra")).alias("rv"),
+            F.when(F.col("ra") < F.col("rb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    w1 = er.select(F.col("u"), F.col("v").alias("x"), F.col("rv").alias("rx"))
+    w2 = er.select(F.col("u"), F.col("v").alias("y"), F.col("rv").alias("ry"))
+    wedges = w1.join(w2, on="u").where(F.col("rx") < F.col("ry")).select("x", "y")
+    closing = er.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, on=["x", "y"], how="left_semi")
+    # five actions share the e/er lineage — persist both for the duration
+    e = e.persist()
+    er = er.persist()
+    n_nodes = deg.count()
+    n_edges = e.count()
+    n_wedges = wedges.count()
+    n_tri = tri.count()
+    n_triples = deg.select(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("t")
+    ).collect()[0]["t"]
+    e.unpersist()
+    er.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_nodes,
+                n_edges,
+                n_wedges,
+                n_tri,
+                round(3.0 * n_tri / n_triples, 6) if n_triples else 0.0,
+            )
+        ],
+        "n_nodes long, n_edges long, n_wedges long, n_triangles long, clustering double",
+    )

@@ -1956,6 +1956,45 @@ def q_stream_user_state(spark, sf_dir):
     )
 
 
+def q_stream_funnel(spark, sf_dir):
+    """Streaming strict-order funnel (second custom stateful operator):
+    per-user 3-BIGINT state machine over applyInPandasWithState, batch
+    rows replayed in (ts, event_id) order so a full availableNow drain
+    reproduces the batch min-chain exactly — the oracle is the SAME
+    funnel SQL as the batch ``funnel_steps``, making the stateful
+    streaming path hash-verified, not rows-only. Per-user stage is
+    monotone, so max() collapses update-mode rows."""
+    import uuid as _uuid
+
+    from index_spark.streaming import read_events_stream, run_available_now
+    from index_spark.streaming.events import user_funnel_state
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        user_funnel_state(stream),
+        "sf" + _uuid.uuid4().hex[:10],
+        output_mode="update",
+        shuffle_partitions=8,
+    )
+    final = out.groupBy("user_id").agg(F.max("stage").alias("stage"))
+    agg = final.agg(
+        F.sum((F.col("stage") >= 1).cast("long")).alias("step1_users"),
+        F.sum((F.col("stage") >= 2).cast("long")).alias("step2_users"),
+        F.sum((F.col("stage") >= 3).cast("long")).alias("step3_users"),
+    )
+    return agg.select(
+        "step1_users",
+        "step2_users",
+        "step3_users",
+        F.round(
+            F.col("step2_users").cast("double") / F.col("step1_users").cast("double"), 6
+        ).alias("conv_2"),
+        F.round(
+            F.col("step3_users").cast("double") / F.col("step2_users").cast("double"), 6
+        ).alias("conv_3"),
+    )
+
+
 def q_stream_join_attrib(spark, sf_dir):
     """Stream-stream inner join with watermarked time-range state eviction:
     purchases attributed to same-user clicks at most 1h earlier, drained in
@@ -2320,6 +2359,31 @@ def q_kmv_union(spark, sf_dir):
         )
     )
     return out
+
+
+def q_triangle_parts(spark, sf_dir):
+    """Exact triangle count on the part co-purchase graph (parts sharing
+    an order, one 6-month ship window — co-occurrence graphs densify with
+    unbounded time, so production runs window them) via degree-ordered orientation — wedges generate only at
+    each edge's lower-degree endpoint, bounding per-node wedge work by
+    O(√m) (Suri-Vassilvitskii; the naive per-node C(deg,2) blows up on
+    hub nodes at scale). Pure integer counting, so the unordered SQL
+    replay is exact; clustering = 3·triangles / Σ C(deg,2)."""
+    from index_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l1 = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    l2 = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        l1.join(l2, on="l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_count(edges)
 
 
 def q_pii_redaction(spark, sf_dir):
@@ -3104,6 +3168,30 @@ def build_oracles() -> dict[str, str]:
             "(SELECT round(max(frac), 9) FROM mu) AS kth_frac, "
             "(SELECT CAST(count(*) AS BIGINT) FROM mu) AS k"
         ),
+        "triangle_parts": (
+            "WITH lw AS (SELECT l_orderkey, l_partkey FROM lineitem "
+            "  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'), "
+            "e AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b "
+            "  FROM lw l1 JOIN lw l2 ON l1.l_orderkey = l2.l_orderkey "
+            "  AND l1.l_partkey < l2.l_partkey), "
+            "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM "
+            "  (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1), "
+            "rk AS (SELECT node, deg, row_number() OVER (ORDER BY deg, node) AS rk FROM deg), "
+            "er AS (SELECT CASE WHEN ra.rk < rb.rk THEN e.a ELSE e.b END AS u, "
+            "  CASE WHEN ra.rk < rb.rk THEN e.b ELSE e.a END AS v, "
+            "  CASE WHEN ra.rk < rb.rk THEN rb.rk ELSE ra.rk END AS rv "
+            "  FROM e JOIN rk ra ON e.a = ra.node JOIN rk rb ON e.b = rb.node), "
+            "w AS (SELECT w1.v AS x, w2.v AS y FROM er w1 JOIN er w2 "
+            "  ON w1.u = w2.u AND w1.rv < w2.rv), "
+            "t AS (SELECT count(*) AS n_tri FROM w "
+            "  WHERE EXISTS (SELECT 1 FROM er WHERE er.u = w.x AND er.v = w.y)), "
+            "tp AS (SELECT sum(deg * (deg - 1) // 2) AS triples FROM deg) "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges, "
+            "(SELECT CAST(n_tri AS BIGINT) FROM t) AS n_triangles, "
+            "(SELECT round(3.0 * (SELECT n_tri FROM t) / triples, 6) FROM tp) AS clustering"
+        ),
         # --- reference surface
         "point_get": "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 1000",
         "multi_get": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey IN (3,141,592,653,589,793,238,462)",
@@ -3875,6 +3963,8 @@ def build_oracles() -> dict[str, str]:
     }
     # the star-CC variant must produce the identical cluster map
     out["dedup_clusters_star"] = out["dedup_clusters"]
+    # full in-order drain of the streaming funnel == the batch funnel:
+    out["stream_funnel"] = out["funnel_steps"]
     return out
 
 
@@ -3939,6 +4029,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "label_centroids": q_label_centroids,
         "kmv_union": q_kmv_union,
+        "stream_funnel": q_stream_funnel,
+        "triangle_parts": q_triangle_parts,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

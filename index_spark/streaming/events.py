@@ -316,3 +316,69 @@ def stream_into_snapshots(
     q = events.writeStream.foreachBatch(commit_batch).trigger(availableNow=True).start()
     q.awaitTermination(timeout_s)
     return n_batches["n"]
+
+
+_FUNNEL_STATE_SCHEMA = "t1 BIGINT, t2 BIGINT, t3 BIGINT"
+_FUNNEL_OUT_SCHEMA = "user_id BIGINT, t1 BIGINT, t2 BIGINT, t3 BIGINT, stage INT"
+
+
+def _make_funnel_fn(steps: tuple[str, str, str]):
+    s1, s2, s3 = steps
+
+    def _funnel_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-user strict-order funnel state machine. Each micro-batch's
+        rows are processed in (ts, event_id) order, so within a batch the
+        machine advances exactly like the batch min-chain (first step-1
+        event = min ts; first later step-2 event = min ts > t1; ...).
+        Cross-batch, in-order delivery preserves equivalence; an event
+        arriving after its stage's decision point is ignored (watermark
+        semantics — the batch twin is the ground truth the driver query
+        hash-checks against on a full drain)."""
+        (user_id,) = key
+        t1, t2, t3 = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for _, row in pdf.sort_values(["ts_us", "event_id"]).iterrows():
+                ts, et = int(row["ts_us"]), row["event_type"]
+                if t1 == 0:
+                    if et == s1:
+                        t1 = ts
+                elif t2 == 0:
+                    if et == s2 and ts > t1:
+                        t2 = ts
+                elif t3 == 0:
+                    if et == s3 and ts > t2:
+                        t3 = ts
+        state.update((t1, t2, t3))
+        stage = 3 if t3 else 2 if t2 else 1 if t1 else 0
+        yield pd.DataFrame(
+            [{"user_id": user_id, "t1": t1, "t2": t2, "t3": t3, "stage": stage}]
+        )
+
+    return _funnel_fn
+
+
+def user_funnel_state(
+    events: DataFrame, steps: tuple[str, str, str] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Custom stateful streaming operator #2: strict-order funnel progress
+    per user (``applyInPandasWithState``, update mode, NoTimeout so a
+    finite availableNow drain terminates). State is three BIGINTs per
+    live user — bounded, watermark-free; the update stream's per-user MAX
+    stage equals the batch funnel's stage assignment on a full in-order
+    drain (hash-checked by the driver query against the same SQL oracle
+    as the batch ``funnel_steps``)."""
+    return (
+        events.select("user_id", "ts_us", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_funnel_fn(tuple(steps)),
+            outputStructType=_FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -58,3 +58,24 @@ def test_star_cc_contracts_a_long_chain(spark):
     rows = out.collect()
     assert {r.label for r in rows} == {0}
     assert {r.id for r in rows} == set(range(61))
+
+
+def test_triangle_count_known_graphs(spark):
+    from index_spark.operators.graph import triangle_count
+
+    # K4 (4 triangles) plus a pendant node hanging off node 0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(k4 + [(0, 9)], "src int, dst int")
+    r = triangle_count(edges).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 7, 4)
+    # duplicate/reversed edge rows must not change anything
+    doubled = edges.union(
+        spark.createDataFrame([(b, a) for a, b in k4], "src int, dst int")
+    )
+    r2 = triangle_count(doubled).collect()[0]
+    assert (r2.n_edges, r2.n_triangles) == (7, 4)
+    # triangle-free bipartite graph
+    bip = spark.createDataFrame(
+        [(a, b) for a in (0, 1) for b in (10, 11, 12)], "src int, dst int"
+    )
+    assert triangle_count(bip).collect()[0].n_triangles == 0

@@ -224,3 +224,53 @@ def test_run_available_now_restores_shuffle_partitions(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     run_available_now(stream, _name(), output_mode="append", shuffle_partitions=4)
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_stream_funnel_equals_batch_funnel(spark, sf_dir, events_batch):
+    """Full drain of the stateful streaming funnel == the batch
+    funnel_counts — same step users, same conversions."""
+    import pyspark.sql.functions as F
+
+    from index_spark.operators.funnel import funnel_counts
+    from index_spark.streaming import read_events_stream, run_available_now
+    from index_spark.streaming.events import user_funnel_state
+
+    out = run_available_now(
+        user_funnel_state(read_events_stream(spark, sf_dir)),
+        _name(), output_mode="update", shuffle_partitions=8,
+    )
+    final = out.groupBy("user_id").agg(F.max("stage").alias("stage"))
+    got = {
+        i: final.where(F.col("stage") >= i).count() for i in (1, 2, 3)
+    }
+    want = funnel_counts(events_batch, ["view", "click", "purchase"]).collect()[0]
+    assert got == {1: want.step1_users, 2: want.step2_users, 3: want.step3_users}
+
+
+def test_funnel_state_fn_sorts_out_of_order_batch():
+    """The state fn must advance in event-time order even when Arrow hands
+    it a shuffled batch: a purchase delivered first in the frame must not
+    be skipped if its timestamp follows the click's."""
+    import pandas as pd
+
+    from index_spark.streaming.events import _make_funnel_fn
+
+    class _FakeState:
+        exists = False
+        hasTimedOut = False
+        def update(self, v): self.value = v
+        @property
+        def get(self): return self.value
+
+    fn = _make_funnel_fn(("view", "click", "purchase"))
+    batch = pd.DataFrame(
+        {
+            "ts_us": [30, 10, 20],
+            "event_id": [3, 1, 2],
+            "event_type": ["purchase", "view", "click"],
+        }
+    )
+    st = _FakeState()
+    out = list(fn((7,), iter([batch]), st))
+    assert out[0].iloc[0]["stage"] == 3
+    assert st.value == (10, 20, 30)
