@@ -175,20 +175,25 @@ def pagerank_int(
     Returns ``(node, rank)`` with integer ``rank`` summing to ≈
     ``total_mass``. Dangling nodes keep only the base (teleport) mass.
     """
+    # edge list + per-source degree computed ONCE and persisted: every
+    # iteration re-reads them (at cluster scale: pre-partition on src and
+    # reuse the layout across iterations instead)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ed = e.join(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), on="src"
+    ).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     n = nodes.count()
     base = (total_mass * (100 - damping_pct)) // (100 * n)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.withColumn("rank", F.lit(total_mass // n).cast("long"))
     for _ in range(iterations):
         contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(deg, on="src")
+            ed.join(ranks, ed["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), F.expr("rank div deg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("s"))

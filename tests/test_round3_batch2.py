@@ -93,10 +93,10 @@ def test_bloom_no_false_negatives_and_model_match(spark):
     assert len(got) > len(members)  # and this m does produce false positives
 
 
-def test_bloom_probe_side_has_no_exchange(spark, orders, documents):
-    """The probe table is filtered via a broadcast of the one-row bitset:
-    its side of the plan must contain no shuffle. (The build side's tiny
-    aggregates do shuffle — that's the m-bits-sized part.)"""
+def test_bloom_probe_is_pure_codegen_filter(spark, orders, documents):
+    """The probe plan is scan → codegen'd Filter with the literal bitset:
+    no join, no Exchange anywhere (the build side's tiny aggregates ran
+    eagerly at filter-construction time, like a scalar subquery)."""
     import io
     from contextlib import redirect_stdout
 
@@ -106,12 +106,11 @@ def test_bloom_probe_side_has_no_exchange(spark, orders, documents):
     with redirect_stdout(buf):
         out.explain("formatted")
     plan = buf.getvalue()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # no Exchange may consume the orders scan: walk the formatted tree --
-    # the probe branch is the one containing the orders parquet scan
-    assert "o_custkey" not in [
-        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
-    ]
+    assert "Join" not in plan and "Exchange" not in plan
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        out.explain("codegen")
+    assert buf2.getvalue().count("WholeStageCodegen subtree") >= 1
 
 
 # ------------------------------------------------------------- unigram NLL
