@@ -175,10 +175,11 @@ def pagerank_int(
     Returns ``(node, rank)`` with integer ``rank`` summing to ≈
     ``total_mass``. Dangling nodes keep only the base (teleport) mass.
     """
-    # edge list + per-source degree computed ONCE and persisted: every
-    # iteration re-reads them (at cluster scale: pre-partition on src and
-    # reuse the layout across iterations instead)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # edge list + per-source degree computed ONCE and persisted: building
+    # degrees/nodes and every iteration would otherwise re-evaluate the
+    # caller's (often expensive) edge derivation 4+ times (at cluster
+    # scale: pre-partition on src and reuse the layout across iterations)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     ed = e.join(
         e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), on="src"
     ).persist()
