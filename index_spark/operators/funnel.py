@@ -65,11 +65,17 @@ def funnel_counts(
     out = counts[0]
     for c in counts[1:]:
         out = out.crossJoin(c)
+    # ANSI mode (Spark 4 default) turns x/0 into an error, not null — an
+    # empty stage must yield a null conversion, not kill the query
+    # (found by the hypothesis stream test)
     convs = [
-        F.round(
-            F.col(f"step{i + 1}_users").cast("double")
-            / F.col(f"step{i}_users").cast("double"),
-            6,
+        F.when(
+            F.col(f"step{i}_users") > 0,
+            F.round(
+                F.col(f"step{i + 1}_users").cast("double")
+                / F.col(f"step{i}_users").cast("double"),
+                6,
+            ),
         ).alias(f"conv_{i + 1}")
         for i in range(1, len(steps))
     ]

@@ -1986,11 +1986,21 @@ def q_stream_funnel(spark, sf_dir):
         "step1_users",
         "step2_users",
         "step3_users",
-        F.round(
-            F.col("step2_users").cast("double") / F.col("step1_users").cast("double"), 6
+        F.when(
+            F.col("step1_users") > 0,
+            F.round(
+                F.col("step2_users").cast("double")
+                / F.col("step1_users").cast("double"),
+                6,
+            ),
         ).alias("conv_2"),
-        F.round(
-            F.col("step3_users").cast("double") / F.col("step2_users").cast("double"), 6
+        F.when(
+            F.col("step2_users") > 0,
+            F.round(
+                F.col("step3_users").cast("double")
+                / F.col("step2_users").cast("double"),
+                6,
+            ),
         ).alias("conv_3"),
     )
 
@@ -3017,8 +3027,10 @@ def build_oracles() -> dict[str, str]:
             "SELECT (SELECT CAST(count(*) AS BIGINT) FROM t1) AS step1_users, "
             "(SELECT CAST(count(*) AS BIGINT) FROM t2) AS step2_users, "
             "(SELECT CAST(count(*) AS BIGINT) FROM t3) AS step3_users, "
-            "round((SELECT CAST(count(*) AS DOUBLE) FROM t2)/(SELECT count(*) FROM t1), 6) AS conv_2, "
-            "round((SELECT CAST(count(*) AS DOUBLE) FROM t3)/(SELECT count(*) FROM t2), 6) AS conv_3"
+            "CASE WHEN (SELECT count(*) FROM t1) > 0 THEN "
+            "round((SELECT CAST(count(*) AS DOUBLE) FROM t2)/(SELECT count(*) FROM t1), 6) END AS conv_2, "
+            "CASE WHEN (SELECT count(*) FROM t2) > 0 THEN "
+            "round((SELECT CAST(count(*) AS DOUBLE) FROM t3)/(SELECT count(*) FROM t2), 6) END AS conv_3"
         ),
         "first_seen_users": (
             "WITH f AS (SELECT event_type, user_id, min(CAST(ts AS DATE)) AS day "
