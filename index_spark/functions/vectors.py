@@ -29,7 +29,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL when either vector has zero norm (ANSI
+    mode raises on the 0-divisor instead of yielding NaN/inf — a zero
+    embedding must not kill a whole similarity scan). The SQL oracles
+    omit the guard: fixture vectors are non-zero, so the twins agree on
+    every gated row."""
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d)
 
 
 def euclidean(a: Column, b: Column) -> Column:

@@ -395,3 +395,21 @@ def test_kmv_merge_equals_sketch_of_union(spark):
     # sanity only: k=32 has ~18% std error and this fixed hash set draws
     # high — the property under test is merge-equivalence, not accuracy
     assert 350 / 2 < merged.est_distinct < 350 * 2
+
+
+# ------------------------------------------------------------- zero vectors
+def test_cosine_null_on_zero_vector_not_error(spark):
+    """ANSI mode raises on a zero divisor; a zero embedding must score
+    NULL, not kill the scan (same hazard class as the funnel conv fix)."""
+    from index_spark.functions.vectors import cosine
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0])], "id long, v array<double>"
+    )
+    got = {
+        r.id: r.c
+        for r in df.select(
+            "id", F.round(cosine(F.col("v"), F.array(F.lit(3.0), F.lit(4.0))), 6).alias("c")
+        ).collect()
+    }
+    assert got[1] is None and got[2] == pytest.approx(1.0)
