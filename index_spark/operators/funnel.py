@@ -65,10 +65,20 @@ def funnel_counts(
     out = counts[0]
     for c in counts[1:]:
         out = out.crossJoin(c)
-    # ANSI mode (Spark 4 default) turns x/0 into an error, not null — an
-    # empty stage must yield a null conversion, not kill the query
-    # (found by the hypothesis stream test)
-    convs = [
+    return out.select(
+        *[f"step{i + 1}_users" for i in range(len(steps))],
+        *conversion_cols(len(steps)),
+    )
+
+
+def conversion_cols(n_steps: int) -> list:
+    """``conv_<i>`` columns over ``step<i>_users`` counts, shared by the
+    batch and streaming funnels (one definition — the two hash-check
+    against the same SQL oracle and must never diverge). ANSI mode
+    (Spark 4 default) turns x/0 into an error, not null — an empty stage
+    must yield a null conversion, not kill the query (found by the
+    hypothesis stream test)."""
+    return [
         F.when(
             F.col(f"step{i}_users") > 0,
             F.round(
@@ -77,9 +87,8 @@ def funnel_counts(
                 6,
             ),
         ).alias(f"conv_{i + 1}")
-        for i in range(1, len(steps))
+        for i in range(1, n_steps)
     ]
-    return out.select(*[f"step{i + 1}_users" for i in range(len(steps))], *convs)
 
 
 def first_seen_cumulative(

@@ -206,6 +206,13 @@ def pagerank_int(
                 + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
             ).alias("rank"),
         )
+    # materialize the node-count-sized result, then release the cached
+    # edge tables — otherwise every call pins the full edge list in
+    # storage for the session's lifetime
+    ranks = ranks.localCheckpoint(eager=True)
+    for cached in (ed, nodes):
+        cached.unpersist()
+    e.unpersist()
     return ranks
 
 

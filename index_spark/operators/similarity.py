@@ -298,6 +298,9 @@ def train_pq_codebooks(
     s = s.persist()
     try:
         seeds = s.orderBy("__id").limit(k).collect()
+        # a sample smaller than k simply yields fewer codes per subspace
+        # (mirrors train_centroids_deterministic and the SQL twin's LIMIT)
+        k = min(k, len(seeds))
         books = [
             [[float(x) for x in r["__v"][start - 1 : start - 1 + width]] for r in seeds]
             for start, _ in slices

@@ -97,6 +97,7 @@ def fixed_histogram(
     one shuffle on the (tiny) bucket id, all-integer bucket arithmetic so
     the SQL twin is exact. Values outside [lo, hi) clamp into the edge
     buckets (profiling convention). Returns (bucket, lo_edge, n)."""
+    assert hi > lo and nbuckets > 0, "need hi > lo and a positive bucket count"
     span = hi - lo
     b = F.greatest(
         F.lit(0).cast("long"),
@@ -112,7 +113,10 @@ def fixed_histogram(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             "bucket",
-            (F.lit(lo) + F.col("bucket") * (span // nbuckets)).alias("lo_edge"),
+            # exact boundary even when nbuckets doesn't divide the span:
+            # bucket b starts at lo + floor(b*span/nbuckets), matching the
+            # assignment arithmetic above (lo + b*(span//nbuckets) drifts)
+            (F.lit(lo) + F.expr(f"(bucket * {span}L) div {nbuckets}L")).alias("lo_edge"),
             "n",
         )
     )

@@ -1982,26 +1982,10 @@ def q_stream_funnel(spark, sf_dir):
         F.sum((F.col("stage") >= 2).cast("long")).alias("step2_users"),
         F.sum((F.col("stage") >= 3).cast("long")).alias("step3_users"),
     )
+    from index_spark.operators.funnel import conversion_cols
+
     return agg.select(
-        "step1_users",
-        "step2_users",
-        "step3_users",
-        F.when(
-            F.col("step1_users") > 0,
-            F.round(
-                F.col("step2_users").cast("double")
-                / F.col("step1_users").cast("double"),
-                6,
-            ),
-        ).alias("conv_2"),
-        F.when(
-            F.col("step2_users") > 0,
-            F.round(
-                F.col("step3_users").cast("double")
-                / F.col("step2_users").cast("double"),
-                6,
-            ),
-        ).alias("conv_3"),
+        "step1_users", "step2_users", "step3_users", *conversion_cols(3)
     )
 
 
@@ -2351,8 +2335,20 @@ def q_kmv_union(spark, sf_dir):
 
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    sa = kmv_sketch(orders, "o_custkey").persist()
-    sb = kmv_sketch(cust, "c_custkey").persist()
+    # the sketch IS a k-row artifact: collect each once (its storage
+    # contract — per-source sketches live in a catalog, not in cluster
+    # cache) and rebuild literal frames; a .persist() here would pin two
+    # cached frames per run for the session's lifetime
+    sk = {
+        name: spark.createDataFrame(
+            [(float(r["frac"]),) for r in kmv_sketch(df, col).collect()],
+            "frac double",
+        )
+        for name, df, col in [
+            ("orders", orders, "o_custkey"),
+            ("customers", cust, "c_custkey"),
+        ]
+    }
 
     def est(s, name):
         return s.agg(
@@ -2360,10 +2356,10 @@ def q_kmv_union(spark, sf_dir):
         )
 
     out = (
-        est(sa, "est_orders")
-        .crossJoin(est(sb, "est_customers"))
+        est(sk["orders"], "est_orders")
+        .crossJoin(est(sk["customers"], "est_customers"))
         .crossJoin(
-            kmv_merge_estimate([sa, sb]).select(
+            kmv_merge_estimate([sk["orders"], sk["customers"]]).select(
                 F.col("est_distinct").alias("est_union"), "kth_frac", "k"
             )
         )
@@ -2520,7 +2516,7 @@ def q_q20_volume_suppliers(spark, sf_dir):
     """TPC-H Q20 shape (nested semi-join chain), partsupp-free: suppliers
     who shipped more than half of some part's total 1996 volume. Per
     (part, supplier) and per part aggregates share one shuffle key; the
-    share compare is ``5·supp_qty > part_qty`` in scaled integers; the
+    share compare is ``2·supp_qty > part_qty`` in scaled integers; the
     top 20 suppliers by dominated-part count get names via a broadcast
     join."""
     li = load_table(spark, sf_dir, "lineitem")

@@ -338,10 +338,14 @@ def _make_funnel_fn(steps: tuple[str, str, str]):
         hash-checks against on a full drain)."""
         (user_id,) = key
         t1, t2, t3 = state.get if state.exists else (0, 0, 0)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            for _, row in pdf.sort_values(["ts_us", "event_id"]).iterrows():
+        # a group larger than the Arrow batch size arrives as MULTIPLE
+        # chunks in arbitrary row order — sorting per-chunk would advance
+        # the order-sensitive machine out of event-time order, so gather
+        # the whole micro-batch's rows for this user before the one sort
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            for _, row in batch.sort_values(["ts_us", "event_id"]).iterrows():
                 ts, et = int(row["ts_us"]), row["event_type"]
                 if t1 == 0:
                     if et == s1:

@@ -413,3 +413,27 @@ def test_cosine_null_on_zero_vector_not_error(spark):
         ).collect()
     }
     assert got[1] is None and got[2] == pytest.approx(1.0)
+
+
+def test_pq_trainer_handles_sample_smaller_than_k(spark):
+    """6 sample vectors with k=8 must train a 6-code book, not crash."""
+    from index_spark.operators.similarity import pq_encode, train_pq_codebooks
+
+    dim = 8
+    vecs = [(i, [float((i + d) % 5) for d in range(dim)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    books = train_pq_codebooks(df, dim=dim, n_sub=2, k=8, iters=2, sample_mod=7)
+    assert all(len(b) == 6 for b in books)  # 40 // 7 + 1 = 6 sample ids
+    codes = pq_encode(df, books, dim=dim).collect()
+    assert all(0 <= c < 6 for r in codes for c in r.codes)
+
+
+def test_fixed_histogram_edges_exact_for_non_divisible_span(spark):
+    """span=100, nbuckets=8: bucket 3 covers [37.5, 50) -> first integer
+    38; its reported lo_edge must be floor(3*100/8)=37, not 3*12=36."""
+    df = spark.createDataFrame([(v,) for v in range(100)], "v long")
+    rows = {r.bucket: r for r in fixed_histogram(df, F.col("v"), 0, 100, 8).collect()}
+    assert rows[3].lo_edge == 37
+    # bucket populations follow the assignment arithmetic exactly
+    assert rows[3].n == sum(1 for v in range(100) if (v * 8) // 100 == 3)
+    assert sum(r.n for r in rows.values()) == 100

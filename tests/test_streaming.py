@@ -274,3 +274,26 @@ def test_funnel_state_fn_sorts_out_of_order_batch():
     out = list(fn((7,), iter([batch]), st))
     assert out[0].iloc[0]["stage"] == 3
     assert st.value == (10, 20, 30)
+
+
+def test_funnel_state_fn_sorts_across_chunks():
+    """A user's micro-batch may arrive as multiple Arrow chunks in
+    arbitrary order: the earliest 'view' living in the SECOND chunk must
+    still precede the first chunk's 'click'."""
+    import pandas as pd
+
+    from index_spark.streaming.events import _make_funnel_fn
+
+    class _FakeState:
+        exists = False
+        hasTimedOut = False
+        def update(self, v): self.value = v
+        @property
+        def get(self): return self.value
+
+    fn = _make_funnel_fn(("view", "click", "purchase"))
+    chunk1 = pd.DataFrame({"ts_us": [8], "event_id": [2], "event_type": ["click"]})
+    chunk2 = pd.DataFrame({"ts_us": [5, 9], "event_id": [1, 3], "event_type": ["view", "purchase"]})
+    st = _FakeState()
+    out = list(fn((1,), iter([chunk1, chunk2]), st))
+    assert st.value == (5, 8, 9) and out[0].iloc[0]["stage"] == 3
