@@ -144,3 +144,57 @@ def test_triangle_count_matches_brute_force(spark, edges):
     )
     assert r.n_edges == len(undirected)
     assert r.n_triangles == tri
+
+
+# ----------------------------------------------------------------- spans
+@SET
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(list("abc")), min_size=0, max_size=10).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(2, 4),
+)
+def test_duplicate_spans_match_model_for_any_corpus(spark, docs, k):
+    from index_spark.operators.spans import duplicate_span_stats
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_spans, r.n_dup_spans) for r in duplicate_span_stats(df, k=k).collect()}
+    corpus = defaultdict(int)
+    per_doc = {}
+    for i, text in rows:
+        toks = text.lower().split()
+        spans = [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+        if spans:
+            per_doc[i] = spans
+            for s in spans:
+                corpus[s] += 1
+    want = {
+        i: (len(sp), sum(1 for s in sp if corpus[s] >= 2)) for i, sp in per_doc.items()
+    }
+    assert got == want
+
+
+# ----------------------------------------------------------------- KMV merge
+@SET
+@given(
+    a=st.sets(st.integers(0, 500), min_size=1, max_size=80),
+    b=st.sets(st.integers(0, 500), min_size=1, max_size=80),
+    k=st.sampled_from([8, 16, 32]),
+)
+def test_kmv_merge_equals_union_sketch_for_any_sets(spark, a, b, k):
+    from index_spark.operators.sampling import kmv_distinct, kmv_merge_estimate, kmv_sketch
+
+    da = spark.createDataFrame([(x,) for x in a], "v long")
+    db = spark.createDataFrame([(x,) for x in b], "v long")
+    merged = kmv_merge_estimate([kmv_sketch(da, "v", k), kmv_sketch(db, "v", k)], k).collect()[0]
+    direct = kmv_distinct(da.union(db), "v", k).collect()[0]
+    assert (merged.est_distinct, merged.kth_frac, merged.k) == (
+        direct.est_distinct,
+        direct.kth_frac,
+        direct.k,
+    )
