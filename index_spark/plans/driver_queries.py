@@ -2392,6 +2392,44 @@ def q_triangle_parts(spark, sf_dir):
     return triangle_count(edges)
 
 
+def q_erase_roundtrip(spark, sf_dir):
+    """GDPR-style hard erasure: two keys are erased from EVERY snapshot
+    version (file-level rewrite of only the covering files, originals
+    physically deleted), then both versions are re-read. The oracle
+    replays the surviving state in SQL; the per-version erased-key
+    absence rides along as booleans."""
+    from index_spark.snapshots import SnapshotStore
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 3000)
+    )
+    d = tempfile.mkdtemp(prefix="ersq_")
+    try:
+        store = SnapshotStore(spark, d + "/idx")
+        store.create(["o_orderkey"], df=orders, rows_per_partition=1000)
+        store.latest().update_partial(
+            [{"o_orderkey": 500, "o_totalprice": 111.0}], version="e-up"
+        )
+        store.erase_keys([{"o_orderkey": 500}, {"o_orderkey": 1500}])
+        v0, v1 = store.read(0), store.read(store.latest_version())
+        gone = F.lit(
+            v0.filter(F.col("o_orderkey").isin(500, 1500)).count() == 0
+            and v1.filter(F.col("o_orderkey").isin(500, 1500)).count() == 0
+        )
+        out = v1.agg(
+            F.count(F.lit(1)).alias("n"),
+            _sum_cents(F.col("o_totalprice"), "total"),
+            F.min("o_orderkey").alias("min_key"),
+            gone.alias("erased_everywhere"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII-style scrubbing exemplar: redact digit runs from the event
     props payload, reporting per-type match counts and byte savings.
@@ -3199,6 +3237,12 @@ def build_oracles() -> dict[str, str]:
             "(SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges, "
             "(SELECT CAST(n_tri AS BIGINT) FROM t) AS n_triangles, "
             "(SELECT round(3.0 * (SELECT n_tri FROM t) / triples, 6) FROM tp) AS clustering"
+        ),
+        "erase_roundtrip": (
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            f"{_sql_sum_cents('o_totalprice', 'total')}, "
+            "min(o_orderkey) AS min_key, TRUE AS erased_everywhere "
+            "FROM orders WHERE o_orderkey <= 3000 AND o_orderkey NOT IN (500, 1500)"
         ),
         # --- reference surface
         "point_get": "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 1000",
@@ -4131,4 +4175,5 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_bracket_filter": q_q19_bracket_filter,
         "q22_idle_rich": q_q22_idle_rich,
         "group_topk": q_group_topk,
+        "erase_roundtrip": q_erase_roundtrip,
     }

@@ -557,6 +557,108 @@ class SnapshotStore:
         return removed
 
 
+    def erase_keys(self, keys: "list[dict]") -> dict:
+        """Hard key erasure across EVERY live snapshot version (the
+        GDPR / right-to-be-forgotten path — the one documented exception
+        to version immutability; the reference has no analog because its
+        history is append-only).
+
+        Time travel must not resurrect erased rows, so this rewrites
+        history in place: for each version, only the files whose
+        leading-key range covers an erased key are re-written without the
+        matching rows (file-level targeting, same machinery as partial
+        COW); untouched files — the overwhelming majority at scale — are
+        carried by reference, byte-identical. A file shared by many
+        versions via COW carry is rewritten ONCE and every referencing
+        version is repointed. The new manifest commits through the usual
+        put-if-absent CAS, after which the original affected files are
+        physically deleted. Single-writer contract (as with vacuum).
+
+        Returns {"files_rewritten", "versions_touched", "rows_erased"}
+        (rows_erased counts occurrences across versions, not distinct
+        keys)."""
+        import glob as _glob
+
+        m = self._read_manifest()
+        key_cols = m["key"]
+        tuples = [tuple(k[c] for c in key_cols) for k in keys]
+
+        def covers(f: dict) -> bool:
+            return any(f["min"][0] <= t[0] <= f["max"][0] for t in tuples)
+
+        erase_pred = None
+        for t in tuples:
+            one = None
+            for c, v in zip(key_cols, t):
+                cond = F.col(c) == F.lit(v)
+                one = cond if one is None else one & cond
+            erase_pred = one if erase_pred is None else erase_pred | one
+
+        out_root = os.path.join(self.base_path, f"erase-{uuid.uuid4().hex[:8]}")
+        rewrite: dict[str, Optional[dict]] = {}  # old path -> new file entry (None = now empty)
+        rows_erased = 0
+        n_sub = 0
+        for row in m["versions"]:
+            files = row.get("files")
+            if files is None:
+                # legacy dir-level version: treat the whole dir as one unit
+                d = self._version_dir(row)
+                df = self.spark.read.parquet(d)
+                kept = df.where(~erase_pred)
+                sub = os.path.join(out_root, f"d{n_sub:04d}")
+                n_sub += 1
+                kept.repartitionByRange(*[F.col(c) for c in key_cols]).sortWithinPartitions(
+                    *key_cols
+                ).write.parquet(sub)
+                new_files = self._file_stats(sub, key_cols)
+                rows_erased += row["n_rows"] - sum(f["n_rows"] for f in (new_files or []))
+                row["files"] = new_files
+                row["data_path"] = sub
+                row["n_rows"] = sum(f["n_rows"] for f in (new_files or []))
+                continue
+            for f in files:
+                path = f["path"]
+                if path in rewrite or not covers(f):
+                    continue
+                df = self.spark.read.parquet(path)
+                kept = df.where(~erase_pred)
+                sub = os.path.join(out_root, f"f{n_sub:04d}")
+                n_sub += 1
+                kept.coalesce(1).write.parquet(sub)
+                stats = self._file_stats(sub, key_cols)
+                rewrite[path] = stats[0] if stats else None
+
+        touched = set()
+        for row in m["versions"]:
+            files = row.get("files")
+            if files is None:
+                continue
+            new_files = []
+            changed = False
+            for f in files:
+                r = rewrite.get(f["path"], f) if f["path"] in rewrite else f
+                if f["path"] in rewrite:
+                    changed = True
+                    rows_erased += f["n_rows"] - (r["n_rows"] if r else 0)
+                    if r is None:
+                        continue  # file emptied entirely
+                new_files.append(r)
+            if changed:
+                touched.add(row["version"])
+                row["files"] = new_files
+                row["n_rows"] = sum(f["n_rows"] for f in new_files)
+        self._write_manifest(m)
+        # originals carry erased bytes — delete them only after the CAS
+        for path in rewrite:
+            if os.path.isfile(path):
+                os.remove(path)
+        return {
+            "files_rewritten": len(rewrite) + (1 if n_sub > len(rewrite) else 0),
+            "versions_touched": sorted(touched),
+            "rows_erased": rows_erased,
+        }
+
+
 class VersionedIndex(SortedIndex):
     """A read/write handle on one snapshot version.
 

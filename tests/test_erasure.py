@@ -1,0 +1,93 @@
+"""GDPR-style hard key erasure across snapshot history: every live
+version forgets the keys, shared (COW-carried) files are rewritten once,
+original bytes are physically deleted, and time travel cannot resurrect
+an erased row."""
+
+import glob
+import os
+
+import pytest
+
+from index_spark.snapshots import SnapshotStore
+
+
+def _mk(spark, tmp_base, n=400, rpp=50):
+    store = SnapshotStore(spark, tmp_base)
+    store.create(
+        ["k"],
+        df=spark.createDataFrame(
+            [(i, f"val{i}") for i in range(n)], "k int, v string"
+        ),
+        rows_per_partition=rpp,
+    )
+    return store
+
+
+def test_erase_removes_key_from_every_version(spark, tmp_base):
+    store = _mk(spark, tmp_base)
+    store.latest().update_partial([{"k": 7, "v": "updated"}])
+    res = store.erase_keys([{"k": 7}, {"k": 13}])
+    assert res["versions_touched"] == [0, 1]
+    assert res["rows_erased"] == 4  # two keys x two versions
+    for row in store._read_manifest()["versions"]:
+        ks = {r.k for r in store.read(row["version"]).collect()}
+        assert 7 not in ks and 13 not in ks
+        assert row["n_rows"] == len(ks)
+    vals = {r.k: r.v for r in store.latest()._current().collect()}
+    assert vals[8] == "val8" and len(vals) == 398
+
+
+def test_erase_rewrites_carried_file_once_and_repoints_all_versions(spark, tmp_base):
+    store = _mk(spark, tmp_base)
+    # partial upsert touches only the file containing k=390; files holding
+    # low keys are CARRIED by reference into version 1
+    store.latest().upsert_partial([{"k": 390, "v": "touched"}])
+    m = store._read_manifest()
+    f0 = {f["path"] for f in m["versions"][0]["files"]}
+    f1 = {f["path"] for f in m["versions"][1]["files"]}
+    shared = f0 & f1
+    assert shared, "precondition: COW carry must share files"
+    res = store.erase_keys([{"k": 2}])  # k=2 lives in a shared low file
+    assert res["files_rewritten"] == 1  # rewritten ONCE despite two refs
+    m2 = store._read_manifest()
+    p0 = {f["path"] for f in m2["versions"][0]["files"]}
+    p1 = {f["path"] for f in m2["versions"][1]["files"]}
+    # both versions point at the same NEW file; the old shared file is gone
+    new = (p0 & p1) - shared
+    assert new and all(os.path.isfile(p) for p in new)
+    for v in (0, 1):
+        assert 2 not in {r.k for r in store.read(v).collect()}
+
+
+def test_erase_physically_deletes_original_bytes(spark, tmp_base):
+    store = _mk(spark, tmp_base)
+    m = store._read_manifest()
+    affected = [
+        f["path"] for f in m["versions"][0]["files"] if f["min"][0] <= 3 <= f["max"][0]
+    ]
+    assert affected and all(os.path.isfile(p) for p in affected)
+    store.erase_keys([{"k": 3}])
+    assert all(not os.path.exists(p) for p in affected)
+    # and no live parquet file under the store still contains the key
+    for p in glob.glob(os.path.join(tmp_base, "**", "*.parquet"), recursive=True):
+        ks = {r.k for r in spark.read.parquet(p).collect()}
+        assert 3 not in ks
+
+
+def test_erase_untouched_files_not_rewritten(spark, tmp_base):
+    store = _mk(spark, tmp_base)
+    m = store._read_manifest()
+    before = {f["path"] for f in m["versions"][0]["files"]}
+    res = store.erase_keys([{"k": 0}])  # lives in exactly one file
+    after = {f["path"] for f in store._read_manifest()["versions"][0]["files"]}
+    assert res["files_rewritten"] == 1
+    assert len(before - after) == 1 and len(after - before) == 1
+
+
+def test_erase_then_vacuum_keeps_store_consistent(spark, tmp_base):
+    store = _mk(spark, tmp_base)
+    store.latest().update_partial([{"k": 30, "v": "x"}])
+    store.erase_keys([{"k": 30}])
+    store.vacuum(keep_last=1)
+    ks = {r.k for r in store.latest()._current().collect()}
+    assert 30 not in ks and len(ks) == 399
