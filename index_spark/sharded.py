@@ -485,6 +485,31 @@ class ShardedIndex:
             self._write_catalog(cat)
         return changed
 
+    def erase_keys(self, keys: "list[dict]") -> dict:
+        """Hard key erasure routed to owning shards: each shard's
+        :meth:`SnapshotStore.erase_keys` rewrites ITS whole version
+        history in place (files covering the keys rewritten, originals
+        deleted), so logical time travel through any pinned catalog
+        snapshot also forgets the keys — no catalog swap needed because
+        shard version NUMBERS don't change, only their bytes. Shards
+        owning none of the keys are untouched. Returns
+        {shard_id: per-shard erase summary}."""
+        cat = self._read_catalog()
+        key_cols = cat["key"]
+        routed: dict[int, list] = {}
+        for k in keys:
+            kt = tuple(k[c] for c in key_cols)
+            routed.setdefault(self._owner(cat["shards"], kt)["id"], []).append(k)
+        out: dict[int, dict] = {}
+        for s in cat["shards"]:
+            if s["id"] not in routed:
+                continue
+            h = self._handle(s, cat)
+            if h is None:
+                continue
+            out[s["id"]] = h.store.erase_keys(routed[s["id"]])
+        return out
+
     # ------------------------------------------------------------ temporal
     def snapshot(self) -> int:
         """Pin the current logical state into the catalog history

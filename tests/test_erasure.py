@@ -91,3 +91,27 @@ def test_erase_then_vacuum_keeps_store_consistent(spark, tmp_base):
     store.vacuum(keep_last=1)
     ks = {r.k for r in store.latest()._current().collect()}
     assert 30 not in ks and len(ks) == 399
+
+
+def test_sharded_erase_routes_to_owning_shards_and_history(spark, tmp_base):
+    """Erasure routes to the owning shards only, and a pinned logical
+    snapshot taken BEFORE the erasure also forgets the key (bytes
+    rewritten under unchanged shard version numbers)."""
+    from index_spark.sharded import ShardedIndex
+
+    sx = ShardedIndex.create(
+        spark,
+        tmp_base + "/sh",
+        ["k"],
+        df=spark.createDataFrame([(i, f"v{i}") for i in range(200)], "k int, v string"),
+        n_shards=4,
+        rows_per_partition=20,
+    )
+    snap = sx.snapshot()  # pin the pre-erasure logical state
+    res = sx.erase_keys([{"k": 3}, {"k": 190}])
+    assert len(res) == 2  # exactly the two owning shards touched
+    assert all(r["rows_erased"] >= 1 for r in res.values())
+    ks = {r.k for r in sx.in_order().collect()}
+    assert 3 not in ks and 190 not in ks and len(ks) == 198
+    ks_past = {r.k for r in sx.as_of(snap).in_order().collect()}
+    assert 3 not in ks_past and 190 not in ks_past
