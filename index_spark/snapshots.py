@@ -596,6 +596,7 @@ class SnapshotStore:
 
         out_root = os.path.join(self.base_path, f"erase-{uuid.uuid4().hex[:8]}")
         rewrite: dict[str, Optional[dict]] = {}  # old path -> new file entry (None = now empty)
+        rewrite_dir: dict[str, str] = {}
         rows_erased = 0
         n_sub = 0
         for row in m["versions"]:
@@ -611,10 +612,22 @@ class SnapshotStore:
                     *key_cols
                 ).write.parquet(sub)
                 new_files = self._file_stats(sub, key_cols)
-                rows_erased += row["n_rows"] - sum(f["n_rows"] for f in (new_files or []))
+                try:  # same guard as commit(): stats must survive JSON
+                    json.dumps([f["min"] + f["max"] for f in new_files or []])
+                except TypeError:
+                    new_files = None
+                # stats can be None for non-JSON-able key types (e.g.
+                # binary keys) — that means "no per-file stats", NOT an
+                # empty version: count the rewritten data directly
+                new_n = (
+                    sum(f["n_rows"] for f in new_files)
+                    if new_files
+                    else self.spark.read.parquet(sub).count()
+                )
+                rows_erased += row["n_rows"] - new_n
                 row["files"] = new_files
                 row["data_path"] = sub
-                row["n_rows"] = sum(f["n_rows"] for f in (new_files or []))
+                row["n_rows"] = new_n
                 continue
             for f in files:
                 path = f["path"]
@@ -627,6 +640,7 @@ class SnapshotStore:
                 kept.coalesce(1).write.parquet(sub)
                 stats = self._file_stats(sub, key_cols)
                 rewrite[path] = stats[0] if stats else None
+                rewrite_dir[path] = sub  # schema-bearing even when empty
 
         touched = set()
         for row in m["versions"]:
@@ -645,8 +659,17 @@ class SnapshotStore:
                 new_files.append(r)
             if changed:
                 touched.add(row["version"])
-                row["files"] = new_files
-                row["n_rows"] = sum(f["n_rows"] for f in new_files)
+                if new_files:
+                    row["files"] = new_files
+                    row["n_rows"] = sum(f["n_rows"] for f in new_files)
+                else:
+                    # every file emptied: point the version at one of the
+                    # rewritten (schema-bearing, zero-row) dirs — files=[]
+                    # would fall back to the original (deleted) directory
+                    some_old = next(p for p in rewrite if rewrite[p] is None)
+                    row["files"] = None
+                    row["data_path"] = rewrite_dir[some_old]
+                    row["n_rows"] = 0
         self._write_manifest(m)
         # originals carry erased bytes — delete them only after the CAS
         for path in rewrite:

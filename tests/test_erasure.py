@@ -115,3 +115,43 @@ def test_sharded_erase_routes_to_owning_shards_and_history(spark, tmp_base):
     assert 3 not in ks and 190 not in ks and len(ks) == 198
     ks_past = {r.k for r in sx.as_of(snap).in_order().collect()}
     assert 3 not in ks_past and 190 not in ks_past
+
+
+def test_erase_on_binary_keyed_store(spark, tmp_base):
+    """Binary keys have no JSON-able per-file stats (dir-level versions):
+    erasure must still remove the key everywhere and keep exact counts
+    (a stats-less rewrite must not record the version as empty)."""
+    store = SnapshotStore(spark, tmp_base + "/bin")
+    rows = [(bytes([i]), i) for i in range(40)]
+    store.create(
+        ["k"],
+        df=spark.createDataFrame(rows, "k binary, v int"),
+        rows_per_partition=10,
+    )
+    res = store.erase_keys([{"k": bytes([5])}])
+    assert res["rows_erased"] == 1
+    m = store._read_manifest()
+    assert m["versions"][0]["n_rows"] == 39
+    ks = {bytes(r.k) for r in store.read(0).collect()}
+    assert bytes([5]) not in ks and len(ks) == 39
+
+
+def test_erase_entire_file_and_entire_version(spark, tmp_base):
+    """Erasing every key of one file drops it from the list; erasing a
+    version's ONLY content leaves a readable zero-row version."""
+    store = _mk(spark, tmp_base + "/f", n=100, rpp=25)  # 4 files of 25
+    res = store.erase_keys([{"k": k} for k in range(25)])  # empty file 1
+    m = store._read_manifest()
+    assert m["versions"][0]["n_rows"] == 75
+    assert len(m["versions"][0]["files"]) == 3
+    assert {r.k for r in store.read(0).collect()} == set(range(25, 100))
+
+    tiny = SnapshotStore(spark, tmp_base + "/tiny")
+    tiny.create(
+        ["k"],
+        df=spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        rows_per_partition=10,
+    )
+    tiny.erase_keys([{"k": 1}, {"k": 2}])
+    assert tiny.read(0).count() == 0  # readable, zero rows
+    assert tiny._read_manifest()["versions"][0]["n_rows"] == 0
