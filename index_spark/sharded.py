@@ -486,29 +486,42 @@ class ShardedIndex:
         return changed
 
     def erase_keys(self, keys: "list[dict]") -> dict:
-        """Hard key erasure routed to owning shards: each shard's
-        :meth:`SnapshotStore.erase_keys` rewrites ITS whole version
-        history in place (files covering the keys rewritten, originals
-        deleted), so logical time travel through any pinned catalog
-        snapshot also forgets the keys — no catalog swap needed because
-        shard version NUMBERS don't change, only their bytes. Shards
-        owning none of the keys are untouched. Returns
-        {shard_id: per-shard erase summary}."""
+        """Hard key erasure across the whole LOGICAL index, including its
+        pinned history: every shard store the catalog OR any history
+        entry references is erased — a retired pre-split store pinned by
+        history would otherwise keep the keys resurrectable via
+        :meth:`as_of`. Each store receives the full key list (historical
+        shard boundaries differ from current ones, so current-boundary
+        routing would misroute; a store containing none of the keys
+        early-exits on its file stats without writing anything). Shard
+        version numbers never change, so no catalog swap is needed.
+        Stores are disjoint — erased concurrently, like cross-shard
+        commits. Returns {store_path: summary} for stores that erased
+        at least one row."""
+        if not keys:
+            return {}
         cat = self._read_catalog()
-        key_cols = cat["key"]
-        routed: dict[int, list] = {}
-        for k in keys:
-            kt = tuple(k[c] for c in key_cols)
-            routed.setdefault(self._owner(cat["shards"], kt)["id"], []).append(k)
-        out: dict[int, dict] = {}
-        for s in cat["shards"]:
-            if s["id"] not in routed:
-                continue
-            h = self._handle(s, cat)
-            if h is None:
-                continue
-            out[s["id"]] = h.store.erase_keys(routed[s["id"]])
-        return out
+        paths = {s["path"] for s in cat["shards"]}
+        for h in cat.get("history", []):
+            paths |= {s["path"] for s in h["shards"]}
+
+        def _one(path: str):
+            store = SnapshotStore(self.spark, path)
+            if not store.exists():
+                return path, None
+            return path, store.erase_keys(keys)
+
+        ordered = sorted(paths)
+        if len(ordered) <= 1:
+            results = [_one(p) for p in ordered]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(ordered))) as pool:
+                results = list(pool.map(_one, ordered))
+        return {
+            p: r for p, r in results if r is not None and r["rows_erased"] > 0
+        }
 
     # ------------------------------------------------------------ temporal
     def snapshot(self) -> int:
@@ -713,4 +726,7 @@ class _AsOfShardedView(ShardedIndex):
         raise IndexError_("as-of view is read-only")
 
     def vacuum(self) -> dict:
+        raise IndexError_("as-of view is read-only")
+
+    def erase_keys(self, keys: "list[dict]") -> dict:
         raise IndexError_("as-of view is read-only")

@@ -541,6 +541,25 @@ class SnapshotStore:
                     os.remove(p) if os.path.isfile(p) else _shutil.rmtree(p, ignore_errors=True)
             if not any(os.path.abspath(p) in referenced for p in _glob.glob(os.path.join(vdir, "*"))):
                 _shutil.rmtree(vdir, ignore_errors=True)
+        # erase-* output dirs (key-erasure rewrites) hold kept versions'
+        # relocated data AND possibly orphans from dropped versions or
+        # crashed erasures — same per-file referenced-set sweep as above
+        for edir in _glob.glob(os.path.join(self.base_path, "erase-*")):
+            if not os.path.isdir(edir):
+                continue
+            for sub in _glob.glob(os.path.join(edir, "*")):
+                for p in _glob.glob(os.path.join(sub, "*")):
+                    if os.path.abspath(p) not in referenced and os.path.abspath(
+                        sub
+                    ) not in kept_dirs:
+                        os.remove(p) if os.path.isfile(p) else _shutil.rmtree(
+                            p, ignore_errors=True
+                        )
+                # hidden .crc droppings don't count as content
+                if os.path.isdir(sub) and not _glob.glob(os.path.join(sub, "*")):
+                    _shutil.rmtree(sub, ignore_errors=True)
+            if not _glob.glob(os.path.join(edir, "*")):
+                _shutil.rmtree(edir, ignore_errors=True)
         # adopted files (create_from_files) live outside version dirs — drop
         # the ones no kept version references, by manifest path
         for row in removed_rows:
@@ -570,44 +589,56 @@ class SnapshotStore:
         COW); untouched files — the overwhelming majority at scale — are
         carried by reference, byte-identical. A file shared by many
         versions via COW carry is rewritten ONCE and every referencing
-        version is repointed. The new manifest commits through the usual
-        put-if-absent CAS, after which the original affected files are
-        physically deleted. Single-writer contract (as with vacuum).
+        version is repointed. Dir-level versions (no per-file stats, e.g.
+        binary keys) are first probed for matches and rewritten wholesale
+        only when they contain one. The new manifest commits through the
+        usual put-if-absent CAS, and only then are the original affected
+        files (and unreferenced dir-level originals) physically deleted.
+        If nothing matches, no manifest write happens and the probe dirs
+        are swept by vacuum. Single-writer contract (as with vacuum).
 
         Returns {"files_rewritten", "versions_touched", "rows_erased"}
         (rows_erased counts occurrences across versions, not distinct
-        keys)."""
+        keys; dir-level rewrites count as one file each)."""
         import glob as _glob
+        import shutil as _shutil
+        from functools import reduce as _reduce
+
+        from index_spark.keys import key_eq
 
         m = self._read_manifest()
         key_cols = m["key"]
         tuples = [tuple(k[c] for c in key_cols) for k in keys]
+        if not tuples:
+            return {"files_rewritten": 0, "versions_touched": [], "rows_erased": 0}
 
         def covers(f: dict) -> bool:
             return any(f["min"][0] <= t[0] <= f["max"][0] for t in tuples)
 
-        erase_pred = None
-        for t in tuples:
-            one = None
-            for c, v in zip(key_cols, t):
-                cond = F.col(c) == F.lit(v)
-                one = cond if one is None else one & cond
-            erase_pred = one if erase_pred is None else erase_pred | one
+        erase_pred = _reduce(
+            lambda a, b: a | b, (key_eq(key_cols, t) for t in tuples)
+        )
 
         out_root = os.path.join(self.base_path, f"erase-{uuid.uuid4().hex[:8]}")
-        rewrite: dict[str, Optional[dict]] = {}  # old path -> new file entry (None = now empty)
+        rewrite: dict[str, Optional[dict]] = {}  # old path -> new entry (None = now empty)
         rewrite_dir: dict[str, str] = {}
+        dir_originals: list[str] = []  # rewritten dir-level versions' old dirs
+        touched: set[int] = set()
         rows_erased = 0
-        n_sub = 0
+        n_sub = n_dir = 0
         for row in m["versions"]:
             files = row.get("files")
             if files is None:
-                # legacy dir-level version: treat the whole dir as one unit
+                # dir-level version (no per-file stats): probe before the
+                # wholesale rewrite so absent keys cost one count job only
                 d = self._version_dir(row)
                 df = self.spark.read.parquet(d)
+                if df.where(erase_pred).limit(1).count() == 0:
+                    continue
                 kept = df.where(~erase_pred)
                 sub = os.path.join(out_root, f"d{n_sub:04d}")
                 n_sub += 1
+                n_dir += 1
                 kept.repartitionByRange(*[F.col(c) for c in key_cols]).sortWithinPartitions(
                     *key_cols
                 ).write.parquet(sub)
@@ -616,15 +647,16 @@ class SnapshotStore:
                     json.dumps([f["min"] + f["max"] for f in new_files or []])
                 except TypeError:
                     new_files = None
-                # stats can be None for non-JSON-able key types (e.g.
-                # binary keys) — that means "no per-file stats", NOT an
-                # empty version: count the rewritten data directly
+                # stats None = "no per-file stats", NOT an empty version:
+                # count the rewritten data directly
                 new_n = (
                     sum(f["n_rows"] for f in new_files)
                     if new_files
                     else self.spark.read.parquet(sub).count()
                 )
                 rows_erased += row["n_rows"] - new_n
+                touched.add(row["version"])
+                dir_originals.append(os.path.abspath(d))
                 row["files"] = new_files
                 row["data_path"] = sub
                 row["n_rows"] = new_n
@@ -642,10 +674,13 @@ class SnapshotStore:
                 rewrite[path] = stats[0] if stats else None
                 rewrite_dir[path] = sub  # schema-bearing even when empty
 
-        touched = set()
+        if not rewrite and not dir_originals:
+            # nothing contained the keys: no manifest write, no deletions
+            return {"files_rewritten": 0, "versions_touched": [], "rows_erased": 0}
+
         for row in m["versions"]:
             files = row.get("files")
-            if files is None:
+            if not files:
                 continue
             new_files = []
             changed = False
@@ -671,12 +706,28 @@ class SnapshotStore:
                     row["data_path"] = rewrite_dir[some_old]
                     row["n_rows"] = 0
         self._write_manifest(m)
-        # originals carry erased bytes — delete them only after the CAS
+        # originals carry erased bytes — delete them only after the CAS.
         for path in rewrite:
             if os.path.isfile(path):
                 os.remove(path)
+        # dir-level originals: delete every file under the old dir that no
+        # surviving version still references (file-level COW may point a
+        # files-bearing version into another version's directory)
+        referenced = {
+            os.path.abspath(f["path"])
+            for row in m["versions"]
+            for f in row.get("files") or []
+        }
+        for d in dir_originals:
+            for pth in _glob.glob(os.path.join(d, "*")):
+                if os.path.abspath(pth) not in referenced:
+                    os.remove(pth) if os.path.isfile(pth) else _shutil.rmtree(
+                        pth, ignore_errors=True
+                    )
+            if not os.listdir(d):
+                _shutil.rmtree(d, ignore_errors=True)
         return {
-            "files_rewritten": len(rewrite) + (1 if n_sub > len(rewrite) else 0),
+            "files_rewritten": len(rewrite) + n_dir,
             "versions_touched": sorted(touched),
             "rows_erased": rows_erased,
         }

@@ -155,3 +155,82 @@ def test_erase_entire_file_and_entire_version(spark, tmp_base):
     tiny.erase_keys([{"k": 1}, {"k": 2}])
     assert tiny.read(0).count() == 0  # readable, zero rows
     assert tiny._read_manifest()["versions"][0]["n_rows"] == 0
+
+
+def test_sharded_erase_reaches_retired_history_shards(spark, tmp_base):
+    """After a split, the pre-split store survives only via pinned
+    history — erasure must reach it too, or as_of resurrects the key."""
+    from index_spark.sharded import ShardedIndex
+
+    sx = ShardedIndex.create(
+        spark,
+        tmp_base + "/shh",
+        ["k"],
+        df=spark.createDataFrame([(i, f"v{i}") for i in range(200)], "k int, v string"),
+        n_shards=2,
+        rows_per_partition=20,
+    )
+    snap = sx.snapshot()  # pins the PRE-split shard list
+    assert sx.split_shard(0)
+    res = sx.erase_keys([{"k": 3}])
+    assert sum(r["rows_erased"] for r in res.values()) >= 2  # retired + live stores
+    assert 3 not in {r.k for r in sx.in_order().collect()}
+    past = sx.as_of(snap)
+    assert 3 not in {r.k for r in past.in_order().collect()}
+
+
+def test_as_of_view_refuses_erase(spark, tmp_base):
+    from index_spark.errors import IndexError_
+    from index_spark.sharded import ShardedIndex
+
+    sx = ShardedIndex.create(
+        spark,
+        tmp_base + "/sr",
+        ["k"],
+        df=spark.createDataFrame([(1, "a")], "k int, v string"),
+        n_shards=1,
+        rows_per_partition=10,
+    )
+    snap = sx.snapshot()
+    with pytest.raises(IndexError_):
+        sx.as_of(snap).erase_keys([{"k": 1}])
+
+
+def test_erase_empty_keys_is_noop(spark, tmp_base):
+    store = _mk(spark, tmp_base + "/noop", n=20, rpp=10)
+    stamp = store._read_manifest()[store._MV]
+    res = store.erase_keys([])
+    assert res == {"files_rewritten": 0, "versions_touched": [], "rows_erased": 0}
+    assert store._read_manifest()[store._MV] == stamp  # no manifest bump
+
+
+def test_erase_absent_key_writes_nothing(spark, tmp_base):
+    store = _mk(spark, tmp_base + "/abs", n=20, rpp=10)
+    stamp = store._read_manifest()[store._MV]
+    res = store.erase_keys([{"k": 999999}])
+    assert res["rows_erased"] == 0 and res["files_rewritten"] == 0
+    assert store._read_manifest()[store._MV] == stamp
+
+
+def test_vacuum_sweeps_erase_dirs_of_dropped_versions(spark, tmp_base):
+    """A dir-level (binary-keyed) version relocated into an erase-* dir
+    must be reclaimable: vacuum drops the version and its erase-dir data."""
+    store = SnapshotStore(spark, tmp_base + "/sw")
+    store.create(
+        ["k"],
+        df=spark.createDataFrame([(bytes([i]), i) for i in range(20)], "k binary, v int"),
+        rows_per_partition=10,
+    )
+    store.latest().insert([{"k": bytes([100]), "v": 100}], upsert=True)
+    store.erase_keys([{"k": bytes([2])}])
+    import glob as g
+
+    before = g.glob(os.path.join(tmp_base, "sw", "erase-*", "*", "*"))
+    assert before  # relocated data exists
+    store.vacuum(keep_last=1)
+    # version 0's relocated dir-level data is gone; version 1's remains
+    m = store._read_manifest()
+    live = {os.path.abspath(m["versions"][-1]["data_path"])}
+    for p in g.glob(os.path.join(tmp_base, "sw", "erase-*", "*")):
+        assert os.path.abspath(p) in live, p
+    assert store.latest()._current().count() == 20  # 19 survivors + upserted
