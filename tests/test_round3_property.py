@@ -198,3 +198,37 @@ def test_kmv_merge_equals_union_sketch_for_any_sets(spark, a, b, k):
         direct.kth_frac,
         direct.k,
     )
+
+
+# ----------------------------------------------------------------- erasure
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    erase=st.sets(st.integers(0, 70), min_size=1, max_size=8),
+    update=st.sets(st.integers(0, 49), min_size=0, max_size=3),
+)
+def test_erasure_matches_model_for_any_key_set(spark, tmp_path_factory, erase, update):
+    """After erasing an arbitrary key set (some absent), every version's
+    content equals the original minus the erased keys, manifest counts
+    agree, and survivors keep their values."""
+    from index_spark.snapshots import SnapshotStore
+
+    base = str(tmp_path_factory.mktemp("er"))
+    store = SnapshotStore(spark, base)
+    store.create(
+        ["k"],
+        df=spark.createDataFrame([(i, f"v{i}") for i in range(50)], "k int, v string"),
+        rows_per_partition=10,
+    )
+    if update:
+        store.latest().update_partial([{"k": k, "v": f"u{k}"} for k in sorted(update)])
+    res = store.erase_keys([{"k": k} for k in sorted(erase)])
+    versions = store._read_manifest()["versions"]
+    present = erase & set(range(50))
+    assert res["rows_erased"] == len(present) * len(versions)
+    for row in versions:
+        got = {r.k: r.v for r in store.read(row["version"]).collect()}
+        assert set(got) == set(range(50)) - erase
+        assert row["n_rows"] == len(got)
+    latest = {r.k: r.v for r in store.latest()._current().collect()}
+    for k in set(range(50)) - erase:
+        assert latest[k] == (f"u{k}" if k in update else f"v{k}")
