@@ -383,3 +383,79 @@ def embedding_near_dups(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def incremental_near_dups(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental-ingestion near-dup check: screen a NEW batch against an
+    existing corpus without ever generating corpus-internal pairs — the
+    shape that keeps continuous ingestion O(batch), not O(corpus²).
+
+    The corpus side is banded once (at 100 TB: a persisted (band, h, id)
+    LSH index maintained across ingests — band this DataFrame once and
+    reuse); batch bands probe it with an equi-join on (band, hash).
+    Verification joins shingle sets only for candidate ids — the corpus
+    shingle side is semi-join-pruned to candidates first, so verify cost
+    follows the candidate count, not the corpus size.
+
+    Returns one row per batch document:
+    ``(id_col, n_candidates, best_jaccard, is_dup)`` — ``is_dup`` true
+    iff some corpus candidate's exact shingle Jaccard ≥ ``threshold``;
+    documents with no band collision report (0, null, false).
+    """
+    rows = num_hashes // bands
+
+    def banded(df: DataFrame) -> DataFrame:
+        with_sig = df.select(
+            F.col(id_col).alias("id"),
+            shingle_minhash_udf(num_hashes, shingle_k)(F.col(text_col))["sig"].alias("sig"),
+        )
+        return with_sig.select(
+            "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bh")
+        ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+    cb = banded(corpus).alias("c")
+    bb = banded(batch).alias("n")
+    cand = (
+        bb.join(cb, (F.col("n.band") == F.col("c.band")) & (F.col("n.h") == F.col("c.h")))
+        .select(F.col("n.id").alias("bid"), F.col("c.id").alias("cid"))
+        .distinct()
+    )
+    sh_b = batch.select(
+        F.col(id_col).alias("bid"),
+        shingle_minhash_udf(1, shingle_k)(F.col(text_col))["sh"].alias("sh_b"),
+    )
+    sh_c = corpus.select(
+        F.col(id_col).alias("cid"),
+        shingle_minhash_udf(1, shingle_k)(F.col(text_col))["sh"].alias("sh_c"),
+    ).join(cand.select("cid").distinct(), "cid", "left_semi")
+    inter = F.size(F.array_intersect("sh_b", "sh_c"))
+    union = F.size(F.array_union("sh_b", "sh_c"))
+    scored = (
+        cand.join(sh_b, "bid")
+        .join(sh_c, "cid")
+        .select(
+            "bid", (inter.cast("double") / F.greatest(union, F.lit(1))).alias("__j")
+        )
+    )
+    per = scored.groupBy("bid").agg(
+        F.count(F.lit(1)).alias("n_candidates"), F.max("__j").alias("__bj")
+    )
+    return (
+        batch.select(F.col(id_col).alias("bid"))
+        .join(per, "bid", "left")
+        .select(
+            F.col("bid").alias(id_col),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.round("__bj", 6).alias("best_jaccard"),
+            F.coalesce(F.col("__bj") >= threshold, F.lit(False)).alias("is_dup"),
+        )
+    )

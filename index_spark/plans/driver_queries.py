@@ -2430,6 +2430,30 @@ def q_erase_roundtrip(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental-ingestion dedup: a synthetic new batch (20 near-copies
+    of corpus docs + 20 genuinely fresh docs) screened against the full
+    documents corpus. Corpus-internal pairs are never generated — the
+    banded corpus acts as an LSH index the batch probes, so continuous
+    ingestion stays O(batch). Flags + best-match Jaccard per batch doc,
+    replayed exactly in SQL."""
+    from index_spark.operators.dedup import incremental_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    near = (
+        docs.where(F.col("doc_id") % 25 == 0)
+        .select((F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz tail marker")).alias("text"))
+    )
+    fresh = (
+        docs.where(F.col("doc_id") % 25 == 7)
+        .select((F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat(F.lit("unique marker doc "), F.col("doc_id")).alias("text"))
+    )
+    batch = near.unionByName(fresh)
+    return incremental_near_dups(docs, batch)
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII-style scrubbing exemplar: redact digit runs from the event
     props payload, reporting per-type match counts and byte savings.
@@ -3243,6 +3267,31 @@ def build_oracles() -> dict[str, str]:
             f"{_sql_sum_cents('o_totalprice', 'total')}, "
             "min(o_orderkey) AS min_key, TRUE AS erased_everywhere "
             "FROM orders WHERE o_orderkey <= 3000 AND o_orderkey NOT IN (500, 1500)"
+        ),
+        "incremental_dedup": (
+            "WITH batchdocs AS ("
+            "  SELECT doc_id + 200000 AS doc_id, text || ' zz tail marker' AS text "
+            "  FROM documents WHERE doc_id % 25 = 0 "
+            "  UNION ALL SELECT doc_id + 300000, 'unique marker doc ' || doc_id "
+            "  FROM documents WHERE doc_id % 25 = 7), "
+            f"shc AS ({_sql_shingles('documents')}), "
+            f"shb AS ({_sql_shingles('batchdocs')}), "
+            f"sigc AS (SELECT doc_id, {_sql_minhash_sig()} AS sig FROM shc), "
+            f"sigb AS (SELECT doc_id, {_sql_minhash_sig()} AS sig FROM shb), "
+            "bandsc AS (SELECT doc_id, b, md5(concat_ws('|', sig[2*b+1], sig[2*b+2])) AS h "
+            "           FROM sigc CROSS JOIN range(0, 8) t(b)), "
+            "bandsb AS (SELECT doc_id, b, md5(concat_ws('|', sig[2*b+1], sig[2*b+2])) AS h "
+            "           FROM sigb CROSS JOIN range(0, 8) t(b)), "
+            "cand AS (SELECT DISTINCT nb.doc_id AS bid, c.doc_id AS cid "
+            "         FROM bandsb nb JOIN bandsc c ON nb.b = c.b AND nb.h = c.h), "
+            "sc AS (SELECT bid, CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)"
+            " / greatest(len(list_distinct(list_concat(s1.sh, s2.sh))), 1) AS j "
+            "       FROM cand JOIN shb s1 ON s1.doc_id = bid JOIN shc s2 ON s2.doc_id = cid), "
+            "per AS (SELECT bid, CAST(count(*) AS BIGINT) AS n_candidates, max(j) AS bj "
+            "        FROM sc GROUP BY 1) "
+            "SELECT d.doc_id, COALESCE(n_candidates, 0) AS n_candidates, "
+            "round(bj, 6) AS best_jaccard, COALESCE(bj >= 0.5, FALSE) AS is_dup "
+            "FROM batchdocs d LEFT JOIN per ON d.doc_id = per.bid"
         ),
         # --- reference surface
         "point_get": "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 1000",
@@ -4176,4 +4225,5 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_rich": q_q22_idle_rich,
         "group_topk": q_group_topk,
         "erase_roundtrip": q_erase_roundtrip,
+        "incremental_dedup": q_incremental_dedup,
     }

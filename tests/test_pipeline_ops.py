@@ -328,3 +328,34 @@ def test_asof_join_forward_and_tolerance(spark):
             ).collect()
         }
         assert got == model(direction, tol), (direction, tol)
+
+
+def test_incremental_near_dups_flags_only_corpus_matches(spark):
+    """Batch screening against a corpus: near-copies flag as dups with
+    their match's Jaccard; fresh docs report zero candidates. Batch docs
+    that duplicate EACH OTHER but nothing in the corpus must NOT flag —
+    corpus-internal and batch-internal pairs are out of scope."""
+    from pyspark.sql import functions as F
+
+    from index_spark.operators.dedup import incremental_near_dups
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i} eta theta iota kappa") for i in range(20)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-copy of corpus doc 3
+            (100, "alpha beta gamma delta epsilon zeta doc 3 eta theta iota kappa zz"),
+            # fresh content, unlike anything in the corpus
+            (101, "totally different words nothing shared here one two three four five"),
+            # two batch docs identical to each other but not the corpus
+            (102, "batch only duplicate text spanning several shingle windows right here"),
+            (103, "batch only duplicate text spanning several shingle windows right here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in incremental_near_dups(corpus, batch).collect()}
+    assert got[100].is_dup and got[100].n_candidates >= 1 and got[100].best_jaccard > 0.5
+    assert not got[101].is_dup and got[101].n_candidates == 0
+    assert not got[102].is_dup and not got[103].is_dup  # batch-internal ignored
