@@ -459,3 +459,88 @@ def incremental_near_dups(
             F.coalesce(F.col("__bj") >= threshold, F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Materialize the corpus LSH band index: (id, band, h) written
+    ``partitionBy(band)`` so an incremental-ingest probe prunes to the
+    bands it actually collides on and NEVER re-shingles the corpus — the
+    persisted artifact :func:`incremental_near_dups` assumes at scale.
+    Returns the re-read (partition-pruned-capable) DataFrame."""
+    rows = num_hashes // bands
+    with_sig = df.select(
+        F.col(id_col).alias("id"),
+        shingle_minhash_udf(num_hashes, shingle_k)(F.col(text_col))["sig"].alias("sig"),
+    )
+    banded = with_sig.select(
+        "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bh")
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    banded.write.partitionBy("band").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def incremental_near_dups_indexed(
+    index_df: DataFrame,
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`incremental_near_dups` against a PRE-BUILT band index
+    (:func:`build_lsh_index` output): only the new batch is shingled and
+    signed; the corpus is touched just to fetch candidate shingle sets
+    (an id semi-join — at scale, point lookups into the document store)."""
+    rows = num_hashes // bands
+    with_sig = batch.select(
+        F.col(id_col).alias("id"),
+        shingle_minhash_udf(num_hashes, shingle_k)(F.col(text_col))["sig"].alias("sig"),
+    )
+    bb = with_sig.select(
+        "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bh")
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")).alias("n")
+    cb = index_df.alias("c")
+    cand = (
+        bb.join(cb, (F.col("n.band") == F.col("c.band")) & (F.col("n.h") == F.col("c.h")))
+        .select(F.col("n.id").alias("bid"), F.col("c.id").alias("cid"))
+        .distinct()
+    )
+    sh_b = batch.select(
+        F.col(id_col).alias("bid"),
+        shingle_minhash_udf(1, shingle_k)(F.col(text_col))["sh"].alias("sh_b"),
+    )
+    sh_c = corpus.select(
+        F.col(id_col).alias("cid"),
+        shingle_minhash_udf(1, shingle_k)(F.col(text_col))["sh"].alias("sh_c"),
+    ).join(cand.select("cid").distinct(), "cid", "left_semi")
+    inter = F.size(F.array_intersect("sh_b", "sh_c"))
+    union = F.size(F.array_union("sh_b", "sh_c"))
+    scored = (
+        cand.join(sh_b, "bid")
+        .join(sh_c, "cid")
+        .select("bid", (inter.cast("double") / F.greatest(union, F.lit(1))).alias("__j"))
+    )
+    per = scored.groupBy("bid").agg(
+        F.count(F.lit(1)).alias("n_candidates"), F.max("__j").alias("__bj")
+    )
+    return (
+        batch.select(F.col(id_col).alias("bid"))
+        .join(per, "bid", "left")
+        .select(
+            F.col("bid").alias(id_col),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.round("__bj", 6).alias("best_jaccard"),
+            F.coalesce(F.col("__bj") >= threshold, F.lit(False)).alias("is_dup"),
+        )
+    )

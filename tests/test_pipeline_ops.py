@@ -359,3 +359,39 @@ def test_incremental_near_dups_flags_only_corpus_matches(spark):
     assert got[100].is_dup and got[100].n_candidates >= 1 and got[100].best_jaccard > 0.5
     assert not got[101].is_dup and got[101].n_candidates == 0
     assert not got[102].is_dup and not got[103].is_dup  # batch-internal ignored
+
+
+def test_lsh_index_persisted_probe_equals_direct(spark, documents, tmp_base):
+    """Probing a persisted band index must give exactly the direct
+    corpus-banding results, and the index read must be partition-pruned
+    by band (PartitionFilters in the scan when filtering one band)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from index_spark.operators.dedup import (
+        build_lsh_index,
+        incremental_near_dups,
+        incremental_near_dups_indexed,
+    )
+
+    corpus = documents.select("doc_id", "text").limit(200)
+    batch = corpus.where(F.col("doc_id") % 30 == 0).select(
+        (F.col("doc_id") + 9000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    idx = build_lsh_index(corpus, tmp_base + "/lsh")
+    direct = {
+        (r.doc_id, r.n_candidates, r.best_jaccard, r.is_dup)
+        for r in incremental_near_dups(corpus, batch).collect()
+    }
+    via_index = {
+        (r.doc_id, r.n_candidates, r.best_jaccard, r.is_dup)
+        for r in incremental_near_dups_indexed(idx, corpus, batch).collect()
+    }
+    assert direct == via_index and any(t[3] for t in direct)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        idx.where(F.col("band") == 3).explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
