@@ -1,0 +1,127 @@
+"""Slowly-changing-dimension type-2 merge (versioned dimension upsert).
+
+The snapshot store (:mod:`index_spark.snapshots`) versions whole tables;
+SCD2 is the row-level analog a warehouse dimension needs: when a tracked
+attribute changes, the current row is *closed* (``valid_to`` set) and a
+new row opens (``valid_from`` set, ``valid_to`` NULL), preserving history
+inside one table (Kimball's type-2 dimension; same effective-interval
+shape as the reference's temporal find — SortedMap.scala greatest-≤
+lookups — but materialized as rows instead of resolved per query).
+
+Plan shape: one equi-join on the business key between current rows and
+the update batch (broadcast when the batch is small — the common case:
+daily deltas vs a full dimension), a column-compare to detect real
+changes, and a union of {unchanged current, closed, opened, history}.
+No window, no global sort; at 100 TB the dimension shuffles once on its
+key and the batch rides broadcast.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_init(df: DataFrame, valid_from: int = 0) -> DataFrame:
+    """Wrap a plain dimension as SCD2 current rows."""
+    return df.withColumn("valid_from", F.lit(valid_from).cast("long")).withColumn(
+        "valid_to", F.lit(None).cast("long")
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: Sequence[str],
+    tracked: Sequence[str],
+    effective: int,
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """Merge an update batch into an SCD2 dimension.
+
+    ``updates`` carries the key plus new values for ``tracked`` columns.
+    Rows whose tracked values actually differ from the current row close
+    the old version at ``effective`` and open a new one; no-op updates and
+    keys absent from the batch pass through untouched. Updates for unknown
+    keys are inserted as new current rows. All non-tracked attribute
+    columns carry over from the current row (inserts take them from the
+    batch when present, else NULL).
+    """
+    key = list(key)
+    tracked = list(tracked)
+    attrs = [c for c in dim.columns if c not in key + ["valid_from", "valid_to"]]
+    cur = dim.filter(F.col("valid_to").isNull())
+    hist = dim.filter(F.col("valid_to").isNotNull())
+
+    upd = updates.select(
+        key
+        + [F.col(c).alias(f"__u_{c}") for c in updates.columns if c not in key]
+        + [F.lit(1).alias("__u_present")]
+    )
+    # left join (not full outer): a full outer join cannot broadcast its
+    # build side, which would force both sides through a shuffle; the
+    # insert case is handled by a separate anti-join on the same
+    # (broadcast) batch, so the big dimension never shuffles at all when
+    # the batch is small.
+    bupd = F.broadcast(upd) if broadcast_updates else upd
+    j = cur.join(bupd, on=key, how="left")
+
+    changed = reduce(
+        lambda a, b: a | b,
+        [~F.col(c).eqNullSafe(F.col(f"__u_{c}")) for c in tracked],
+    )
+    in_batch = F.col("__u_present").isNotNull()
+
+    untouched = j.filter(~(in_batch & changed)).select(
+        *key, *[F.col(c) for c in attrs], "valid_from", "valid_to"
+    )
+    closed = j.filter(in_batch & changed).select(
+        *key,
+        *[F.col(c) for c in attrs],
+        "valid_from",
+        F.lit(effective).cast("long").alias("valid_to"),
+    )
+    opened = j.filter(in_batch & changed).select(
+        *key,
+        *[
+            (F.coalesce(F.col(f"__u_{c}"), F.col(c)) if c in tracked else F.col(c)).alias(c)
+            for c in attrs
+        ],
+        F.lit(effective).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    # inserts: batch keys with no current row. Keys-only projection of the
+    # dimension — the one place the dimension enters a shuffle, and it
+    # shuffles just the key column (AQE picks the strategy; the small batch
+    # side is what lands in memory).
+    inserts = upd.join(cur.select(*key), on=key, how="left_anti").select(
+        *key,
+        *[
+            (F.col(f"__u_{c}") if f"__u_{c}" in upd.columns else F.lit(None)).alias(c)
+            for c in attrs
+        ],
+        F.lit(effective).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    return (
+        hist.unionByName(untouched)
+        .unionByName(closed)
+        .unionByName(opened)
+        .unionByName(inserts, allowMissingColumns=False)
+    )
+
+
+def scd2_current(dim: DataFrame) -> DataFrame:
+    return dim.filter(F.col("valid_to").isNull())
+
+
+def scd2_asof(dim: DataFrame, t: int) -> DataFrame:
+    """Rows valid at time ``t``: valid_from <= t < valid_to (open-ended
+    current rows match any t >= valid_from)."""
+    return dim.filter(
+        (F.col("valid_from") <= F.lit(t))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(t)))
+    )

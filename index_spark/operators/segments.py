@@ -1,0 +1,97 @@
+"""Segment-level dedup / boilerplate removal (CCNet-style).
+
+Document-level dedup (:mod:`.dedup`) and span *statistics* (:mod:`.spans`)
+leave a third standard pipeline stage: actually REMOVING repeated segments
+from otherwise-unique documents and re-assembling the cleaned text. Public
+pipelines (CCNet, Wenzek et al. 2020; RefinedWeb, Penedo et al. 2023) do
+this at paragraph/line granularity: hash each segment, drop segments whose
+hash recurs across ≥ K distinct documents (boilerplate: headers, license
+blocks, nav text), keep the rest in original order.
+
+The driver fixtures carry no line structure, so the segmenter here is
+fixed-width non-overlapping token blocks — the same operator shape
+(segment → hash → corpus-frequency join → ordered reassembly) with a
+pluggable segmenter; a newline splitter drops in for real corpora.
+
+Plan shape at 100 TB: segments explode map-side; only ``(doc_id, pos,
+28-bit hash)`` triples enter the shuffle (segment TEXT is dropped before
+any exchange and re-derived at reassembly, which is partitioned by doc —
+the same partitioning the explode's groupBy established). Corpus counts
+are a second partial-agg shuffle on the hash. No UDF, no window over the
+corpus, no driver collection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from index_spark.functions import text as TX
+
+
+def token_blocks(col, width: int = 8):
+    """Array of non-overlapping ``width``-token blocks of the lowercased
+    text, in order; the final block may be short. Empty text → empty
+    array."""
+    toks = TX.tokens(F.lower(col))
+    n = F.size(toks)
+    n_blocks = F.ceil(n.cast("double") / F.lit(float(width))).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width)),
+    )
+    return F.when(n > 0, blocks).otherwise(F.array().cast("array<string>"))
+
+
+def segment_hashes(df: DataFrame, width: int = 8, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per (doc, position) with the segment's 28-bit md5-prefix
+    hash (the repo's standard hash family — replays in SQL). The segment
+    TEXT is deliberately absent: this is the shuffled projection."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(token_blocks(F.col(text_col), width)).alias("pos", "__seg"),
+    ).select(
+        id_col,
+        "pos",
+        F.conv(F.substring(F.md5(F.col("__seg")), 1, 7), 16, 10).cast("long").alias("h"),
+    )
+
+
+def dedup_segments(
+    df: DataFrame,
+    min_docs: int = 3,
+    width: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove boilerplate segments (those whose hash appears in ≥
+    ``min_docs`` distinct documents) and re-assemble each document.
+
+    Returns ``(id_col, n_segments, n_removed, clean_text)`` — segments
+    kept in original position order, joined by single spaces. Documents
+    made entirely of boilerplate come back with empty ``clean_text``.
+
+    Text never enters an exchange: the two aggregation shuffles carry
+    ``(doc, pos, 28-bit hash)`` and ``(doc, [dropped pos])`` only, and the
+    final join back to the documents keeps the text on its original
+    partitions (the dropped-positions side is the small one — AQE
+    broadcasts it). Reassembly recomputes the token blocks doc-locally
+    and filters by position — a narrow projection.
+    """
+    segs = segment_hashes(df, width=width, id_col=id_col, text_col=text_col)
+    freq = segs.groupBy("h").agg(F.count_distinct(id_col).alias("n_docs"))
+    flagged = freq.filter(F.col("n_docs") >= F.lit(min_docs)).select("h")
+    dropped = (
+        segs.join(flagged, on="h", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__drop_pos"))
+    )
+    blocks = token_blocks(F.col(text_col), width)
+    drop_pos = F.coalesce(F.col("__drop_pos"), F.array().cast("array<int>"))
+    kept = F.filter(blocks, lambda b, i: ~F.array_contains(drop_pos, i.cast("int")))
+    return df.join(dropped, on=id_col, how="left").select(
+        id_col,
+        F.size(blocks).cast("long").alias("n_segments"),
+        F.size(drop_pos).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

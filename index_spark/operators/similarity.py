@@ -438,3 +438,56 @@ def pq_adc_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ------------------------------------------------------------------ kNN graph
+def knn_graph(
+    df: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate kNN graph: per vector, its ``k`` nearest neighbors
+    *within the same sign-LSH bucket* (SemDeDup / semantic-clustering
+    pipelines build exactly this edge list before pruning or clustering;
+    Abbas et al. 2023 use cluster-local neighbor search for the same
+    reason — the all-pairs graph is quadratic and the bucket-local one
+    is not).
+
+    Plan shape at 100 TB: bucket assignment is one codegen'd projection;
+    the self-join is EQUI on ``bucket`` — Spark shuffles both sides on the
+    bucket hash and compares only within buckets, never all-pairs. The
+    per-source top-k is a window inside the same bucket partitioning.
+    Recall is tunable by ``n_planes`` (fewer planes → bigger buckets) or
+    by unioning a second seed's buckets.
+
+    Returns ``(src, dst, score)`` — cosine rounded to 6, deterministic
+    tie-break on dst id.
+    """
+    from pyspark.sql import Window
+
+    b = lsh_bucket(df, dim, n_planes=n_planes, vec_col=vec_col, seed=seed)
+    left = b.select(
+        F.col(id_col).alias("src"), F.col(vec_col).alias("__lv"), "bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("dst"), F.col(vec_col).alias("__rv"), "bucket"
+    )
+    pairs = (
+        left.join(right, on="bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(cosine(F.col("__lv"), F.col("__rv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("score").desc(), F.col("dst").asc())
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("src", "dst", "score")
+    )

@@ -2974,12 +2974,185 @@ def _sql_pq_topk(
     return sql
 
 
+# ---- round-3 batch 3: time-series / segment dedup / graph / SCD2 / zone maps
+_BOILERPLATE = "terms of service apply to all content here"  # exactly 8 tokens
+
+
+def _docs_with_boilerplate(spark, sf_dir):
+    """Documents with a synthetic 8-token boilerplate header injected into
+    every 7th doc — the corpus shape segment-level dedup exists for (the
+    raw fixtures are unique word soup with no repeated segments)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.lit(_BOILERPLATE + " "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+
+
+def q_segment_dedup(spark, sf_dir):
+    """Segment-level boilerplate removal (CCNet/RefinedWeb paragraph dedup
+    re-expressed over token blocks): hash 8-token segments, drop segments
+    recurring in >= 3 distinct docs, re-assemble each document in order.
+    Only (doc_id, pos, 28-bit hash) triples shuffle; the cleaned text is
+    re-derived doc-locally and compared by md5."""
+    from index_spark.operators.segments import dedup_segments
+
+    out = dedup_segments(_docs_with_boilerplate(spark, sf_dir), min_docs=3, width=8)
+    return out.select(
+        "doc_id", "n_segments", "n_removed", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+def q_gapfill_hourly(spark, sf_dir):
+    """Time-series gap-fill: per-user regular hourly grid from first to
+    last event hour, forward-filled with the last observed hourly value
+    (sequence+explode grid, one shuffle on user_id, window fill inside the
+    same partitioning). Users are sampled by id to bound the grid."""
+    from index_spark.operators.timeseries import gapfill_forward
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    out = gapfill_forward(ev)
+    return out.select("user_id", "h", F.round("v_fill", 6).alias("v_fill"), "observed")
+
+
+def q_ewma_users(spark, sf_dir):
+    """Per-user EWMA of event value (alpha=0.25), computed as an explicit
+    left-to-right fold over the time-sorted values — the recursive EWMA
+    definition IS a left fold, so Spark F.aggregate and DuckDB list_reduce
+    land on bit-identical doubles."""
+    from index_spark.operators.timeseries import ewma_by_key
+
+    return ewma_by_key(load_table(spark, sf_dir, "events"), alpha=0.25)
+
+
+def q_hourly_anomaly(spark, sf_dir):
+    """Per-event-type hourly count anomalies: hours deviating >= 2 sigma
+    from the series mean. All moments are integer sums (m, S=sum n,
+    Q=sum n^2), so the z expression sees exact inputs in both engines."""
+    from index_spark.operators.timeseries import hourly_anomalies
+
+    return hourly_anomalies(load_table(spark, sf_dir, "events"), z_min=2.0)
+
+
+def q_knn_graph(spark, sf_dir):
+    """Approximate kNN graph (SemDeDup-style neighbor lists): sign-LSH
+    bucket assignment, bucket-local equi self-join (never all-pairs),
+    per-source top-3 by exact cosine. The oracle replays the buckets from
+    the same embedded hyperplane literals."""
+    from index_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = knn_graph(emb, dim=64, k=3, n_planes=8)
+    return g.filter(F.col("src") % 10 == 0)
+
+
+def q_scd2_customer(spark, sf_dir):
+    """SCD type-2 dimension merge: high-balance customers move to a
+    'PLATINUM' segment at t=1 — their current rows close (valid_to=1) and
+    new versions open; everyone else passes through. One key join with the
+    (broadcast) update batch, no window. Aggregated per final segment."""
+    from index_spark.operators.scd import scd2_apply, scd2_init
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim0 = scd2_init(
+        cust.select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"), valid_from=0
+    )
+    updates = (
+        cust.filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", F.lit("PLATINUM").alias("c_mktsegment"))
+    )
+    dim1 = scd2_apply(
+        dim0, updates, key=["c_custkey"], tracked=["c_mktsegment"], effective=1
+    )
+    cur = F.col("valid_to").isNull()
+    return dim1.groupBy("c_mktsegment").agg(
+        F.sum(F.when(cur, 1).otherwise(0)).cast("long").alias("n_current"),
+        F.sum(F.when(~cur, 1).otherwise(0)).cast("long").alias("n_closed"),
+        (
+            F.sum(F.when(cur, _cents(F.col("c_acctbal"))).otherwise(F.lit(0))).cast("double")
+            / 100
+        ).alias("cur_bal"),
+    )
+
+
+def q_zone_map_skip(spark, sf_dir):
+    """Read-side zone-map file skipping: a narrow key-range read against a
+    multi-file snapshot opens only the files whose manifest [min,max] can
+    intersect the probe — the file-level analog of the reference's
+    root->leaf descent (Index.scala:62-99). The oracle is the plain range
+    aggregate; the file-pruning invariant is plan-asserted in tests."""
+    from index_spark.snapshots import SnapshotStore
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    d = tempfile.mkdtemp(prefix="zmapq_")
+    try:
+        store = SnapshotStore(spark, d + "/idx")
+        h = store.create(["o_orderkey"], df=orders, rows_per_partition=1000)
+        scanned = h.read_range(2000, 3500)
+        out = scanned.agg(
+            F.count(F.lit(1)).alias("n"),
+            _sum_cents(F.col("o_totalprice"), "total"),
+            F.min("o_orderkey").alias("k_min"),
+            F.max("o_orderkey").alias("k_max"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # materialize pre-rmtree
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_curriculum_bins(spark, sf_dir):
+    """Per-language quality-curriculum binning: exact within-language
+    quartile thresholds (grouped percentile_disc — one shuffle hashed on
+    lang, no global sort), then a broadcast threshold join assigns each
+    doc its quartile bin. The shape multilingual training pipelines use to
+    stage data from low- to high-quality."""
+    from index_spark.operators.stats import grouped_percentile_disc
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", "n_chars", F.round(TX.quality_score(F.col("text")), 6).alias("q")
+    )
+    th = grouped_percentile_disc(scored, ["lang"], "q", [0.25, 0.5, 0.75])
+    binned = scored.join(F.broadcast(th), on="lang").withColumn(
+        "bin",
+        F.when(F.col("q") <= F.col("p25"), F.lit(1))
+        .when(F.col("q") <= F.col("p50"), F.lit(2))
+        .when(F.col("q") <= F.col("p75"), F.lit(3))
+        .otherwise(F.lit(4)),
+    )
+    return binned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("q").alias("q_lo"),
+        F.max("q").alias("q_hi"),
+    )
+
+
 def _sql_cosine(e1: str, e2: str) -> str:
     d = f"list_sum(list_transform(range(1, len({e1})+1), i -> CAST({e1}[i] AS DOUBLE) * CAST({e2}[i] AS DOUBLE)))"
     n1 = f"sqrt(list_sum(list_transform({e1}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     n2 = f"sqrt(list_sum(list_transform({e2}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     return f"{d} / ({n1} * {n2})"
 
+
+_SQL_QUALITY_EXPR = f"""round((
+      least(length(text) / 500.0, 1.0)
+    + (1.0 - least(CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) * 4, 1.0))
+    + (1.0 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) * 4, 1.0))
+    + (CASE WHEN (CAST(list_sum(list_transform(regexp_extract_all(text, '\\S+'), t -> length(t))) AS DOUBLE)
+               / greatest(len(regexp_extract_all(text, '\\S+')), 1)) BETWEEN 3 AND 12
+        THEN 1.0 ELSE 0.4 END)
+    + least(CAST(len(list_filter({SQL_TOKS_LOWER},
+        t -> t IN ({", ".join("'" + w + "'" for w in TX.STOPWORDS_EN)}))) AS DOUBLE)
+        / greatest(len({SQL_TOKS_LOWER}), 1) * 5, 1.0)
+  ) / 5, 6)"""
+
+# quality for every document (the curriculum-binning input)
+_QUALITY_ALL_SQL = f"SELECT doc_id, lang, n_chars, {_SQL_QUALITY_EXPR} AS quality FROM documents"
 
 _QUALITY_SQL = f"""
 SELECT doc_id,
@@ -4061,6 +4234,106 @@ def build_oracles() -> dict[str, str]:
             "        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) prev FROM events)"
             ") WHERE new_s = 1 GROUP BY user_id"
         ),
+        # --- round-3 batch 3: time-series / segments / graph / SCD2 / zone maps
+        "segment_dedup": (
+            "WITH src AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+            f"'{_BOILERPLATE} ' || text ELSE text END AS text FROM documents), "
+            "t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w FROM src), "
+            "segs AS (SELECT doc_id, i AS pos, concat_ws(' ', "
+            "  w[i*8+1], w[i*8+2], w[i*8+3], w[i*8+4], w[i*8+5], w[i*8+6], w[i*8+7], w[i*8+8]) AS seg "
+            "  FROM t, UNNEST(range(0, CAST(ceil(len(w)/8.0) AS BIGINT))) r(i) WHERE len(w) > 0), "
+            "h AS (SELECT doc_id, pos, seg, ('0x'||substr(md5(seg),1,7))::BIGINT AS h FROM segs), "
+            "freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM h GROUP BY 1), "
+            "fl AS (SELECT doc_id, pos, seg, CASE WHEN nd >= 3 THEN 1 ELSE 0 END AS dropped "
+            "  FROM h JOIN freq USING(h)) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments, "
+            "CAST(sum(dropped) AS BIGINT) AS n_removed, "
+            "md5(coalesce(array_to_string(list(seg ORDER BY pos) FILTER (WHERE dropped = 0), ' '), '')) "
+            "AS clean_md5 FROM fl GROUP BY 1"
+        ),
+        "gapfill_hourly": (
+            "WITH e AS (SELECT user_id, epoch_us(ts)//3600000000 AS h, epoch_us(ts) AS tu, "
+            "  event_id, value FROM events WHERE user_id % 10 = 0), "
+            "obs AS (SELECT user_id, h, value AS v_obs FROM ("
+            "  SELECT user_id, h, value, row_number() OVER "
+            "    (PARTITION BY user_id, h ORDER BY tu DESC, event_id DESC) AS rn FROM e) "
+            "  WHERE rn = 1), "
+            "grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM "
+            "  (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY 1)) "
+            "SELECT g.user_id, g.h, round(last_value(o.v_obs IGNORE NULLS) OVER "
+            "  (PARTITION BY g.user_id ORDER BY g.h "
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_fill, "
+            "CASE WHEN o.v_obs IS NOT NULL THEN 1 ELSE 0 END AS observed "
+            "FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h"
+        ),
+        "ewma_users": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "round(list_reduce(list(value ORDER BY epoch_us(ts), event_id), "
+            "  (a, b) -> a * 0.75 + b * 0.25), 6) AS ewma "
+            "FROM events GROUP BY 1"
+        ),
+        "hourly_anomaly": (
+            "WITH hourly AS (SELECT event_type, epoch_us(ts)//3600000000 AS h, "
+            "  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m, "
+            "  CAST(sum(n) AS BIGINT) AS s, CAST(sum(n*n) AS BIGINT) AS q "
+            "  FROM hourly GROUP BY 1), "
+            "z AS (SELECT event_type, h, n, round("
+            "  (CAST(n AS DOUBLE) - CAST(s AS DOUBLE)/CAST(m AS DOUBLE)) / "
+            "  sqrt(CAST(q AS DOUBLE)/CAST(m AS DOUBLE) "
+            "     - (CAST(s AS DOUBLE)/CAST(m AS DOUBLE))*(CAST(s AS DOUBLE)/CAST(m AS DOUBLE))), 6) AS z "
+            "  FROM hourly JOIN st USING(event_type)) "
+            "SELECT event_type, h, n, z FROM z WHERE abs(z) >= 2.0"
+        ),
+        "knn_graph": (
+            "WITH b AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, "
+            f"{_sql_lsh_bucket(64, 8, 'list_transform(embedding, x -> CAST(x AS DOUBLE))')} AS bucket "
+            "FROM embeddings), "
+            "p AS (SELECT l.vec_id AS src, r.vec_id AS dst, "
+            f"  round({_sql_cosine('l.v', 'r.v')}, 6) AS score "
+            "  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id), "
+            "rk AS (SELECT src, dst, score, row_number() OVER "
+            "  (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn FROM p) "
+            "SELECT src, dst, score FROM rk WHERE rn <= 3 AND src % 10 = 0"
+        ),
+        "scd2_customer": (
+            "WITH upd AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000), "
+            "final AS ("
+            "  SELECT c_mktsegment, c_acctbal, NULL AS valid_to FROM customer "
+            "    WHERE c_custkey NOT IN (SELECT c_custkey FROM upd) "
+            "  UNION ALL SELECT c_mktsegment, c_acctbal, 1 FROM customer "
+            "    WHERE c_custkey IN (SELECT c_custkey FROM upd) "
+            "  UNION ALL SELECT 'PLATINUM', c_acctbal, NULL FROM customer "
+            "    WHERE c_custkey IN (SELECT c_custkey FROM upd)) "
+            "SELECT c_mktsegment, "
+            "CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current, "
+            "CAST(sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_closed, "
+            f"CAST(sum(CASE WHEN valid_to IS NULL THEN {_sql_cents('c_acctbal')} ELSE 0 END) AS DOUBLE)/100 "
+            "AS cur_bal FROM final GROUP BY 1"
+        ),
+        "zone_map_skip": (
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            f"{_sql_sum_cents('o_totalprice', 'total')}, "
+            "min(o_orderkey) AS k_min, max(o_orderkey) AS k_max "
+            "FROM orders WHERE o_orderkey BETWEEN 2000 AND 3500"
+        ),
+        "curriculum_bins": (
+            f"WITH scored AS (SELECT doc_id, lang, n_chars, quality AS q FROM ({_QUALITY_ALL_SQL})), "
+            "r AS (SELECT lang, q, row_number() OVER (PARTITION BY lang ORDER BY q) AS rn, "
+            "  count(*) OVER (PARTITION BY lang) AS n FROM scored), "
+            "th AS (SELECT lang, "
+            "  min(CASE WHEN rn >= ceil(0.25 * n) THEN q END) AS p25, "
+            "  min(CASE WHEN rn >= ceil(0.5 * n) THEN q END) AS p50, "
+            "  min(CASE WHEN rn >= ceil(0.75 * n) THEN q END) AS p75 "
+            "  FROM r GROUP BY 1), "
+            "binned AS (SELECT s.lang, s.n_chars, s.q, "
+            "  CASE WHEN s.q <= th.p25 THEN 1 WHEN s.q <= th.p50 THEN 2 "
+            "       WHEN s.q <= th.p75 THEN 3 ELSE 4 END AS bin "
+            "  FROM scored s JOIN th USING(lang)) "
+            "SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "min(q) AS q_lo, max(q) AS q_hi FROM binned GROUP BY 1, 2"
+        ),
     }
     # the star-CC variant must produce the identical cluster map
     out["dedup_clusters_star"] = out["dedup_clusters"]
@@ -4132,6 +4405,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_union": q_kmv_union,
         "stream_funnel": q_stream_funnel,
         "triangle_parts": q_triangle_parts,
+        # --- (c3) round-3 batch 3: time-series / segments / graph / SCD2 / zone maps
+        "segment_dedup": q_segment_dedup,
+        "gapfill_hourly": q_gapfill_hourly,
+        "ewma_users": q_ewma_users,
+        "hourly_anomaly": q_hourly_anomaly,
+        "knn_graph": q_knn_graph,
+        "scd2_customer": q_scd2_customer,
+        "zone_map_skip": q_zone_map_skip,
+        "curriculum_bins": q_curriculum_bins,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

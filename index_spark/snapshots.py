@@ -813,6 +813,62 @@ class VersionedIndex(SortedIndex):
     def _current(self) -> Optional[DataFrame]:
         return None if self._empty else self.df
 
+    # ------------------------------------------------------ zone-map reads
+    def read_range(
+        self,
+        frm: Any,
+        to: Any,
+        from_inclusive: bool = True,
+        to_inclusive: bool = True,
+        reverse: bool = False,
+        limit: Optional[int] = None,
+    ) -> DataFrame:
+        """Range read with manifest zone-map file skipping.
+
+        :meth:`SortedIndex.range` relies on parquet row-group pushdown —
+        correct, but every file's footer is still opened. The manifest
+        already carries per-file key min/max (the stats that drive
+        write-side partial COW in :meth:`_partial_plan`); this is the
+        READ-side use: files whose [min, max] cannot intersect [frm, to]
+        are dropped from the scan's file list before Spark ever lists
+        them. At 100 TB / O(10⁵) files a narrow range opens a handful of
+        files instead of all of them — the file-level analog of the
+        reference's root→leaf descent (Index.scala:62-99).
+
+        Pruning is conservative: per-column min/max over composite keys is
+        a superset interval, files lacking comparable stats are kept, and
+        the residual :func:`key_between` predicate still applies exactly —
+        so the result equals ``self.range(...)`` always.
+        """
+        from index_spark.keys import as_tuple
+
+        if self._empty or self.version is None:
+            raise ValueError("read_range on an empty index (no committed version)")
+        files = self.store._version_row(self.version).get("files")
+        if not files:
+            return self.range(frm, to, from_inclusive, to_inclusive, reverse, limit)
+        lo, hi = as_tuple(frm), as_tuple(to)
+
+        def overlaps(f: dict) -> bool:
+            try:
+                fmin, fmax = tuple(f["min"]), tuple(f["max"])
+                # inclusive exclusion test is sound for exclusive bounds
+                # too (it only ever keeps extra files, never drops a match)
+                return not (fmax < lo or fmin > hi)
+            except TypeError:
+                return True  # stats not comparable to the probe → keep
+
+        touched = [f["path"] for f in files if overlaps(f)]
+        if not touched:
+            empty = self.df.filter(F.lit(False))
+            return SortedIndex(empty, self.key).range(
+                frm, to, from_inclusive, to_inclusive, reverse, limit
+            )
+        pruned = self.store.spark.read.parquet(*touched)
+        return SortedIndex(pruned, self.key).range(
+            frm, to, from_inclusive, to_inclusive, reverse, limit
+        )
+
     @staticmethod
     def _maybe_broadcast(keys_df: DataFrame, rows) -> DataFrame:
         """Build side of the COW anti-join. Driver-list batches are known
