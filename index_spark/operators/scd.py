@@ -118,6 +118,39 @@ def scd2_current(dim: DataFrame) -> DataFrame:
     return dim.filter(F.col("valid_to").isNull())
 
 
+def scd2_pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    ts_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time correct join (feature-store semantics): each fact row
+    joins the dimension VERSION that was valid at the fact's timestamp —
+    ``valid_from <= ts < valid_to`` (current rows are open-ended). Using
+    today's dimension values for yesterday's facts is the classic
+    training-data leakage bug; this is the non-leaky join.
+
+    Plan shape: an EQUI join on the business key with the interval test as
+    a residual filter — Spark hash-partitions both sides on the key (or
+    broadcasts the dimension, which carries all versions of each key), so
+    this costs the same as a plain dimension join; the residual runs
+    post-match, codegen'd. No window, no per-fact sort. Contrast
+    :func:`index_spark.operators.asof.asof_join`, which resolves
+    greatest-≤ against *event-grain* tables; here version intervals are
+    materialized once on the dimension, the cheaper shape when versions
+    per key are few.
+    """
+    ts = facts[ts_col]
+    cond = (
+        (facts[fact_key] == dim[dim_key])
+        & (dim["valid_from"] <= ts)
+        & (dim["valid_to"].isNull() | (dim["valid_to"] > ts))
+    )
+    return facts.join(dim, cond, how)
+
+
 def scd2_asof(dim: DataFrame, t: int) -> DataFrame:
     """Rows valid at time ``t``: valid_from <= t < valid_to (open-ended
     current rows match any t >= valid_from)."""

@@ -37,6 +37,7 @@ from index_spark.functions import text as TX
 from index_spark.functions.vectors import cosine
 from index_spark.index import SortedIndex
 from index_spark.operators import dedup as DD
+from index_spark.operators import ranking as RANK
 from index_spark.operators.asof import asof_join
 from index_spark.sources import load_table
 
@@ -3130,6 +3131,82 @@ def q_curriculum_bins(spark, sf_dir):
     )
 
 
+# ---- round-3 batch 4: PIT join / BM25 / variant JSON / stream top-k
+T_SCD_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z, mid-events-range
+BM25_TERMS = ("table", "scan", "fast")
+
+
+def q_pit_join(spark, sf_dir):
+    """Point-in-time correct fact-dimension join (feature-store
+    semantics): events join the customer-segment VERSION valid at event
+    time — high-balance customers flip to PLATINUM mid-range, so early
+    events attribute to the old segment and late ones to the new. An equi
+    key join with a codegen'd interval residual; the non-leaky join shape
+    every training pipeline needs."""
+    from index_spark.operators.scd import scd2_apply, scd2_init, scd2_pit_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim0 = scd2_init(cust.select("c_custkey", "c_acctbal", "c_mktsegment"), valid_from=0)
+    updates = cust.filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey", F.lit("PLATINUM").alias("c_mktsegment")
+    )
+    dim1 = scd2_apply(
+        dim0, updates, key=["c_custkey"], tracked=["c_mktsegment"], effective=T_SCD_US
+    )
+    ev = load_table(spark, sf_dir, "events")
+    j = scd2_pit_join(ev, dim1, "user_id", "c_custkey", "ts_us")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _sum_cents(F.col("value"), "total"),
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 retrieval over the corpus for a fixed 3-term query: tf
+    via array filters (no token explode), one broadcast stats row, fixed-
+    order IEEE score sum, TakeOrdered top-20. The oracle is the identical
+    expression tree in SQL."""
+    from index_spark.operators.ranking import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"), BM25_TERMS, k=20)
+
+
+def q_json_props(spark, sf_dir):
+    """Semi-structured props column parsed with Spark 4 VARIANT
+    (parse_json → try_variant_get): per-event-type stats over the
+    extracted integer. The oracle extracts the same path with DuckDB's
+    JSON operators — both engines must agree on every value."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return ev.select("event_type", kv.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count_distinct(F.col("k")).alias("n_k"),
+    )
+
+
+def q_stream_hourly_topk(spark, sf_dir):
+    """Trending event types per hour off the stream: the watermarked
+    tumbling-window agg runs streaming (availableNow drain), the per-hour
+    top-3 rank is the downstream batch step over the sink — the standard
+    two-tier shape, since a rank over a streaming agg is not a legal
+    single streaming query."""
+    import uuid as _uuid
+
+    from index_spark.streaming import hourly_counts, read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    drained = run_available_now(hourly_counts(stream), "st" + _uuid.uuid4().hex[:10])
+    w = Window.partitionBy("hour_us").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        drained.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("hour_us", "event_type", "n", "rnk")
+    )
+
+
 def _sql_cosine(e1: str, e2: str) -> str:
     d = f"list_sum(list_transform(range(1, len({e1})+1), i -> CAST({e1}[i] AS DOUBLE) * CAST({e2}[i] AS DOUBLE)))"
     n1 = f"sqrt(list_sum(list_transform({e1}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
@@ -4334,6 +4411,38 @@ def build_oracles() -> dict[str, str]:
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
             "min(q) AS q_lo, max(q) AS q_hi FROM binned GROUP BY 1, 2"
         ),
+        # --- round-3 batch 4: PIT join / BM25 / variant JSON / stream top-k
+        "pit_join": (
+            "WITH upd AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000), "
+            "dim AS ("
+            "  SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS vf, CAST(NULL AS BIGINT) AS vt "
+            "    FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd) "
+            f"  UNION ALL SELECT c_custkey, c_mktsegment, 0, {T_SCD_US} FROM customer "
+            "    WHERE c_custkey IN (SELECT c_custkey FROM upd) "
+            f"  UNION ALL SELECT c_custkey, 'PLATINUM', {T_SCD_US}, NULL FROM customer "
+            "    WHERE c_custkey IN (SELECT c_custkey FROM upd)) "
+            "SELECT d.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events, "
+            f"{_sql_sum_cents('e.value', 'total')} "
+            "FROM events e JOIN dim d ON e.user_id = d.c_custkey "
+            "  AND d.vf <= epoch_us(e.ts) AND (d.vt IS NULL OR d.vt > epoch_us(e.ts)) "
+            "GROUP BY 1"
+        ),
+        "bm25_topk": RANK.sql_bm25_topk(BM25_TERMS, k=20),
+        "json_props": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, "
+            "CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k, "
+            "CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k, "
+            "CAST(count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_k "
+            "FROM events GROUP BY 1"
+        ),
+        "stream_hourly_topk": (
+            "WITH h AS (SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type, "
+            "  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "r AS (SELECT hour_us, event_type, n, row_number() OVER "
+            "  (PARTITION BY hour_us ORDER BY n DESC, event_type ASC) AS rnk FROM h) "
+            "SELECT hour_us, event_type, n, rnk FROM r WHERE rnk <= 3"
+        ),
     }
     # the star-CC variant must produce the identical cluster map
     out["dedup_clusters_star"] = out["dedup_clusters"]
@@ -4414,6 +4523,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer": q_scd2_customer,
         "zone_map_skip": q_zone_map_skip,
         "curriculum_bins": q_curriculum_bins,
+        # --- (c4) round-3 batch 4: PIT join / BM25 / variant JSON / stream top-k
+        "pit_join": q_pit_join,
+        "bm25_topk": q_bm25_topk,
+        "json_props": q_json_props,
+        "stream_hourly_topk": q_stream_hourly_topk,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,
