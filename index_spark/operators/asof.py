@@ -102,3 +102,81 @@ def asof_join(
             ],
         )
     return out.drop("__side", "__ts")
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    suffix: str = "_right",
+    value_type: str = "double",
+) -> DataFrame:
+    """Backward as-of join via ``groupBy().cogroup().applyInPandas`` —
+    the Arrow-batched escape hatch for per-key logic the built-in
+    operators can't express (here they CAN: :func:`asof_join` is the
+    JVM-side fast path and the twin this must agree with — covered by a
+    test — but the cogroup shape is the template for genuinely custom
+    per-key merges).
+
+    Each key group arrives as two pandas frames; ``pandas.merge_asof``
+    resolves greatest-``right_ts <= left_ts``. Cost model vs
+    :func:`asof_join`: same single shuffle on the key, PLUS Arrow
+    serialization of both sides and a Python worker — use only when the
+    merge logic outgrows window expressions.
+    """
+    import pandas as pd
+
+    on = list(on)
+    out_field = f"{value_col}{suffix}"
+    lschema = left.schema
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in lschema.fields)
+    schema = f"{fields}, {out_field} {value_type}"
+
+    int_out = value_type.lower() in ("bigint", "long", "int", "integer", "smallint")
+
+    # Re-alias every right column: when both sides descend from the SAME
+    # source DataFrame (self-cogroup — exactly this events use case), the
+    # two children share attribute exprIds and the cogroup Arrow exchange
+    # deduplicates them, delivering shared columns only in the LEFT frame.
+    # Fresh aliases get fresh exprIds, so the right frame arrives intact.
+    rts, rval = f"__r_{right_ts}", f"__r_{value_col}"
+    right_aliased = right.select(
+        [F.col(c).alias(f"__r_{c}") for c in right.columns]
+    )
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame(columns=list(l.columns) + [out_field])
+        l = l.sort_values([left_ts] + on, kind="mergesort")
+        if r.empty:
+            m = l.copy()
+            m[out_field] = None
+        else:
+            # project the right ts under a non-colliding name: merge_asof
+            # suffixes colliding columns, which would orphan the left's ts.
+            # value_col may BE the ts column (carry the match ts itself).
+            if rval == rts:
+                r2 = r[[rts]].rename(columns={rts: "__rts"})
+                r2[out_field] = r2["__rts"]
+            else:
+                r2 = r[[rts, rval]].rename(
+                    columns={rts: "__rts", rval: out_field}
+                )
+            r2 = r2.sort_values("__rts", kind="mergesort")
+            m = pd.merge_asof(
+                l, r2, left_on=left_ts, right_on="__rts", direction="backward"
+            )
+        if int_out:
+            # unmatched rows make the column float (NaN); nullable Int64
+            # round-trips through Arrow as long-with-nulls
+            m[out_field] = m[out_field].astype("Int64")
+        return m[list(l.columns) + [out_field]]
+
+    return (
+        left.groupBy(*on)
+        .cogroup(right_aliased.groupBy(*[f"__r_{k}" for k in on]))
+        .applyInPandas(merge, schema=schema)
+    )

@@ -75,3 +75,44 @@ def time_rollup(df: DataFrame, ts: str, grains: list[str], *aggs) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def band_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_ts: str,
+    build_ts: str,
+    tolerance: int,
+) -> DataFrame:
+    """Keyless temporal proximity join: all (probe, build) pairs with
+    ``|probe_ts - build_ts| <= tolerance`` — WITHOUT a nested-loop plan.
+
+    A pure range join (no equality key) degenerates to a broadcast nested
+    loop in Spark; the standard scale-out rewrite (used by every
+    interval-join implementation, e.g. Flink's and Spark's own
+    stream-stream join internals) is *banding*: bucket both sides by
+    ``ts div tolerance``, explode the probe side to its 3 adjacent
+    buckets, equi-join on the bucket, then apply the exact residual. Any
+    pair within tolerance differs by at most one bucket, and each build
+    row owns exactly ONE bucket, so every qualifying pair appears exactly
+    once — no dedup needed.
+
+    Plan shape at scale: one shuffle of each side hashed on the bucket
+    (time-locality partitioning), probe fanout ×3 of narrow rows, and the
+    residual codegen'd inside the join. Skewed hot buckets fall to AQE
+    skew splitting. Columns from both inputs are preserved (probe columns
+    first); callers project/aggregate downstream.
+    """
+    assert tolerance > 0
+    pb = F.explode(
+        F.array(
+            F.expr(f"{probe_ts} div {tolerance} - 1"),
+            F.expr(f"{probe_ts} div {tolerance}"),
+            F.expr(f"{probe_ts} div {tolerance} + 1"),
+        )
+    ).alias("__band")
+    p = probe.select(*probe.columns, pb)
+    b = build.select(*build.columns, F.expr(f"{build_ts} div {tolerance}").alias("__band"))
+    residual = F.abs(p[probe_ts] - b[build_ts]) <= F.lit(tolerance)
+    joined = p.join(b, on=(p["__band"] == b["__band"]) & residual)
+    return joined.drop(p["__band"]).drop(b["__band"])

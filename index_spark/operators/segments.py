@@ -95,3 +95,46 @@ def dedup_segments(
         F.size(drop_pos).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    width: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG / context-window prep
+    step: fixed-width chunks with ``width - stride`` tokens of overlap so
+    no boundary context is lost). Chunk starts are ``0, stride, 2*stride,
+    ...`` while a full-or-partial window remains; every token lands in at
+    least one chunk and the final chunk may be short. A doc shorter than
+    ``width`` yields exactly one chunk.
+
+    Returns one row per chunk: ``(id_col, chunk_id, tok_start, n_tokens,
+    chunk_text)`` — a narrow per-row explode, no shuffle at all; the
+    downstream consumer (embedding UDF, parquet sink) decides the
+    partitioning.
+    """
+    assert 0 < stride <= width
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(n - width, 0) / stride)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - width, F.lit(0)).cast("double") / F.lit(float(stride))).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            (i * stride).cast("long").alias("tok_start"),
+            F.least(n - i * stride, F.lit(width)).cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, width)).alias("chunk_text"),
+        ),
+    )
+    return (
+        df.filter(n > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(id_col, "c.chunk_id", "c.tok_start", "c.n_tokens", "c.chunk_text")
+    )

@@ -3207,6 +3207,103 @@ def q_stream_hourly_topk(spark, sf_dir):
     )
 
 
+# ---- round-3 batch 5: band join / MERGE INTO / chunking / cogroup asof
+def q_band_join_events(spark, sf_dir):
+    """Keyless temporal proximity join: purchases with the count of
+    signups (any user) within ±60 s. A pure range join would plan as a
+    broadcast nested loop; band_join buckets both sides on ts div 60s,
+    explodes the probe to 3 adjacent bands and equi-joins — the
+    interval-join rewrite that scales."""
+    from index_spark.operators.interval import band_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("ts_us").alias("p_ts")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("ts_us").alias("s_ts")
+    )
+    pairs = band_join(purchases, signups, "p_ts", "s_ts", 60_000_000)
+    return pairs.groupBy("p_id").agg(F.count(F.lit(1)).alias("n_nearby"))
+
+
+def q_merge_into_orders(spark, sf_dir):
+    """Lakehouse MERGE INTO as one store transaction: a source batch that
+    updates 20 rows (price +1000), inserts 5 new keys, and deletes 5
+    (marked by a negative price) — classified with semi/anti joins and
+    committed atomically via the execute() batch, inheriting file-level
+    COW. The oracle recomputes the final state from base algebra."""
+    from index_spark.snapshots import SnapshotStore
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 3000)
+    )
+    d = tempfile.mkdtemp(prefix="mrgq_")
+    try:
+        store = SnapshotStore(spark, d + "/idx")
+        h = store.create(["o_orderkey"], df=orders, rows_per_partition=1000)
+        upd = orders.filter((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 120)).select(
+            "o_orderkey", (F.col("o_totalprice") + 1000).alias("o_totalprice")
+        )
+        ins = spark.range(5).select(
+            (F.col("id") + 1_000_000).alias("o_orderkey"),
+            (F.col("id") + 10).cast("double").alias("o_totalprice"),
+        )
+        dele = orders.filter((F.col("o_orderkey") >= 200) & (F.col("o_orderkey") < 205)).select(
+            "o_orderkey", F.lit(-1.0).alias("o_totalprice")
+        )
+        source = upd.unionByName(ins).unionByName(dele)
+        h2 = h.merge_into(source, delete_condition=F.col("o_totalprice") < 0, version="m1")
+        out = h2.df.agg(
+            F.count(F.lit(1)).alias("n"),
+            _sum_cents(F.col("o_totalprice"), "total"),
+            F.min("o_orderkey").alias("k_min"),
+            F.max("o_orderkey").alias("k_max"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # materialize pre-rmtree
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Overlapping token-window chunking (RAG/context-window prep): width
+    64, stride 48 — a narrow per-row explode, zero shuffles; boundary
+    chunks may be short but every token is covered."""
+    from index_spark.operators.segments import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    c = chunk_documents(docs, width=64, stride=48)
+    return c.select(
+        "doc_id", "chunk_id", "tok_start", "n_tokens", F.md5("chunk_text").alias("chunk_md5")
+    )
+
+
+def q_asof_cogroup(spark, sf_dir):
+    """The cogroup+applyInPandas escape hatch (Arrow-batched per-key
+    merge_asof) computing the SAME answer as the JVM-side asof_join —
+    hash-gated against the identical correlated-subquery oracle, so the
+    custom-operator template is itself correctness-verified."""
+    from index_spark.operators.asof import asof_join_cogroup
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts_us")
+    out = asof_join_cogroup(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        value_col="ts_us",
+        value_type="bigint",
+    )
+    return out.select("event_id", F.col("ts_us_right").alias("signup_ts_us"))
+
+
 def _sql_cosine(e1: str, e2: str) -> str:
     d = f"list_sum(list_transform(range(1, len({e1})+1), i -> CAST({e1}[i] AS DOUBLE) * CAST({e2}[i] AS DOUBLE)))"
     n1 = f"sqrt(list_sum(list_transform({e1}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
@@ -4443,6 +4540,41 @@ def build_oracles() -> dict[str, str]:
             "  (PARTITION BY hour_us ORDER BY n DESC, event_type ASC) AS rnk FROM h) "
             "SELECT hour_us, event_type, n, rnk FROM r WHERE rnk <= 3"
         ),
+        # --- round-3 batch 5: band join / MERGE INTO / chunking / cogroup asof
+        "band_join_events": (
+            "SELECT p.event_id AS p_id, CAST(count(*) AS BIGINT) AS n_nearby "
+            "FROM events p JOIN events s ON p.event_type = 'purchase' "
+            "AND s.event_type = 'signup' "
+            "AND abs(epoch_us(p.ts) - epoch_us(s.ts)) <= 60000000 GROUP BY 1"
+        ),
+        "merge_into_orders": (
+            "WITH base AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 3000), "
+            "final AS ("
+            "  SELECT o_orderkey, CASE WHEN o_orderkey BETWEEN 100 AND 119 "
+            "    THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice "
+            "  FROM base WHERE o_orderkey NOT BETWEEN 200 AND 204 "
+            "  UNION ALL SELECT 1000000 + i, CAST(10 + i AS DOUBLE) FROM range(0, 5) r(i)) "
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            f"{_sql_sum_cents('o_totalprice', 'total')}, "
+            "min(o_orderkey) AS k_min, max(o_orderkey) AS k_max FROM final"
+        ),
+        "chunk_docs": (
+            "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w "
+            "  FROM documents WHERE doc_id % 25 = 0), "
+            "c AS (SELECT doc_id, i AS chunk_id, i*48 AS tok_start, "
+            "  least(len(w) - i*48, 64) AS n_tokens, "
+            "  md5(array_to_string(w[i*48+1 : i*48+64], ' ')) AS chunk_md5 "
+            "  FROM t, UNNEST(range(0, 1 + CAST(ceil(greatest(len(w) - 64, 0)/48.0) AS BIGINT))) r(i) "
+            "  WHERE len(w) > 0) "
+            "SELECT doc_id, chunk_id, tok_start, n_tokens, chunk_md5 FROM c"
+        ),
+        # the Arrow cogroup twin must land on the identical as-of answer
+        "asof_cogroup": (
+            "SELECT p.event_id, "
+            "  (SELECT max(epoch_us(s.ts)) FROM events s WHERE s.event_type = 'signup' "
+            "   AND s.user_id = p.user_id AND epoch_us(s.ts) <= epoch_us(p.ts)) AS signup_ts_us "
+            "FROM events p WHERE p.event_type = 'purchase'"
+        ),
     }
     # the star-CC variant must produce the identical cluster map
     out["dedup_clusters_star"] = out["dedup_clusters"]
@@ -4528,6 +4660,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "json_props": q_json_props,
         "stream_hourly_topk": q_stream_hourly_topk,
+        # --- (c5) round-3 batch 5: band join / MERGE INTO / chunking / cogroup asof
+        "band_join_events": q_band_join_events,
+        "merge_into_orders": q_merge_into_orders,
+        "chunk_docs": q_chunk_docs,
+        "asof_cogroup": q_asof_cogroup,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

@@ -869,6 +869,45 @@ class VersionedIndex(SortedIndex):
             frm, to, from_inclusive, to_inclusive, reverse, limit
         )
 
+    # ---------------------------------------------------------- MERGE INTO
+    def merge_into(
+        self,
+        source: DataFrame,
+        delete_condition=None,
+        version: Optional[str] = None,
+    ) -> "VersionedIndex":
+        """Lakehouse ``MERGE INTO``: classify ``source`` rows against the
+        current snapshot by key and apply everything as ONE transaction —
+
+        - matched ∧ ``delete_condition`` → Remove,
+        - matched otherwise → Update (full-row replacement),
+        - not matched → Insert.
+
+        This is the composite verb the reference expresses as an
+        ``execute`` batch (Index.scala:1010-1036) and Delta/Iceberg spell
+        MERGE; building it from semi/anti joins keeps every piece
+        DataFrame-native (the source never funnels through the driver)
+        and inherits the file-level COW path when the source is
+        key-bounded. ``delete_condition`` is a Column evaluated on source
+        rows."""
+        from index_spark.commands import Insert, Remove, Update
+
+        key = list(self.key)
+        cur_keys = self._current().select(*key) if not self._empty else None
+        if cur_keys is None:
+            return self.execute([Insert(source)], version=version)
+        live = source
+        if delete_condition is not None:
+            doomed = source.filter(delete_condition)
+            live = source.filter(~F.coalesce(delete_condition, F.lit(False)))
+            removes = doomed.join(cur_keys, on=key, how="left_semi").select(*key)
+        matched = live.join(cur_keys, on=key, how="left_semi")
+        unmatched = live.join(cur_keys, on=key, how="left_anti")
+        commands: list = [Update(matched), Insert(unmatched)]
+        if delete_condition is not None:
+            commands.insert(0, Remove(removes))
+        return self.execute(commands, version=version)
+
     @staticmethod
     def _maybe_broadcast(keys_df: DataFrame, rows) -> DataFrame:
         """Build side of the COW anti-join. Driver-list batches are known
