@@ -292,3 +292,53 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         ],
         "n_nodes long, n_edges long, n_wedges long, n_triangles long, clustering double",
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Undirected BFS hop distances from ``source``: returns ``(node,
+    hops)`` for every node within ``max_hops`` (the source itself at 0).
+
+    Iterative frontier expansion — the MapReduce-classic plan: each round
+    joins the (shrinking) frontier to the edge list, anti-joins away
+    already-visited nodes, and ``localCheckpoint``s to truncate lineage
+    (same discipline as :func:`connected_components`; without it the plan
+    doubles per round). Rounds are data-independent: exactly
+    ``min(eccentricity, max_hops)``. Each round shuffles only (node)
+    frontier keys against the edge partitioning — the edge list is the
+    big side and is never re-materialized.
+
+    Hop distances are unique minima, so the result is deterministic under
+    any partitioning; the SQL oracle replays it as a recursive CTE with
+    UNION-dedup and ``min(hops)``.
+    """
+    sess = edges.sparkSession
+    # materialize the (narrow) edge list once: every round joins against
+    # it, and without this the upstream edge derivation (often a join
+    # itself) would re-execute per round
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .localCheckpoint()
+    )
+    known = sess.createDataFrame([(source, 0)], "node long, hops int").localCheckpoint()
+    frontier = known
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(known.select("node"), on="node", how="left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        known = known.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return known

@@ -120,3 +120,46 @@ def fixed_histogram(
             "n",
         )
     )
+
+
+def expectations(df: DataFrame, rules: Sequence[tuple[str, "F.Column"]]) -> DataFrame:
+    """Data-quality expectation check (the dbt-test / Great-Expectations
+    shape): each rule is a boolean Column that should hold on every row;
+    the report is one row per rule with its violation count (NULL counts
+    as a violation — an unknown is not a pass).
+
+    ONE aggregate over one scan regardless of rule count — conditional
+    sums, partial aggregation everywhere, output O(rules). Referential
+    rules (FK containment) need a join and live in
+    :func:`fk_violations`."""
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum((~F.coalesce(c, F.lit(False))).cast("long")).alias(f"__v_{i}")
+        for i, (_, c) in enumerate(rules)
+    ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__v_{i}").alias("n_violations"),
+        )
+        for i, (name, _) in enumerate(rules)
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def fk_violations(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """Referential-integrity check: child rows whose key has no parent.
+    An anti join on the (column-pruned) parent key set — at scale the
+    parent side is keys-only and the join shuffles just two key columns.
+    Returns a single row (n_child, n_orphans)."""
+    orphans = child.select(F.col(child_key)).join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        on=child_key,
+        how="left_anti",
+    )
+    return child.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+        orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+    )

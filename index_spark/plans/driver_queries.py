@@ -3304,6 +3304,124 @@ def q_asof_cogroup(spark, sf_dir):
     return out.select("event_id", F.col("ts_us_right").alias("signup_ts_us"))
 
 
+# ---- round-3 batch 6: retention delete / schema evolution
+def q_retention_delete(spark, sf_dir):
+    """Predicate delete (retention/TTL sweep): one transaction removes all
+    rows older than the cutoff; the key set is computed DataFrame-side and
+    file-level COW rewrites only touched files. The oracle recomputes the
+    surviving state."""
+    from index_spark.snapshots import SnapshotStore
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .filter(F.col("o_orderkey") <= 3000)
+    )
+    d = tempfile.mkdtemp(prefix="ttlq_")
+    try:
+        store = SnapshotStore(spark, d + "/idx")
+        h = store.create(["o_orderkey"], df=orders, rows_per_partition=1000)
+        h2 = h.delete_where(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("date"), version="ttl1"
+        )
+        out = h2.df.agg(
+            F.count(F.lit(1)).alias("n"),
+            _sum_cents(F.col("o_totalprice"), "total"),
+            F.min("o_orderdate").alias("min_date"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # materialize pre-rmtree
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_schema_evolution(spark, sf_dir):
+    """Schema evolution under file-level COW: an upsert batch ADDS a
+    column; carried old-schema files read back NULL there (parquet
+    mergeSchema — a footer-only metadata step), touched keys carry the
+    new value. The oracle recomputes flag counts from base algebra."""
+    from index_spark.snapshots import SnapshotStore
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 2000)
+    )
+    d = tempfile.mkdtemp(prefix="evoq_")
+    try:
+        store = SnapshotStore(spark, d + "/idx")
+        h = store.create(["o_orderkey"], df=orders, rows_per_partition=500)
+        batch = orders.filter(
+            (F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 150)
+        ).select("o_orderkey", "o_totalprice", F.lit("vip").alias("o_flag"))
+        h2 = h.insert(batch, upsert=True, version="ev1")
+        out = h2.df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("o_flag").alias("n_flagged"),
+            _sum_cents(F.col("o_totalprice"), "total"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # materialize pre-rmtree
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ---- round-3 batch 7: BFS / data-quality expectations
+def q_bfs_hops(spark, sf_dir):
+    """Undirected BFS hop distances from the max-degree hub part over the windowed
+    co-purchase graph (iterative frontier joins, localCheckpoint lineage
+    truncation; rounds = min(eccentricity, 4)). Hop minima are unique, so
+    the recursive-CTE oracle replays exactly. Aggregated per hop level."""
+    from index_spark.operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l1 = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    l2 = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        l1.join(l2, on="l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    und = edges.select(F.col("src").alias("s")).unionByName(
+        edges.select(F.col("dst").alias("s"))
+    )
+    hub = (
+        und.groupBy("s").count().orderBy(F.col("count").desc(), F.col("s").asc()).limit(1)
+    ).collect()[0]["s"]
+    dist = bfs_hops(edges, source=int(hub), max_hops=4)
+    return dist.groupBy("hops").agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum("node").alias("node_sum")
+    )
+
+
+def q_dq_expectations(spark, sf_dir):
+    """Data-quality expectation report (dbt-test shape): four row-level
+    rules checked in ONE aggregate over one scan, plus a referential
+    check (lineitem.l_orderkey ⊆ orders) as a keys-only anti join —
+    one report row per rule with its violation count."""
+    from index_spark.operators.stats import expectations, fk_violations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    report = expectations(
+        li,
+        [
+            ("quantity_range", F.col("l_quantity").between(1, 50)),
+            ("price_positive", F.col("l_extendedprice") > 0),
+            ("shipdate_not_null", F.col("l_shipdate").isNotNull()),
+            ("discount_cap", F.col("l_discount") <= 0.05),
+        ],
+    )
+    fk = fk_violations(li, orders, "l_orderkey", "o_orderkey").select(
+        F.lit("fk_orderkey").alias("rule"),
+        F.col("n_child").alias("n_rows"),
+        F.col("n_orphans").alias("n_violations"),
+    )
+    return report.unionByName(fk)
+
+
 def _sql_cosine(e1: str, e2: str) -> str:
     d = f"list_sum(list_transform(range(1, len({e1})+1), i -> CAST({e1}[i] AS DOUBLE) * CAST({e2}[i] AS DOUBLE)))"
     n1 = f"sqrt(list_sum(list_transform({e1}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
@@ -4575,6 +4693,48 @@ def build_oracles() -> dict[str, str]:
             "   AND s.user_id = p.user_id AND epoch_us(s.ts) <= epoch_us(p.ts)) AS signup_ts_us "
             "FROM events p WHERE p.event_type = 'purchase'"
         ),
+        # --- round-3 batch 6: retention delete / schema evolution
+        "retention_delete": (
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            + _sql_sum_cents('o_totalprice', 'total') + ", "
+            "min(o_orderdate) AS min_date FROM orders "
+            "WHERE o_orderkey <= 3000 AND o_orderdate >= DATE '1998-01-01'"
+        ),
+        "schema_evolution": (
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CASE WHEN o_orderkey BETWEEN 100 AND 149 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_flagged, "
+            + _sql_sum_cents('o_totalprice', 'total') + " "
+            "FROM orders WHERE o_orderkey <= 2000"
+        ),
+        # --- round-3 batch 7: BFS / data-quality expectations
+        "bfs_hops": (
+            "WITH RECURSIVE li AS (SELECT l_orderkey, l_partkey FROM lineitem "
+            "  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'), "
+            "e AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d FROM li a "
+            "  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), "
+            "und AS (SELECT s, d FROM e UNION ALL SELECT d, s FROM e), "
+            "hub AS (SELECT s FROM und GROUP BY s ORDER BY count(*) DESC, s ASC LIMIT 1), "
+            "w(node, hops) AS (SELECT CAST(s AS BIGINT), 0 FROM hub "
+            "  UNION SELECT u.d, w.hops + 1 FROM w JOIN und u ON u.s = w.node WHERE w.hops < 4), "
+            "dist AS (SELECT node, min(hops) AS hops FROM w GROUP BY 1) "
+            "SELECT hops, CAST(count(*) AS BIGINT) AS n_nodes, "
+            "CAST(sum(node) AS BIGINT) AS node_sum FROM dist GROUP BY 1"
+        ),
+        "dq_expectations": (
+            "SELECT 'quantity_range' AS rule, CAST(count(*) AS BIGINT) AS n_rows, "
+            "  CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) "
+            "  AS n_violations FROM lineitem "
+            "UNION ALL SELECT 'price_positive', CAST(count(*) AS BIGINT), "
+            "  CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem "
+            "UNION ALL SELECT 'shipdate_not_null', CAST(count(*) AS BIGINT), "
+            "  CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem "
+            "UNION ALL SELECT 'discount_cap', CAST(count(*) AS BIGINT), "
+            "  CAST(sum(CASE WHEN l_discount <= 0.05 THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem "
+            "UNION ALL SELECT 'fk_orderkey', CAST(count(*) AS BIGINT), "
+            "  CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM orders) THEN 0 ELSE 1 END) "
+            "  AS BIGINT) FROM lineitem"
+        ),
     }
     # the star-CC variant must produce the identical cluster map
     out["dedup_clusters_star"] = out["dedup_clusters"]
@@ -4665,6 +4825,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_into_orders": q_merge_into_orders,
         "chunk_docs": q_chunk_docs,
         "asof_cogroup": q_asof_cogroup,
+        # --- (c6) round-3 batch 6: retention delete / schema evolution
+        "retention_delete": q_retention_delete,
+        "schema_evolution": q_schema_evolution,
+        # --- (c7) round-3 batch 7: BFS / data-quality expectations
+        "bfs_hops": q_bfs_hops,
+        "dq_expectations": q_dq_expectations,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

@@ -389,7 +389,13 @@ class SnapshotStore:
         if files:
             # file-level COW: a version is a file LIST (possibly spanning
             # older version directories), not necessarily one directory.
-            return self.spark.read.parquet(*[f["path"] for f in files])
+            # mergeSchema: after a schema-evolving commit the list mixes
+            # old- and new-schema files; merging is a footer-only metadata
+            # step, and rows from pre-evolution files read NULL in the
+            # added columns.
+            return self.spark.read.option("mergeSchema", "true").parquet(
+                *[f["path"] for f in files]
+            )
         return self.spark.read.parquet(self._version_dir(row))
 
     def diff(self, from_version: int, to_version: int) -> DataFrame:
@@ -908,6 +914,22 @@ class VersionedIndex(SortedIndex):
             commands.insert(0, Remove(removes))
         return self.execute(commands, version=version)
 
+    def delete_where(self, condition, version: Optional[str] = None) -> "VersionedIndex":
+        """Predicate delete (retention/TTL sweeps): remove every current
+        row matching ``condition``, as one transaction. The key set is
+        computed DataFrame-side (a filtered key projection — with manifest
+        stats this prunes to the files that can match) and fed to the
+        standard Remove path, so file-level COW rewrites only touched
+        files. Contrast :meth:`~SnapshotStore.erase_key`, which scrubs a
+        key from ALL history; this only advances the head."""
+        from index_spark.commands import Remove
+
+        self._check_usable()
+        if self._empty:
+            raise KeyNotFoundError([])
+        keys = self._current().filter(condition).select(*self.key)
+        return self.execute([Remove(keys)], version=version)
+
     @staticmethod
     def _maybe_broadcast(keys_df: DataFrame, rows) -> DataFrame:
         """Build side of the COW anti-join. Driver-list batches are known
@@ -1008,9 +1030,13 @@ class VersionedIndex(SortedIndex):
                 raise DuplicatedKeysError([tuple(r) for r in collisions])
 
         # COW: keep current rows whose key is not overwritten, add the batch.
+        # allowMissingColumns = schema evolution: a batch may ADD columns
+        # (kept rows read back NULL — parquet mergeSchema on the read side),
+        # and a batch may OMIT value columns present in the snapshot (its
+        # rows get NULL there).
         batch_keys = batch.select(*key)
         kept = cur.join(self._maybe_broadcast(batch_keys, rows), on=key, how="left_anti")
-        return kept.unionByName(batch.drop("__upsert"))
+        return kept.unionByName(batch.drop("__upsert"), allowMissingColumns=True)
 
     def _staged_update(self, cur: Optional[DataFrame], rows, version: str) -> DataFrame:
         key = self.key
@@ -1070,7 +1096,9 @@ class VersionedIndex(SortedIndex):
         if plan is not None:
             touched, untouched = plan
             staged = (
-                self.store.spark.read.parquet(*[f["path"] for f in touched])
+                self.store.spark.read.option("mergeSchema", "true").parquet(
+                    *[f["path"] for f in touched]
+                )
                 if touched
                 else None
             )
@@ -1196,7 +1224,9 @@ class VersionedIndex(SortedIndex):
         if len(small) < 2:
             return self
         full = [f for f in files if f["n_rows"] >= threshold]
-        staged = self.store.spark.read.parquet(*[f["path"] for f in small])
+        staged = self.store.spark.read.option("mergeSchema", "true").parquet(
+            *[f["path"] for f in small]
+        )
         n_rows = sum(f["n_rows"] for f in small)
         n_parts = max(1, -(-n_rows // target))
         new_version = self.store.commit(
