@@ -159,3 +159,76 @@ def kmv_merge_estimate(sketches: list[DataFrame], k: int = 64) -> DataFrame:
         F.round(F.max("frac"), 9).alias("kth_frac"),
         F.count(F.lit(1)).alias("k"),
     )
+
+
+# --------------------------------------------------------- count-min sketch
+CMS_DEPTH, CMS_WIDTH = 3, 256
+
+
+def cms_hash(col, row: int, width: int = CMS_WIDTH):
+    """Deterministic row hash for the count-min sketch: md5 of the value
+    salted per row, 28-bit prefix, mod width — the same public-hash
+    family as the Bloom filter and MinHash pipelines, so the SQL twin
+    replays every bucket (and therefore every collision) exactly."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(col.cast("string"), F.lit(f"#cms{row}"))), 1, 7), 16, 10)
+        .cast("long")
+        % F.lit(width)
+    )
+
+
+def cms_build(df: DataFrame, col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of the
+    multiplicities of ``col``: a depth×width count table as a DataFrame
+    ``(row, pos, n)`` — at most depth·width rows regardless of input
+    size, built with one explode(depth) + one partial-agg shuffle of
+    (row, pos) pairs.
+
+    Mergeable: the sketch of a union is the cellwise SUM of sketches
+    (see :func:`cms_merge`) — store one per day/source, merge later.
+    Estimates (:func:`cms_estimate`) are upper bounds: collisions only
+    ever ADD counts, so ``est >= true`` always, with the standard
+    (e/width, 1-exp(-depth)) error bound."""
+    # one struct per row: (row, pos) computed map-side, then exploded —
+    # the shuffled payload is two small ints per (value, row)
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), cms_hash(F.col(col), i, width).alias("pos"))
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select("c.row", "c.pos")
+        .groupBy("row", "pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Cellwise sum: the union's sketch, never rescanning data."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("row", "pos").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Frequency upper-bound per probe value: min over the depth rows of
+    the probed cells. The sketch is tiny by construction (depth·width
+    rows) — broadcast to the probes, so probing any number of values is
+    a narrow map + one small join."""
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), cms_hash(F.col(col), i, width).alias("pos"))
+            for i in range(depth)
+        ]
+    )
+    exploded = probes.select(F.col(col), F.explode(cells).alias("c")).select(
+        col, "c.row", "c.pos"
+    )
+    return (
+        exploded.join(F.broadcast(sketch), on=["row", "pos"], how="left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n"))
+    )

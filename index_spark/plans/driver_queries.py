@@ -3422,6 +3422,30 @@ def q_dq_expectations(spark, sf_dir):
     return report.unionByName(fk)
 
 
+# ---- round-3 batch 8: count-min sketch
+def q_cms_heavy(spark, sf_dir):
+    """Count-min frequency sketch (Cormode-Muthukrishnan): a 3×256 count
+    table — mergeable by cellwise sum, the frequency twin of the KMV
+    distinct sketch — probed for the top-10 true heavy hitters. The
+    estimate is an upper bound (collisions only add); the oracle replays
+    every hash, so est_n and overcount are exact, not approximate-ly
+    compared."""
+    from index_spark.operators.sampling import cms_build, cms_estimate
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("t"))
+    )
+    true_counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("true_n"))
+    probes = true_counts.orderBy(F.col("true_n").desc(), F.col("t").asc()).limit(10)
+    sketch = cms_build(toks, "t")
+    est = cms_estimate(sketch, probes.select("t"), "t")
+    return (
+        probes.join(est, on="t")
+        .select("t", "true_n", "est_n", (F.col("est_n") - F.col("true_n")).alias("overcount"))
+    )
+
+
 def _sql_cosine(e1: str, e2: str) -> str:
     d = f"list_sum(list_transform(range(1, len({e1})+1), i -> CAST({e1}[i] AS DOUBLE) * CAST({e2}[i] AS DOUBLE)))"
     n1 = f"sqrt(list_sum(list_transform({e1}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
@@ -4735,6 +4759,22 @@ def build_oracles() -> dict[str, str]:
             "  CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM orders) THEN 0 ELSE 1 END) "
             "  AS BIGINT) FROM lineitem"
         ),
+        # --- round-3 batch 8: count-min sketch
+        "cms_heavy": (
+            "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS t FROM documents), "
+            "tc AS (SELECT t, CAST(count(*) AS BIGINT) AS true_n FROM toks GROUP BY 1), "
+            "probes AS (SELECT t, true_n FROM tc ORDER BY true_n DESC, t ASC LIMIT 10), "
+            "cells AS (SELECT rr.i AS row, "
+            "  ('0x'||substr(md5(t || '#cms' || rr.i),1,7))::BIGINT % 256 AS pos "
+            "  FROM toks, range(0,3) rr(i)), "
+            "sk AS (SELECT row, pos, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY 1,2), "
+            "pr AS (SELECT p.t, p.true_n, rr.i AS row, "
+            "  ('0x'||substr(md5(p.t || '#cms' || rr.i),1,7))::BIGINT % 256 AS pos "
+            "  FROM probes p, range(0,3) rr(i)), "
+            "est AS (SELECT pr.t, pr.true_n, CAST(min(coalesce(sk.n, 0)) AS BIGINT) AS est_n "
+            "  FROM pr LEFT JOIN sk ON sk.row = pr.row AND sk.pos = pr.pos GROUP BY 1,2) "
+            "SELECT t, true_n, est_n, CAST(est_n - true_n AS BIGINT) AS overcount FROM est"
+        ),
     }
     # the star-CC variant must produce the identical cluster map
     out["dedup_clusters_star"] = out["dedup_clusters"]
@@ -4831,6 +4871,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (c7) round-3 batch 7: BFS / data-quality expectations
         "bfs_hops": q_bfs_hops,
         "dq_expectations": q_dq_expectations,
+        # --- (c8) round-3 batch 8: count-min sketch
+        "cms_heavy": q_cms_heavy,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,
