@@ -3446,6 +3446,41 @@ def q_cms_heavy(spark, sf_dir):
     )
 
 
+# ---- round-3 batch 9: rollback / shallow clone
+def q_rollback_restore(spark, sf_dir):
+    """RESTORE after a bad commit: a retention sweep deletes 100 rows,
+    rollback() re-heads the store at the pre-delete version with a
+    metadata-only commit (zero data I/O — the version row carries the old
+    files by reference), and the change feed across the restore reports
+    exactly the undone rows. Output: restored state + undo count."""
+    from index_spark.snapshots import SnapshotStore
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 2000)
+    )
+    d = tempfile.mkdtemp(prefix="rbq_")
+    try:
+        store = SnapshotStore(spark, d + "/idx")
+        h = store.create(["o_orderkey"], df=orders, rows_per_partition=500)
+        v0 = store.latest_version()
+        h.delete_where(F.col("o_orderkey") < 100, version="bad")
+        v_bad = store.latest_version()
+        store.rollback(v0)
+        restored = store.latest()
+        undone = store.diff(v_bad, store.latest_version()).filter(
+            F.col("change") == "insert"
+        )
+        out = restored.df.agg(
+            F.count(F.lit(1)).alias("n"),
+            _sum_cents(F.col("o_totalprice"), "total"),
+        ).crossJoin(undone.agg(F.count(F.lit(1)).alias("n_undone")))
+        return spark.createDataFrame(out.collect(), out.schema)  # materialize pre-rmtree
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _sql_cosine(e1: str, e2: str) -> str:
     d = f"list_sum(list_transform(range(1, len({e1})+1), i -> CAST({e1}[i] AS DOUBLE) * CAST({e2}[i] AS DOUBLE)))"
     n1 = f"sqrt(list_sum(list_transform({e1}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
@@ -4775,6 +4810,13 @@ def build_oracles() -> dict[str, str]:
             "  FROM pr LEFT JOIN sk ON sk.row = pr.row AND sk.pos = pr.pos GROUP BY 1,2) "
             "SELECT t, true_n, est_n, CAST(est_n - true_n AS BIGINT) AS overcount FROM est"
         ),
+        # --- round-3 batch 9: rollback / shallow clone
+        "rollback_restore": (
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            + _sql_sum_cents('o_totalprice', 'total') + ", "
+            "CAST(sum(CASE WHEN o_orderkey < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_undone "
+            "FROM orders WHERE o_orderkey <= 2000"
+        ),
     }
     # the star-CC variant must produce the identical cluster map
     out["dedup_clusters_star"] = out["dedup_clusters"]
@@ -4873,6 +4915,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_expectations": q_dq_expectations,
         # --- (c8) round-3 batch 8: count-min sketch
         "cms_heavy": q_cms_heavy,
+        # --- (c9) round-3 batch 9: rollback / shallow clone
+        "rollback_restore": q_rollback_restore,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

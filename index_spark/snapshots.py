@@ -368,6 +368,58 @@ class SnapshotStore:
         self._write_manifest(m)
         return version
 
+    def rollback(self, to_version: int) -> int:
+        """RESTORE: make the head a copy of ``to_version`` — a
+        metadata-only commit (zero data I/O) whose version row carries the
+        old version's file list by reference, exactly like file-level COW
+        carries untouched files. History is preserved (the rolled-back
+        versions remain readable until vacuumed); the change feed sees the
+        restore as one ordinary version step, so ``diff(bad, restored)``
+        reports precisely the undone rows."""
+        row = self._version_row(to_version)
+        files = row.get("files")
+        m = self._read_manifest()
+        version = (m["versions"][-1]["version"] + 1) if m["versions"] else 0
+        prev_ts = m["versions"][-1]["ts"] if m["versions"] else 0
+        m["versions"].append(
+            {
+                "version": version,
+                "version_id": str(uuid.uuid4()),
+                "ts": _now_ns(prev_ts),
+                "n_rows": row["n_rows"],
+                "files": files,
+                "data_path": self._version_dir(row),
+            }
+        )
+        self._write_manifest(m)
+        return version
+
+    def clone_to(self, dest_path: str, version: Optional[int] = None) -> "VersionedIndex":
+        """Zero-copy (shallow) clone: a NEW store at ``dest_path`` whose
+        version 0 references this store's files — no data moves (Delta's
+        SHALLOW CLONE shape: fork a 100 TB table for an experiment in
+        milliseconds). The clone then evolves independently via its own
+        COW commits. Caveat shared with every shallow clone: vacuuming the
+        SOURCE store can delete files the clone still references — deep-
+        copy (create(df=...)) before reclaiming the source."""
+        m = self._read_manifest()
+        row = self._version_row(
+            version if version is not None else m["versions"][-1]["version"]
+        )
+        files = row.get("files")
+        if files is None:
+            raise ValueError(
+                "clone_to requires a stats-bearing (file-listed) source version"
+            )
+        dest = SnapshotStore(self.spark, dest_path)
+        return dest.create_from_files(
+            m["key"],
+            data_path=self._version_dir(row),
+            rows_per_partition=m["rows_per_partition"],
+            max_n_items=m.get("max_n_items"),
+            files=files,
+        )
+
     def _version_path(self, version: int) -> str:
         # legacy (pre data_path manifests) dir layout — readers prefer the
         # manifest-recorded data_path
