@@ -3481,6 +3481,51 @@ def q_rollback_restore(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+# ---- round-3 batch 10: streaming MERGE / ANN recall eval
+def q_stream_merge_state(spark, sf_dir):
+    """Streaming MERGE (CDC-apply): each micro-batch reduces to the
+    latest row per user and merges into a versioned store — one COW
+    commit per batch, head = exactly-once latest state. The availableNow
+    drain of the single events file is one batch, so the final state
+    must equal the batch arg-max — which is the oracle."""
+    import uuid as _uuid
+
+    from index_spark.snapshots import SnapshotStore
+    from index_spark.streaming import read_events_stream, stream_merge_into
+
+    d = tempfile.mkdtemp(prefix="smq_" + _uuid.uuid4().hex[:6])
+    try:
+        store = SnapshotStore(spark, d + "/idx")
+        store.create(["user_id"])
+        stream = read_events_stream(spark, sf_dir)
+        stream_merge_into(stream, store)
+        out = store.latest().df.select(
+            "user_id", "last_ts_us", F.round("last_value", 6).alias("last_value")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # materialize pre-rmtree
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_lsh_recall(spark, sf_dir):
+    """Recall@10 evaluation of the sign-LSH ANN against the exact
+    brute-force top-10 — the measurement every ANN deployment needs
+    before trusting the approximate path. Both sides are deterministic,
+    so even the recall fraction hash-gates exactly."""
+    from index_spark.operators.similarity import brute_force_topk, lsh_bucket, lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    dim = len(row.embedding)
+    bucketed = lsh_bucket(emb, dim=dim, n_planes=8)
+    approx = lsh_topk(bucketed, row.embedding, dim=dim, k=10, n_planes=8)
+    exact = brute_force_topk(emb, row.embedding, k=10)
+    hits = approx.select("vec_id").join(exact.select("vec_id"), on="vec_id")
+    return hits.agg(F.count(F.lit(1)).alias("n_hit")).select(
+        "n_hit", F.round(F.col("n_hit").cast("double") / 10, 6).alias("recall")
+    )
+
+
 def _sql_cosine(e1: str, e2: str) -> str:
     d = f"list_sum(list_transform(range(1, len({e1})+1), i -> CAST({e1}[i] AS DOUBLE) * CAST({e2}[i] AS DOUBLE)))"
     n1 = f"sqrt(list_sum(list_transform({e1}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
@@ -4817,6 +4862,27 @@ def build_oracles() -> dict[str, str]:
             "CAST(sum(CASE WHEN o_orderkey < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_undone "
             "FROM orders WHERE o_orderkey <= 2000"
         ),
+        # --- round-3 batch 10: streaming MERGE / ANN recall eval
+        "stream_merge_state": (
+            "WITH r AS (SELECT user_id, epoch_us(ts) AS tu, event_id, value, "
+            "  row_number() OVER (PARTITION BY user_id "
+            "    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) "
+            "SELECT user_id, tu AS last_ts_us, round(value, 6) AS last_value FROM r WHERE rn = 1"
+        ),
+        "lsh_recall": (
+            "WITH b AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, "
+            + _sql_lsh_bucket(64, 8, 'list_transform(embedding, x -> CAST(x AS DOUBLE))')
+            + " AS bucket FROM embeddings), "
+            "q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0), "
+            "approx AS (SELECT b.vec_id FROM b, q WHERE b.bucket = q.qb "
+            "  OR xor(b.bucket, q.qb) IN (" + ", ".join(str(1 << j) for j in range(8)) + ") "
+            "  ORDER BY " + _sql_cosine('b.v', 'q.qv') + " DESC, b.vec_id ASC LIMIT 10), "
+            "exact AS (SELECT b.vec_id FROM b, q "
+            "  ORDER BY " + _sql_cosine('b.v', 'q.qv') + " DESC, b.vec_id ASC LIMIT 10) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_hit, "
+            "round(CAST(count(*) AS DOUBLE)/10, 6) AS recall "
+            "FROM approx JOIN exact USING(vec_id)"
+        ),
     }
     # the star-CC variant must produce the identical cluster map
     out["dedup_clusters_star"] = out["dedup_clusters"]
@@ -4917,6 +4983,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy": q_cms_heavy,
         # --- (c9) round-3 batch 9: rollback / shallow clone
         "rollback_restore": q_rollback_restore,
+        # --- (c10) round-3 batch 10: streaming MERGE / ANN recall eval
+        "stream_merge_state": q_stream_merge_state,
+        "lsh_recall": q_lsh_recall,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

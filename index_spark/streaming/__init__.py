@@ -7,5 +7,6 @@ from index_spark.streaming.events import (  # noqa: F401
     sessionized,
     sessionized_counts,
     stream_into_snapshots,
+    stream_merge_into,
     user_running_state,
 )

@@ -34,6 +34,7 @@ the batch plan over the same files.
 
 from __future__ import annotations
 
+import uuid
 from typing import Iterator, Optional
 
 import pandas as pd
@@ -386,3 +387,41 @@ def user_funnel_state(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_merge_into(events: DataFrame, store, timeout_s: int = 120) -> int:
+    """Streaming MERGE (the standard CDC-apply): each micro-batch reduces
+    to one row per user (latest by (ts, event_id)) and merges into the
+    SnapshotStore — existing users update, new users insert, all as ONE
+    COW commit per batch via :meth:`VersionedIndex.merge_into`. The
+    store's head is therefore always the exactly-once-applied latest
+    state with time travel over every batch boundary. Returns the number
+    of committed batches."""
+    from pyspark.sql import Window
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts_us").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                F.col("ts_us").alias("last_ts_us"),
+                F.col("value").alias("last_value"),
+            )
+        )
+        store.latest().merge_into(latest, version=f"stream-merge-{run_id}-{batch_id}")
+        n_batches["n"] += 1
+
+    # a fresh (checkpoint-less) run restarts batch ids at 0; writer-version
+    # strings are per-transaction ids the store rejects on reuse, so salt
+    # them per run
+    run_id = uuid.uuid4().hex[:8]
+    n_batches = {"n": 0}
+    q = events.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination(timeout_s)
+    return n_batches["n"]
