@@ -3526,6 +3526,93 @@ def q_lsh_recall(spark, sf_dir):
     )
 
 
+# ---- round-3 batch 11: pivot / unpivot / rank windows / fuzzy matching
+def q_pivot_status(spark, sf_dir):
+    """Pivot (long→wide): order counts per priority with one column per
+    status — Spark's pivot with an explicit value list compiles to a
+    single conditional aggregate (one shuffle, no per-status scans); the
+    oracle is the FILTER-clause conditional-count equivalent."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+def q_unpivot_metrics(spark, sf_dir):
+    """Unpivot/melt (wide→long): per-priority metric columns melted to
+    (priority, metric, value) rows with Spark's native unpivot — a
+    zero-shuffle Expand over the aggregated frame; the oracle is the
+    UNION ALL equivalent."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["n_orders", "min_key", "max_key"], "metric", "value"
+    )
+
+
+def q_window_ranks(spark, sf_dir):
+    """The rank-function family over one window: dense_rank,
+    percent_rank, cume_dist, ntile(4) per market segment ordered by
+    (acctbal cents, custkey) — the tie-broken order makes every rank
+    value deterministic, and the rank definitions are engine-portable
+    rationals (rounded to 6)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        _cents(F.col("c_acctbal")).asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def q_fuzzy_token_pairs(spark, sf_dir):
+    """Typo-pair mining (fuzzy-dedup primitive): docs with id % 13 == 0
+    get deterministic OCR noise (a→o), then the DISTINCT token vocabulary
+    self-joins under standard blocking (same first char, |len diff| <= 1)
+    with a levenshtein <= 1 residual. The vocabulary is tiny relative to
+    the corpus (dedup before the quadratic step — the blocking+distinct
+    combination is what keeps fuzzy matching tractable at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    noisy = F.when(
+        F.col("doc_id") % 13 == 0, F.translate(F.lower(F.col("text")), "a", "o")
+    ).otherwise(F.lower(F.col("text")))
+    vocab = (
+        docs.select(F.explode(F.split(F.trim(noisy), r"\s+")).alias("t"))
+        .filter(F.col("t") != "")
+        .distinct()
+    )
+    a = vocab.select(F.col("t").alias("t1"))
+    b = vocab.select(F.col("t").alias("t2"))
+    block = (
+        (F.substring("t1", 1, 1) == F.substring("t2", 1, 1))
+        & (F.abs(F.length("t1") - F.length("t2")) <= 1)
+        & (F.col("t1") < F.col("t2"))
+    )
+    return (
+        a.join(b, on=block)
+        .withColumn("dist", F.levenshtein("t1", "t2"))
+        .filter(F.col("dist") <= 1)
+        .select("t1", "t2", "dist")
+    )
+
+
 def _sql_cosine(e1: str, e2: str) -> str:
     d = f"list_sum(list_transform(range(1, len({e1})+1), i -> CAST({e1}[i] AS DOUBLE) * CAST({e2}[i] AS DOUBLE)))"
     n1 = f"sqrt(list_sum(list_transform({e1}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
@@ -4883,6 +4970,40 @@ def build_oracles() -> dict[str, str]:
             "round(CAST(count(*) AS DOUBLE)/10, 6) AS recall "
             "FROM approx JOIN exact USING(vec_id)"
         ),
+        # --- round-3 batch 11: pivot / unpivot / rank windows / fuzzy matching
+        "pivot_status": (
+            "SELECT o_orderpriority, "
+            "CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f, "
+            "CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o, "
+            "CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p "
+            "FROM orders GROUP BY 1"
+        ),
+        "unpivot_metrics": (
+            "WITH wide AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, "
+            "  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM orders GROUP BY 1) "
+            "SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide "
+            "UNION ALL SELECT o_orderpriority, 'min_key', min_key FROM wide "
+            "UNION ALL SELECT o_orderpriority, 'max_key', max_key FROM wide"
+        ),
+        "window_ranks": (
+            f"WITH c AS (SELECT c_custkey, c_mktsegment, {_sql_cents('c_acctbal')} AS cents "
+            "  FROM customer WHERE c_custkey < 200) "
+            "SELECT c_custkey, c_mktsegment, "
+            "CAST(dense_rank() OVER w AS BIGINT) AS drank, "
+            "round(percent_rank() OVER w, 6) AS prank, "
+            "round(cume_dist() OVER w, 6) AS cdist, "
+            "CAST(ntile(4) OVER w AS BIGINT) AS quartile "
+            "FROM c WINDOW w AS (PARTITION BY c_mktsegment ORDER BY cents ASC, c_custkey ASC)"
+        ),
+        "fuzzy_token_pairs": (
+            "WITH src AS (SELECT CASE WHEN doc_id % 13 = 0 "
+            "  THEN replace(lower(text), 'a', 'o') ELSE lower(text) END AS text FROM documents), "
+            "vocab AS (SELECT DISTINCT unnest(regexp_extract_all(text, '\\S+')) AS t FROM src) "
+            "SELECT a.t AS t1, b.t AS t2, CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist "
+            "FROM vocab a JOIN vocab b ON substr(a.t, 1, 1) = substr(b.t, 1, 1) "
+            "  AND abs(length(a.t) - length(b.t)) <= 1 AND a.t < b.t "
+            "WHERE levenshtein(a.t, b.t) <= 1"
+        ),
     }
     # the star-CC variant must produce the identical cluster map
     out["dedup_clusters_star"] = out["dedup_clusters"]
@@ -4986,6 +5107,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (c10) round-3 batch 10: streaming MERGE / ANN recall eval
         "stream_merge_state": q_stream_merge_state,
         "lsh_recall": q_lsh_recall,
+        # --- (c11) round-3 batch 11: pivot / unpivot / rank windows / fuzzy matching
+        "pivot_status": q_pivot_status,
+        "unpivot_metrics": q_unpivot_metrics,
+        "window_ranks": q_window_ranks,
+        "fuzzy_token_pairs": q_fuzzy_token_pairs,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

@@ -1090,7 +1090,7 @@ class VersionedIndex(SortedIndex):
         kept = cur.join(self._maybe_broadcast(batch_keys, rows), on=key, how="left_anti")
         return kept.unionByName(batch.drop("__upsert"), allowMissingColumns=True)
 
-    def _staged_update(self, cur: Optional[DataFrame], rows, version: str) -> DataFrame:
+    def _staged_update(self, cur: Optional[DataFrame], rows, version: str) -> Optional[DataFrame]:
         key = self.key
         dups = self._dup_keys(rows)
         if dups:
@@ -1098,6 +1098,8 @@ class VersionedIndex(SortedIndex):
         batch = self._batch_df(rows)
         has_expect = "__expected_version" in batch.columns
         if cur is None:
+            if self._batch_empty(rows, batch):
+                return cur  # empty batch on an untouched base: no-op
             raise KeyNotFoundError(self._head_keys(rows, key))
 
         # KEY_NOT_FOUND (Leaf.scala:82) + VERSION_CHANGED (Leaf.scala:62-71)
@@ -1110,7 +1112,17 @@ class VersionedIndex(SortedIndex):
         kept = cur.join(self._maybe_broadcast(batch.select(*key), rows), on=key, how="left_anti")
         return kept.unionByName(batch.select(*kept.columns))
 
-    def _staged_remove(self, cur: Optional[DataFrame], keys) -> DataFrame:
+    @staticmethod
+    def _batch_empty(rows, batch: DataFrame) -> bool:
+        """True when a mutation batch has no rows. Driver lists answer
+        free; DataFrame batches pay one limit(1) job — only consulted on
+        the rare cur-is-None (no touched files) path, where an empty batch
+        must be a no-op rather than a spurious KEY_NOT_FOUND."""
+        if isinstance(rows, DataFrame):
+            return batch.limit(1).count() == 0
+        return len(rows) == 0
+
+    def _staged_remove(self, cur: Optional[DataFrame], keys) -> Optional[DataFrame]:
         key = self.key
         dups = self._dup_keys(keys)
         if dups:
@@ -1118,6 +1130,8 @@ class VersionedIndex(SortedIndex):
         batch = self._batch_df(keys)
         has_expect = "__expected_version" in batch.columns
         if cur is None:
+            if self._batch_empty(keys, batch):
+                return cur  # empty batch on an untouched base: no-op
             raise KeyNotFoundError(self._head_keys(keys, key))
         self._check_exists_and_versions(batch, cur, has_expect)
         return cur.join(self._maybe_broadcast(batch.select(*key), keys), on=key, how="left_anti")
@@ -1177,7 +1191,12 @@ class VersionedIndex(SortedIndex):
                 staged = self._staged_remove(staged, cmd.keys)
             else:
                 raise TypeError(f"unknown command {cmd!r}")
-        assert staged is not None
+        if staged is None:
+            # every command was an empty batch against an untouched base:
+            # a metadata-only commit — zero new rows written, every file
+            # carried by reference (same shape as rollback())
+            staged = self._current().filter(F.lit(False))
+            n_parts = 1
         new_version = self.store.commit(
             staged, self.key, self.rows_per_partition,
             n_partitions=n_parts, carry_files=carry,

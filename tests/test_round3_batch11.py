@@ -1,0 +1,93 @@
+"""Round-3 batch-11: pivot/unpivot/rank-window coverage checks, fuzzy
+token matching, and a randomized MERGE INTO property test against a dict
+model (the reference's randomized-spec strategy applied to the lakehouse
+verb)."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from index_spark.snapshots import SnapshotStore
+
+SET = settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+
+
+# ------------------------------------------------------------ merge model
+@SET
+@given(
+    base=st.dictionaries(st.integers(0, 30), st.integers(0, 99), min_size=1, max_size=15),
+    updates=st.dictionaries(st.integers(0, 40), st.integers(0, 99), max_size=10),
+    deletes=st.sets(st.integers(0, 40), max_size=6),
+)
+def test_merge_into_matches_dict_model(spark, tmp_path_factory, base, updates, deletes):
+    # delete wins over update for the same key (the source row carries the
+    # delete marker); model accordingly
+    updates = {k: v for k, v in updates.items() if k not in deletes}
+    src_rows = [(k, float(v)) for k, v in updates.items()] + [
+        (k, -1.0) for k in deletes
+    ]
+    if not src_rows:
+        return
+    d = tmp_path_factory.mktemp("mrg")
+    store = SnapshotStore(spark, str(d / "s"))
+    h = store.create(
+        ["k"],
+        df=spark.createDataFrame([(k, float(v)) for k, v in base.items()], "k long, v double"),
+        rows_per_partition=7,
+    )
+    h2 = h.merge_into(
+        spark.createDataFrame(src_rows, "k long, v double"),
+        delete_condition=F.col("v") < 0,
+    )
+    got = {r.k: r.v for r in h2.df.select("k", "v").collect()}
+    model = dict(base)
+    for k in deletes:
+        model.pop(k, None)  # absent-key delete is a no-op
+    for k, v in updates.items():
+        model[k] = v
+    assert got == {k: float(v) for k, v in model.items()}
+
+
+# ------------------------------------------------------------ pivot/unpivot
+def test_pivot_unpivot_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], "g string, s string, n long"
+    )
+    wide = (
+        df.groupBy("g")
+        .pivot("s", ["x", "y"])
+        .agg(F.sum("n"))
+        .select("g", F.coalesce("x", F.lit(0)).alias("x"), F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    back = wide.unpivot(["g"], ["x", "y"], "s", "n")
+    got = {(r.g, r.s): r.n for r in back.collect()}
+    assert got == {("a", "x"): 1, ("a", "y"): 2, ("b", "x"): 3, ("b", "y"): 0}
+
+
+def test_window_ranks_definitions(spark):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(i,) for i in range(1, 5)], "x long")
+    w = Window.orderBy("x")
+    rows = df.select(
+        "x",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(2).over(w).alias("nt"),
+    ).collect()
+    by_x = {r.x: r for r in rows}
+    assert by_x[1].pr == 0.0 and by_x[4].pr == 1.0
+    assert by_x[2].cd == pytest.approx(0.5)
+    assert [by_x[i].nt for i in range(1, 5)] == [1, 1, 2, 2]
+
+
+# ------------------------------------------------------------ fuzzy pairs
+def test_fuzzy_token_pairs_finds_injected_typos(spark, sf_dir):
+    from index_spark.plans.driver_queries import q_fuzzy_token_pairs
+
+    pairs = {(r.t1, r.t2) for r in q_fuzzy_token_pairs(spark, sf_dir).collect()}
+    # the a->o noise guarantees these vocabulary typo pairs exist
+    assert ("fast", "fost") in pairs or ("part", "port") in pairs
+    for t1, t2 in pairs:
+        assert t1[0] == t2[0] and abs(len(t1) - len(t2)) <= 1
