@@ -3090,7 +3090,10 @@ def q_zone_map_skip(spark, sf_dir):
     d = tempfile.mkdtemp(prefix="zmapq_")
     try:
         store = SnapshotStore(spark, d + "/idx")
-        h = store.create(["o_orderkey"], df=orders, rows_per_partition=1000)
+        # 2000 rows/file: ~8 files at sf0.01, ~75 at sf0.1 — enough files
+        # for a meaningful skip ratio without paying a many-small-files
+        # write at layout time
+        h = store.create(["o_orderkey"], df=orders, rows_per_partition=2000)
         scanned = h.read_range(2000, 3500)
         out = scanned.agg(
             F.count(F.lit(1)).alias("n"),
