@@ -46,3 +46,34 @@ def euclidean(a: Column, b: Column) -> Column:
             lambda acc, v: acc + v,
         )
     )
+
+
+def norms_arrow(df, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """L2 norms via ``mapInArrow`` — the Arrow-native batch API (no pandas
+    conversion layer): each partition arrives as pyarrow RecordBatches and
+    returns RecordBatches.
+
+    This is the template for Arrow-level kernels (tokenizers, codecs,
+    ANN distance kernels) where even the pandas bridge is overhead. The
+    accumulation here is an explicit per-row left-to-right double fold so
+    the result is bit-identical to the JVM :func:`norm` fold and the SQL
+    oracle — a production kernel would vectorize (numpy/pyarrow.compute
+    use pairwise summation) and compare under a tolerance instead.
+    """
+    import pyarrow as pa
+
+    def batches(it):
+        for rb in it:
+            ids = rb.column(rb.schema.get_field_index(id_col))
+            vecs = rb.column(rb.schema.get_field_index(vec_col)).to_pylist()
+            out = []
+            for v in vecs:
+                acc = 0.0
+                for x in v:
+                    acc += float(x) * float(x)
+                out.append(round(acc ** 0.5, 6))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, type=pa.float64())], [id_col, "norm"]
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(batches, f"{id_col} long, norm double")

@@ -3616,6 +3616,16 @@ def q_fuzzy_token_pairs(spark, sf_dir):
     )
 
 
+# ---- round-3 batch 12: Arrow-native kernel
+def q_arrow_norms(spark, sf_dir):
+    """mapInArrow coverage (the Arrow-native batch API, below even the
+    pandas bridge): per-vector L2 norms computed in a pyarrow kernel with
+    an explicit sequential fold, hash-matching the SQL fold exactly."""
+    from index_spark.functions.vectors import norms_arrow
+
+    return norms_arrow(load_table(spark, sf_dir, "embeddings"))
+
+
 def _sql_cosine(e1: str, e2: str) -> str:
     d = f"list_sum(list_transform(range(1, len({e1})+1), i -> CAST({e1}[i] AS DOUBLE) * CAST({e2}[i] AS DOUBLE)))"
     n1 = f"sqrt(list_sum(list_transform({e1}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
@@ -5007,6 +5017,11 @@ def build_oracles() -> dict[str, str]:
             "  AND abs(length(a.t) - length(b.t)) <= 1 AND a.t < b.t "
             "WHERE levenshtein(a.t, b.t) <= 1"
         ),
+        # --- round-3 batch 12: Arrow-native kernel
+        "arrow_norms": (
+            "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm FROM embeddings"
+        ),
     }
     # the star-CC variant must produce the identical cluster map
     out["dedup_clusters_star"] = out["dedup_clusters"]
@@ -5115,6 +5130,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": q_unpivot_metrics,
         "window_ranks": q_window_ranks,
         "fuzzy_token_pairs": q_fuzzy_token_pairs,
+        # --- (c12) round-3 batch 12: Arrow-native kernel
+        "arrow_norms": q_arrow_norms,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

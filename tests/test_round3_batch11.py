@@ -91,3 +91,17 @@ def test_fuzzy_token_pairs_finds_injected_typos(spark, sf_dir):
     assert ("fast", "fost") in pairs or ("part", "port") in pairs
     for t1, t2 in pairs:
         assert t1[0] == t2[0] and abs(len(t1) - len(t2)) <= 1
+
+
+# ------------------------------------------------------------ mapInArrow
+def test_arrow_norms_matches_jvm_fold(spark, embeddings):
+    from index_spark.functions.vectors import norm, norms_arrow
+
+    arrow = {r.vec_id: r.norm for r in norms_arrow(embeddings).collect()}
+    jvm = {
+        r.vec_id: r.n
+        for r in embeddings.select(
+            "vec_id", F.round(norm(F.col("embedding")), 6).alias("n")
+        ).collect()
+    }
+    assert arrow == jvm and len(arrow) > 0
