@@ -232,3 +232,59 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str, depth: int = CM
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n"))
     )
+
+
+# ----------------------------------------------------- epoch shuffle / mixing
+def epoch_shuffle_key(key_col, epoch: int):
+    """Deterministic per-epoch shuffle key: the md5 28-bit prefix of
+    (epoch || key). Ordering / range-partitioning by it is a reproducible
+    pseudo-random permutation of the corpus — a different one each epoch,
+    identical across runs, engines, and partitionings (training pipelines
+    need epoch-varied data order WITHOUT a stateful shuffle service)."""
+    from index_spark.functions.text import md5_prefix28
+
+    return md5_prefix28(F.concat(F.lit(f"ep{epoch}#"), key_col.cast("string")))
+
+
+def epoch_shuffle(
+    df: DataFrame, key: str, epoch: int, n_shards: int
+) -> DataFrame:
+    """Assign every row a shard and a within-shard position for the given
+    epoch: shard = shuffle_key mod n_shards, position = rank of the
+    shuffle key within the shard. At scale this IS the output layout —
+    ``repartitionByRange(shuffle_key)`` + write — so 'shuffling' 100 TB
+    costs one range exchange; the window here materializes positions for
+    verification. Ties cannot occur between different keys sharing a hash
+    because the key itself breaks them."""
+    from pyspark.sql import Window
+
+    sk = epoch_shuffle_key(F.col(key), epoch)
+    w = Window.partitionBy("shard").orderBy("sk", key)
+    return (
+        df.select(F.col(key), sk.alias("sk"))
+        .withColumn("shard", (F.col("sk") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(key, "shard", "pos")
+    )
+
+
+def rebalance_by_group(
+    df: DataFrame, group: str, key: str, counts: dict, target: int, salt: str = "mix"
+) -> DataFrame:
+    """Down-sample over-represented groups to ~``target`` rows each (the
+    data-mixing step that flattens a skewed language/source distribution
+    before training). Keep fraction per group = min(1, target/count) with
+    the deterministic md5-uniform draw — groups at or under target pass
+    through untouched. ``counts`` (group -> row count) comes from one tiny
+    aggregate the caller runs (or a catalog stat); keeping it an explicit
+    input makes the kept-set a pure function of (data, target)."""
+    from index_spark.functions.text import md5_prefix28
+
+    u = md5_prefix28(F.concat(F.lit(salt + "#"), F.col(key).cast("string"))).cast(
+        "double"
+    ) / F.lit(float(1 << 28))
+    frac = F.lit(None).cast("double")
+    for g, n in sorted(counts.items()):
+        f = min(1.0, target / n) if n else 1.0
+        frac = F.when(F.col(group) == g, F.lit(f)).otherwise(frac)
+    return df.filter(u < frac)

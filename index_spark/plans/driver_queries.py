@@ -3616,6 +3616,35 @@ def q_fuzzy_token_pairs(spark, sf_dir):
     )
 
 
+# ---- round-3 batch 13: epoch shuffle / data mixing
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch corpus shuffle: shard + within-shard
+    position from the md5 of (epoch, key) — a reproducible permutation
+    that changes every epoch with no RNG state and no stateful shuffle
+    service; at scale the shuffle key drives repartitionByRange and this
+    IS the epoch's write layout."""
+    from index_spark.operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, "doc_id", epoch=1, n_shards=8)
+
+
+def q_lang_rebalance(spark, sf_dir):
+    """Data mixing: down-sample over-represented languages to ~40 docs
+    each (flattening the distribution before training) with the
+    deterministic md5-uniform draw; under-represented languages pass
+    through whole. The per-group counts feeding the keep fractions are
+    one tiny aggregate."""
+    from index_spark.operators.sampling import rebalance_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = rebalance_by_group(docs, "lang", "doc_id", counts, target=40)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("kept_chars")
+    )
+
+
 # ---- round-3 batch 12: Arrow-native kernel
 def q_arrow_norms(spark, sf_dir):
     """mapInArrow coverage (the Arrow-native batch API, below even the
@@ -5022,6 +5051,24 @@ def build_oracles() -> dict[str, str]:
             "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, "
             "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm FROM embeddings"
         ),
+        # --- round-3 batch 13: epoch shuffle / data mixing
+        "epoch_shuffle": (
+            "WITH sk AS (SELECT doc_id, "
+            "  ('0x'||substr(md5('ep1#' || CAST(doc_id AS VARCHAR)),1,7))::BIGINT AS sk "
+            "  FROM documents), "
+            "s AS (SELECT doc_id, sk, CAST(sk % 8 AS INTEGER) AS shard FROM sk) "
+            "SELECT doc_id, shard, CAST(row_number() OVER "
+            "  (PARTITION BY shard ORDER BY sk, doc_id) AS BIGINT) AS pos FROM s"
+        ),
+        "lang_rebalance": (
+            "WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1), "
+            "k AS (SELECT d.doc_id, d.lang, d.n_chars, "
+            "  ('0x'||substr(md5('mix#' || CAST(d.doc_id AS VARCHAR)),1,7))::BIGINT "
+            "    / 268435456.0 AS u, "
+            "  least(1.0, 40.0 / c.n) AS f FROM documents d JOIN c USING(lang)) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, "
+            "CAST(sum(n_chars) AS BIGINT) AS kept_chars FROM k WHERE u < f GROUP BY 1"
+        ),
     }
     # the star-CC variant must produce the identical cluster map
     out["dedup_clusters_star"] = out["dedup_clusters"]
@@ -5132,6 +5179,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_token_pairs": q_fuzzy_token_pairs,
         # --- (c12) round-3 batch 12: Arrow-native kernel
         "arrow_norms": q_arrow_norms,
+        # --- (c13) round-3 batch 13: epoch shuffle / data mixing
+        "epoch_shuffle": q_epoch_shuffle,
+        "lang_rebalance": q_lang_rebalance,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

@@ -105,3 +105,42 @@ def test_arrow_norms_matches_jvm_fold(spark, embeddings):
         ).collect()
     }
     assert arrow == jvm and len(arrow) > 0
+
+
+# ------------------------------------------------------------ epoch shuffle
+def test_epoch_shuffle_is_permutation_and_epoch_varied(spark):
+    from index_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    e1 = epoch_shuffle(df, "doc_id", epoch=1, n_shards=4)
+    rows = e1.collect()
+    # a permutation: every key exactly once, positions 1..n_in_shard per shard
+    assert sorted(r.doc_id for r in rows) == list(range(100))
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # epoch 2 produces a DIFFERENT order, deterministically
+    e2a = {(r.doc_id, r.shard, r.pos) for r in epoch_shuffle(df, "doc_id", 2, 4).collect()}
+    e2b = {(r.doc_id, r.shard, r.pos) for r in epoch_shuffle(df, "doc_id", 2, 4).collect()}
+    assert e2a == e2b
+    assert e2a != {(r.doc_id, r.shard, r.pos) for r in rows}
+
+
+def test_rebalance_flattens_groups(spark):
+    from index_spark.operators.sampling import rebalance_by_group
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(20)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    counts = {"big": 400, "small": 20}
+    kept = rebalance_by_group(df, "g", "k", counts, target=50)
+    got = {r.g: r.n for r in kept.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # under-target group passes through whole; big group lands near target
+    assert got["small"] == 20
+    assert 25 <= got["big"] <= 75  # hash-uniform draw around 50
+    # deterministic across runs
+    again = {r.g: r.n for r in rebalance_by_group(df, "g", "k", counts, target=50)
+             .groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == got
