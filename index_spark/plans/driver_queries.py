@@ -3616,6 +3616,75 @@ def q_fuzzy_token_pairs(spark, sf_dir):
     )
 
 
+# ---- round-3 batch 14: secondary-index projection / gaps-and-islands
+def q_projection_lookup(spark, sf_dir):
+    """Materialized secondary index kept in sync off the change feed:
+    build a (segment -> custkey) projection, move low-key customers to a
+    new segment in the base, refresh (O(changed keys): diff + two key
+    semi-joins, one transactional Remove+Insert), then answer membership
+    straight from the projection. The oracle recomputes final membership
+    from base algebra, so a stale or double-applied sync would hash-fail."""
+    from index_spark.projection import ProjectionIndex
+    from index_spark.snapshots import SnapshotStore
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    d = tempfile.mkdtemp(prefix="projq_")
+    try:
+        base = SnapshotStore(spark, d + "/base")
+        h = base.create(["c_custkey"], df=cust, rows_per_partition=1000)
+        proj = ProjectionIndex(spark, base, d + "/by_segment", "c_mktsegment").build(
+            rows_per_partition=1000
+        )
+        moved = cust.filter(F.col("c_custkey") < 30).select(
+            "c_custkey", F.lit("PLATINUM").alias("c_mktsegment"), "c_acctbal"
+        )
+        h.insert(moved, upsert=True, version="mv1")
+        proj.refresh()
+        segs = ["PLATINUM", "BUILDING", "MACHINERY"]
+        outs = []
+        for s in segs:
+            keys = proj.lookup(s)
+            outs.append(
+                keys.agg(
+                    F.lit(s).alias("segment"),
+                    F.count(F.lit(1)).alias("n_keys"),
+                    F.coalesce(F.sum("c_custkey"), F.lit(0)).alias("key_sum"),
+                )
+            )
+        out = outs[0].unionByName(outs[1]).unionByName(outs[2])
+        return spark.createDataFrame(out.collect(), out.schema)  # materialize pre-rmtree
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_longest_streak(spark, sf_dir):
+    """Gaps-and-islands: each user's longest consecutive run of one event
+    type (island id = global rownum − per-type rownum, both inside the
+    same user partitioning — one shuffle total), deterministic tie-break
+    on type."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    islands = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    runs = islands.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("event_type").asc()
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("best_type"), F.col("len").alias("streak_len"))
+    )
+
+
 # ---- round-3 batch 13: epoch shuffle / data mixing
 def q_epoch_shuffle(spark, sf_dir):
     """Deterministic per-epoch corpus shuffle: shard + within-shard
@@ -5069,6 +5138,27 @@ def build_oracles() -> dict[str, str]:
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, "
             "CAST(sum(n_chars) AS BIGINT) AS kept_chars FROM k WHERE u < f GROUP BY 1"
         ),
+        # --- round-3 batch 14: secondary-index projection / gaps-and-islands
+        "projection_lookup": (
+            "WITH final AS (SELECT c_custkey, "
+            "  CASE WHEN c_custkey < 30 THEN 'PLATINUM' ELSE c_mktsegment END AS seg "
+            "  FROM customer), "
+            "segs AS (SELECT unnest(['PLATINUM', 'BUILDING', 'MACHINERY']) AS segment) "
+            "SELECT s.segment, CAST(count(f.c_custkey) AS BIGINT) AS n_keys, "
+            "CAST(coalesce(sum(f.c_custkey), 0) AS BIGINT) AS key_sum "
+            "FROM segs s LEFT JOIN final f ON f.seg = s.segment GROUP BY 1"
+        ),
+        "longest_streak": (
+            "WITH r AS (SELECT user_id, event_type, "
+            "  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) "
+            "  - row_number() OVER (PARTITION BY user_id, event_type "
+            "      ORDER BY epoch_us(ts), event_id) AS grp FROM events), "
+            "runs AS (SELECT user_id, event_type, grp, CAST(count(*) AS BIGINT) AS len "
+            "  FROM r GROUP BY 1, 2, 3), "
+            "best AS (SELECT user_id, event_type, len, row_number() OVER "
+            "  (PARTITION BY user_id ORDER BY len DESC, event_type ASC) AS rn FROM runs) "
+            "SELECT user_id, event_type AS best_type, len AS streak_len FROM best WHERE rn = 1"
+        ),
     }
     # the star-CC variant must produce the identical cluster map
     out["dedup_clusters_star"] = out["dedup_clusters"]
@@ -5182,6 +5272,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (c13) round-3 batch 13: epoch shuffle / data mixing
         "epoch_shuffle": q_epoch_shuffle,
         "lang_rebalance": q_lang_rebalance,
+        # --- (c14) round-3 batch 14: secondary-index projection / gaps-and-islands
+        "projection_lookup": q_projection_lookup,
+        "longest_streak": q_longest_streak,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

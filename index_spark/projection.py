@@ -1,0 +1,123 @@
+"""Materialized secondary indexes, maintained incrementally off the
+change feed.
+
+The reference answers "which keys have attribute = v?" through the datom
+AVET ordering (DatomHelpers.scala; SURVEY §1.1) — a *second index* sorted
+by (attribute, value). :class:`ProjectionIndex` is that idea as a store
+feature: a SnapshotStore keyed ``(attr, base_key...)`` that mirrors one
+column of a base store and is kept in sync by applying the base's change
+feed (:meth:`SnapshotStore.diff`) — never by rescanning the base.
+
+Scale contract:
+
+- **build** is one column-pruned scan of the base (attr + key columns
+  only), written range-partitioned on (attr, key) — lookups by attribute
+  value are then manifest zone-map + parquet min/max prunes.
+- **refresh** is O(changed keys), not O(base): the diff lists changed
+  keys; old mappings to retire come from the *previous* base version
+  (time travel — no tombstone bookkeeping), new mappings from the new
+  version, both via key semi-joins; one transactional commit applies
+  Remove+Insert together, so readers never see a half-applied sync.
+- the applied base version rides in a CAS-committed catalog entry next
+  to the projection's own manifest, so refresh is idempotent and
+  crash-safe (re-running a completed refresh is a no-op; a crash before
+  the state commit re-applies the same diff onto the same projection
+  version — the Remove/Insert pair is deterministic).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from index_spark import catalog as catalog_io
+from index_spark.commands import Insert, Remove
+from index_spark.snapshots import SnapshotStore
+
+_STATE = "_projection_state"
+
+
+class ProjectionIndex:
+    """Secondary index of ``attr`` over a base :class:`SnapshotStore`."""
+
+    def __init__(self, spark: SparkSession, base: SnapshotStore, path: str, attr: str):
+        self.spark = spark
+        self.base = base
+        self.attr = attr
+        self.store = SnapshotStore(spark, path)
+        self.path = path
+
+    # ------------------------------------------------------------- state
+    def _state(self) -> Optional[tuple[dict, int]]:
+        return catalog_io.read_latest(self.path, _STATE)
+
+    def applied_version(self) -> Optional[int]:
+        got = self._state()
+        return got[0]["base_version"] if got else None
+
+    def _commit_state(self, base_version: int) -> None:
+        got = self._state()
+        catalog_io.commit(
+            self.path,
+            _STATE,
+            {"base_version": base_version, "attr": self.attr},
+            got[1] if got else None,
+        )
+
+    # ------------------------------------------------------------- build
+    def build(self, rows_per_partition: int = 1_000_000) -> "ProjectionIndex":
+        """Full build from the base's latest version: one column-pruned
+        scan projecting (attr, base key), stored sorted on that composite
+        key so attribute-value lookups prune files."""
+        base_key = self.base._read_manifest()["key"]
+        v = self.base.latest_version()
+        rows = self.base.read(v).select(self.attr, *base_key)
+        self.store.create([self.attr] + list(base_key), df=rows, rows_per_partition=rows_per_partition)
+        self._commit_state(v)
+        return self
+
+    # ------------------------------------------------------------ refresh
+    def refresh(self) -> int:
+        """Apply every base commit since the last sync as ONE projection
+        transaction. Returns the number of base versions applied."""
+        v0 = self.applied_version()
+        if v0 is None:
+            raise ValueError("projection not built; call build() first")
+        v1 = self.base.latest_version()
+        if v1 <= v0:
+            return 0
+        base_key = self.base._read_manifest()["key"]
+        d = self.base.diff(v0, v1).select(*base_key, "change")
+        retired_keys = d.filter(F.col("change").isin("update", "delete")).select(*base_key)
+        added_keys = d.filter(F.col("change").isin("insert", "update")).select(*base_key)
+        old_maps = (
+            self.base.read(v0)
+            .join(retired_keys, on=list(base_key), how="left_semi")
+            .select(self.attr, *base_key)
+        )
+        new_maps = (
+            self.base.read(v1)
+            .join(added_keys, on=list(base_key), how="left_semi")
+            .select(self.attr, *base_key)
+        )
+        self.store.latest().execute([Remove(old_maps), Insert(new_maps)])
+        self._commit_state(v1)
+        return v1 - v0
+
+    # ------------------------------------------------------------- lookup
+    def lookup(self, value) -> DataFrame:
+        """Base keys whose ``attr`` equals ``value`` — a prefix scan on the
+        (attr, key) ordering: manifest zone maps + parquet min/max prune to
+        the files covering this attribute value."""
+        h = self.store.latest()
+        return h.prefix(value).select(*[c for c in h.df.columns if c not in (self.attr, "__version")])
+
+    def lookup_rows(self, value) -> DataFrame:
+        """Full base rows for an attribute value: index lookup, then a key
+        semi-join into the base head (the point of a secondary index — the
+        base is scanned only at the matched keys)."""
+        base_key = self.base._read_manifest()["key"]
+        keys = self.lookup(value)
+        return self.base.latest().df.join(keys, on=list(base_key), how="left_semi")

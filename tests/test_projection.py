@@ -1,0 +1,89 @@
+"""Secondary-index projection: build / incremental refresh / lookup vs a
+dict model, idempotence, multi-commit catch-up; plus the gaps-and-islands
+streak model."""
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from index_spark.projection import ProjectionIndex
+from index_spark.snapshots import SnapshotStore
+
+
+def _mk(spark, tmp_base, rows, sub="p"):
+    df = spark.createDataFrame(rows, "k long, seg string, v double")
+    store = SnapshotStore(spark, f"{tmp_base}/{sub}/base")
+    h = store.create(["k"], df=df, rows_per_partition=5)
+    proj = ProjectionIndex(spark, store, f"{tmp_base}/{sub}/idx", "seg").build(
+        rows_per_partition=5
+    )
+    return store, h, proj
+
+
+def _model(rows):
+    m = defaultdict(set)
+    for k, seg, _ in rows:
+        m[seg].add(k)
+    return m
+
+
+def test_projection_build_and_lookup(spark, tmp_base):
+    rows = [(i, "a" if i % 2 else "b", float(i)) for i in range(10)]
+    _, _, proj = _mk(spark, tmp_base, rows)
+    model = _model(rows)
+    for seg in ("a", "b"):
+        assert {r.k for r in proj.lookup(seg).collect()} == model[seg]
+    assert proj.lookup("zz").count() == 0
+
+
+def test_projection_refresh_applies_update_insert_delete(spark, tmp_base):
+    rows = [(i, "a", float(i)) for i in range(6)]
+    store, h, proj = _mk(spark, tmp_base, rows, sub="p2")
+    # update attr of 2, insert a new key into 'c', delete key 5
+    h2 = h.insert([{"k": 2, "seg": "c", "v": 2.0}, {"k": 99, "seg": "c", "v": 9.0}], upsert=True)
+    h2.remove([{"k": 5}])
+    assert proj.refresh() >= 1
+    assert {r.k for r in proj.lookup("a").collect()} == {0, 1, 3, 4}
+    assert {r.k for r in proj.lookup("c").collect()} == {2, 99}
+    # and full-row fetch goes through the base head
+    got = {r.k: r.v for r in proj.lookup_rows("c").select("k", "v").collect()}
+    assert got == {2: 2.0, 99: 9.0}
+
+
+def test_projection_refresh_is_idempotent_and_catches_up(spark, tmp_base):
+    rows = [(i, "a", float(i)) for i in range(4)]
+    store, h, proj = _mk(spark, tmp_base, rows, sub="p3")
+    assert proj.refresh() == 0  # nothing new
+    # two base commits before one refresh
+    h2 = h.insert([{"k": 10, "seg": "b", "v": 1.0}], upsert=True)
+    h3 = h2.insert([{"k": 11, "seg": "b", "v": 2.0}], upsert=True)
+    assert proj.refresh() == 2
+    assert {r.k for r in proj.lookup("b").collect()} == {10, 11}
+    assert proj.refresh() == 0  # no-op again
+    assert proj.applied_version() == store.latest_version()
+
+
+def test_projection_lookup_prunes_value_columns(spark, tmp_base):
+    rows = [(i, "a", float(i)) for i in range(4)]
+    _, _, proj = _mk(spark, tmp_base, rows, sub="p4")
+    assert set(proj.lookup("a").columns) == {"k"}
+
+
+# ------------------------------------------------------------ streaks
+def test_longest_streak_model(spark):
+    seq = ["x", "x", "y", "y", "y", "x", "z", "z"]
+    rows = [(i, 1, i * 1000, t) for i, t in enumerate(seq)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long, event_type string")
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    islands = df.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    runs = islands.groupBy("user_id", "event_type", "grp").agg(F.count(F.lit(1)).alias("len"))
+    best = runs.orderBy(F.col("len").desc(), F.col("event_type").asc()).first()
+    assert (best.event_type, best.len) == ("y", 3)
