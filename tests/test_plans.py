@@ -76,10 +76,20 @@ def test_no_cartesian_anywhere_in_core_queries(plans):
         # BroadcastNestedLoopJoin of a single row — exempted explicitly)
         "contamination_scan", "repetition_quality", "token_entropy",
         "group_percentiles", "weighted_sample",
+        # round-3 continuation: banded/blocked joins and pipeline ops must
+        # never degrade to a nested loop
+        "band_join_events", "knn_graph", "pit_join", "segment_dedup",
+        "fuzzy_token_pairs", "longest_streak", "gapfill_hourly",
+        "epoch_shuffle", "lang_rebalance", "window_ranks",
     ]:
         p = plans(name)
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+    # these carry a deliberate ONE-ROW broadcast crossJoin (corpus stats /
+    # sketch probe) which Spark plans as a single-row BNLJ — cartesian of
+    # real data is still forbidden
+    for name in ["bm25_topk", "cms_heavy", "unigram_nll"]:
+        assert "CartesianProduct" not in plans(name), name
 
 
 def test_split_median_never_sorts_full_table(plans):

@@ -87,3 +87,52 @@ def test_longest_streak_model(spark):
     runs = islands.groupBy("user_id", "event_type", "grp").agg(F.count(F.lit(1)).alias("len"))
     best = runs.orderBy(F.col("len").desc(), F.col("event_type").asc()).first()
     assert (best.event_type, best.len) == ("y", 3)
+
+
+# ------------------------------------------------- randomized refresh model
+def test_projection_tracks_random_mutation_sequences(spark, tmp_base):
+    """Deterministic pseudo-random upsert/remove sequences vs a dict
+    model; refresh after each batch AND after batches of several commits
+    must both converge to the model's inverted map."""
+    import hashlib
+
+    store = SnapshotStore(spark, tmp_base + "/rp/base")
+    h = store.create(
+        ["k"],
+        df=spark.createDataFrame([(i, "s0", 0.0) for i in range(8)], "k long, seg string, v double"),
+        rows_per_partition=5,
+    )
+    proj = ProjectionIndex(spark, store, tmp_base + "/rp/idx", "seg").build(rows_per_partition=5)
+    model = {i: "s0" for i in range(8)}
+
+    def rnd(round_no, i):
+        return int(hashlib.md5(f"{round_no}#{i}".encode()).hexdigest()[:6], 16)
+
+    for rnd_no in range(4):
+        ups, rms = [], []
+        for i in range(5):
+            r = rnd(rnd_no, i)
+            k = r % 12
+            if r % 3 == 0 and k in model and not any(d["k"] == k for d in rms):
+                rms.append({"k": k})
+                del model[k]
+            elif not any(u["k"] == k for u in ups) and not any(d["k"] == k for d in rms):
+                seg = f"s{r % 4}"
+                ups.append({"k": k, "seg": seg, "v": float(r % 7)})
+                model[k] = seg
+        cmds = []
+        from index_spark.commands import Insert, Remove
+
+        if ups:
+            cmds.append(Insert(ups, upsert=True))
+        if rms:
+            cmds.append(Remove(rms))
+        h = store.latest().execute(cmds)
+        if rnd_no % 2 == 1:  # refresh every other round: multi-commit catch-up
+            proj.refresh()
+    proj.refresh()
+    inv = {}
+    for k, seg in model.items():
+        inv.setdefault(seg, set()).add(k)
+    for seg in ["s0", "s1", "s2", "s3"]:
+        assert {r.k for r in proj.lookup(seg).collect()} == inv.get(seg, set()), seg
