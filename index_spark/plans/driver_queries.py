@@ -3633,9 +3633,9 @@ def q_projection_lookup(spark, sf_dir):
     d = tempfile.mkdtemp(prefix="projq_")
     try:
         base = SnapshotStore(spark, d + "/base")
-        h = base.create(["c_custkey"], df=cust, rows_per_partition=1000)
+        h = base.create(["c_custkey"], df=cust, rows_per_partition=5000)
         proj = ProjectionIndex(spark, base, d + "/by_segment", "c_mktsegment").build(
-            rows_per_partition=1000
+            rows_per_partition=5000
         )
         moved = cust.filter(F.col("c_custkey") < 30).select(
             "c_custkey", F.lit("PLATINUM").alias("c_mktsegment"), "c_acctbal"
