@@ -3616,6 +3616,98 @@ def q_fuzzy_token_pairs(spark, sf_dir):
     )
 
 
+# ---- round-3 batch 15: range secondary lookup / calendar / analytics windows
+def q_projection_range(spark, sf_dir):
+    """Ranged secondary-index lookup: an acctbal-band membership query
+    answered from a numeric projection with partial-tuple lexicographic
+    bounds (all keys under the boundary attribute included) — the AVET
+    range read. The oracle recomputes the band from the base."""
+    from index_spark.projection import ProjectionIndex
+    from index_spark.snapshots import SnapshotStore
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", _cents(F.col("c_acctbal")).alias("bal_cents")
+    )
+    d = tempfile.mkdtemp(prefix="prjrq_")
+    try:
+        base = SnapshotStore(spark, d + "/base")
+        base.create(["c_custkey"], df=cust, rows_per_partition=5000)
+        proj = ProjectionIndex(spark, base, d + "/by_bal", "bal_cents").build(
+            rows_per_partition=5000
+        )
+        band = proj.lookup_range(500_000, 700_000)
+        out = band.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_custkey").alias("key_sum"),
+            F.min("bal_cents").alias("lo_cents"),
+            F.max("bal_cents").alias("hi_cents"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # materialize pre-rmtree
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_seasonality_profile(spark, sf_dir):
+    """Calendar seasonality: event volume by (day-of-week, hour-of-day).
+    Day-of-week comes from integer epoch-day arithmetic ((days + 4) % 7,
+    0=Sunday) — engine conventions for dayofweek() differ, exact integer
+    math does not."""
+    ev = load_table(spark, sf_dir, "events")
+    days = F.expr("ts_us div 86400000000")
+    dow = ((days + 4) % 7).cast("int")
+    hour = F.expr("(ts_us div 3600000000) % 24").cast("int")
+    return (
+        ev.select(dow.alias("dow"), hour.alias("hour"), "value")
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n"), _sum_cents(F.col("value"), "total"))
+    )
+
+
+def q_ratio_to_report(spark, sf_dir):
+    """Percent-of-total (ratio-to-report): each nation's share of global
+    revenue — an unpartitioned window over the 25-row AGGREGATE (never
+    over raw rows; the heavy lifting is the groupBy, the window sees one
+    row per nation). Integer cents ratio rounded to 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("cents"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        F.round(F.col("cents").cast("double") / F.sum("cents").over(w).cast("double"), 6).alias(
+            "share"
+        ),
+    )
+
+
+def q_window_nth(spark, sf_dir):
+    """first/last/nth value windows: per user the first, second, and
+    latest event type in time order (frame pinned to the whole partition
+    so last/nth are well-defined), deterministic (ts, event_id) order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.nth_value("event_type", 2).over(w).alias("second_type"),
+            F.last("event_type").over(w).alias("last_type"),
+        )
+        .distinct()
+    )
+
+
 # ---- round-3 batch 14: secondary-index projection / gaps-and-islands
 def q_projection_lookup(spark, sf_dir):
     """Materialized secondary index kept in sync off the change feed:
@@ -5159,6 +5251,34 @@ def build_oracles() -> dict[str, str]:
             "  (PARTITION BY user_id ORDER BY len DESC, event_type ASC) AS rn FROM runs) "
             "SELECT user_id, event_type AS best_type, len AS streak_len FROM best WHERE rn = 1"
         ),
+        # --- round-3 batch 15: range secondary lookup / calendar / analytics windows
+        "projection_range": (
+            f"WITH b AS (SELECT c_custkey, {_sql_cents('c_acctbal')} AS bal_cents FROM customer) "
+            "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum, "
+            "min(bal_cents) AS lo_cents, max(bal_cents) AS hi_cents "
+            "FROM b WHERE bal_cents BETWEEN 500000 AND 700000"
+        ),
+        "seasonality_profile": (
+            "SELECT CAST((epoch_us(ts)//86400000000 + 4) % 7 AS INTEGER) AS dow, "
+            "CAST((epoch_us(ts)//3600000000) % 24 AS INTEGER) AS hour, "
+            f"CAST(count(*) AS BIGINT) AS n, {_sql_sum_cents('value', 'total')} "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "ratio_to_report": (
+            f"WITH pn AS (SELECT n_name, CAST(sum({_sql_cents('o_totalprice')}) AS BIGINT) AS cents "
+            "  FROM orders JOIN customer ON o_custkey = c_custkey "
+            "  JOIN nation ON c_nationkey = n_nationkey GROUP BY 1) "
+            "SELECT n_name, CAST(cents AS DOUBLE)/100 AS revenue, "
+            "round(CAST(cents AS DOUBLE) / CAST(sum(cents) OVER () AS DOUBLE), 6) AS share FROM pn"
+        ),
+        "window_nth": (
+            "SELECT DISTINCT user_id, "
+            "first_value(event_type) OVER w AS first_type, "
+            "nth_value(event_type, 2) OVER w AS second_type, "
+            "last_value(event_type) OVER w AS last_type "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        ),
     }
     # the star-CC variant must produce the identical cluster map
     out["dedup_clusters_star"] = out["dedup_clusters"]
@@ -5275,6 +5395,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (c14) round-3 batch 14: secondary-index projection / gaps-and-islands
         "projection_lookup": q_projection_lookup,
         "longest_streak": q_longest_streak,
+        # --- (c15) round-3 batch 15: range secondary lookup / calendar / analytics windows
+        "projection_range": q_projection_range,
+        "seasonality_profile": q_seasonality_profile,
+        "ratio_to_report": q_ratio_to_report,
+        "window_nth": q_window_nth,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

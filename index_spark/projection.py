@@ -121,3 +121,13 @@ class ProjectionIndex:
         base_key = self.base._read_manifest()["key"]
         keys = self.lookup(value)
         return self.base.latest().df.join(keys, on=list(base_key), how="left_semi")
+
+    def lookup_range(self, lo, hi, lo_inclusive: bool = True, hi_inclusive: bool = True) -> DataFrame:
+        """Base keys whose ``attr`` lies in [lo, hi] — a bounded scan on
+        the (attr, key) ordering (partial-tuple lexicographic bounds:
+        inclusive ends cover every key under the boundary attribute).
+        Combined with :meth:`~index_spark.snapshots.VersionedIndex.read_range`
+        zone maps this opens only the files covering the attribute band."""
+        h = self.store.latest()
+        out = h.range((lo,), (hi,), from_inclusive=lo_inclusive, to_inclusive=hi_inclusive)
+        return out.select(self.attr, *[c for c in out.columns if c not in (self.attr, "__version")])

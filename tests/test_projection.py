@@ -136,3 +136,16 @@ def test_projection_tracks_random_mutation_sequences(spark, tmp_base):
         inv.setdefault(seg, set()).add(k)
     for seg in ["s0", "s1", "s2", "s3"]:
         assert {r.k for r in proj.lookup(seg).collect()} == inv.get(seg, set()), seg
+
+
+def test_projection_lookup_range_partial_bounds(spark, tmp_base):
+    rows = [(i, f"g{i % 3}", float(i * 10)) for i in range(12)]
+    df = spark.createDataFrame(rows, "k long, seg string, v double")
+    store = SnapshotStore(spark, tmp_base + "/pr/base")
+    store.create(["k"], df=df.select("k", "v", "seg"), rows_per_partition=5)
+    proj = ProjectionIndex(spark, store, tmp_base + "/pr/idx", "v").build(rows_per_partition=5)
+    got = {(r.v, r.k) for r in proj.lookup_range(30.0, 70.0).collect()}
+    assert got == {(float(i * 10), i) for i in range(3, 8)}
+    # exclusive upper bound drops the boundary attribute's keys entirely
+    ex = {r.k for r in proj.lookup_range(30.0, 70.0, hi_inclusive=False).collect()}
+    assert ex == {3, 4, 5, 6}
