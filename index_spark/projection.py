@@ -116,11 +116,23 @@ class ProjectionIndex:
 
     def lookup_rows(self, value) -> DataFrame:
         """Full base rows for an attribute value: index lookup, then a key
-        semi-join into the base head (the point of a secondary index — the
-        base is scanned only at the matched keys)."""
+        semi-join into the base — scanning only the base files whose
+        manifest [min, max] can contain the matched keys (one tiny bounds
+        agg on the matched key set feeds :meth:`VersionedIndex.read_range`
+        zone maps; the residual semi-join stays exact). When the matched
+        keys cluster — the common case for correlated attributes — the
+        base read opens a fraction of its files; worst case it degrades
+        to the plain head scan, never worse."""
         base_key = self.base._read_manifest()["key"]
         keys = self.lookup(value)
-        return self.base.latest().df.join(keys, on=list(base_key), how="left_semi")
+        h = self.base.latest()
+        b = keys.agg(
+            F.min(F.struct(*base_key)).alias("lo"), F.max(F.struct(*base_key)).alias("hi")
+        ).first()
+        if b["lo"] is None:
+            return h.df.filter(F.lit(False))
+        pruned = h.read_range(tuple(b["lo"]), tuple(b["hi"]))
+        return pruned.join(keys, on=list(base_key), how="left_semi")
 
     def lookup_range(self, lo, hi, lo_inclusive: bool = True, hi_inclusive: bool = True) -> DataFrame:
         """Base keys whose ``attr`` lies in [lo, hi] — a bounded scan on

@@ -149,3 +149,60 @@ def test_projection_lookup_range_partial_bounds(spark, tmp_base):
     # exclusive upper bound drops the boundary attribute's keys entirely
     ex = {r.k for r in proj.lookup_range(30.0, 70.0, hi_inclusive=False).collect()}
     assert ex == {3, 4, 5, 6}
+
+
+def test_lookup_rows_prunes_base_files_for_clustered_keys(spark, tmp_base):
+    """When an attribute correlates with the key (here: seg = key band),
+    lookup_rows must open only the base files covering the matched keys."""
+    rows = [(i, "lo" if i < 50 else "hi", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, seg string, v double")
+    store = SnapshotStore(spark, tmp_base + "/lr/base")
+    store.create(["k"], df=df, rows_per_partition=10)  # 10 base files
+    proj = ProjectionIndex(spark, store, tmp_base + "/lr/idx", "seg").build(rows_per_partition=10)
+    total = len(store._version_row(store.latest_version())["files"])
+    out = proj.lookup_rows("lo")
+    assert {r.k for r in out.collect()} == set(range(50))
+    # inputFiles() spans both join sides; count only the BASE scan's files
+    base_files = [f for f in out.inputFiles() if "/lr/base/" in f]
+    assert 0 < len(base_files) < total
+
+
+def test_concurrent_refresh_one_wins(spark, tmp_base):
+    """Two threads racing the same refresh: the CAS on the projection
+    state (and the store commit CAS under it) guarantees at most one
+    applies; the loser raises CommitConflictError or no-ops — never a
+    double-applied diff."""
+    import threading
+
+    from index_spark.errors import CommitConflictError
+
+    store = SnapshotStore(spark, tmp_base + "/cr/base")
+    h = store.create(
+        ["k"],
+        df=spark.createDataFrame([(i, "a", 0.0) for i in range(6)], "k long, seg string, v double"),
+        rows_per_partition=5,
+    )
+    proj = ProjectionIndex(spark, store, tmp_base + "/cr/idx", "seg").build(rows_per_partition=5)
+    h.insert([{"k": 99, "seg": "b", "v": 1.0}], upsert=True)
+
+    errs, applied = [], []
+
+    def run():
+        p = ProjectionIndex(spark, store, tmp_base + "/cr/idx", "seg")
+        try:
+            applied.append(p.refresh())
+        except (CommitConflictError, ValueError) as e:
+            errs.append(e)
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    # exactly one effective application (the other no-ops on the already
+    # advanced state or loses the CAS)
+    assert sum(1 for a in applied if a > 0) + len(errs) >= 1
+    fresh = ProjectionIndex(spark, store, tmp_base + "/cr/idx", "seg")
+    fresh.refresh()  # idempotent catch-up regardless of race outcome
+    assert {r.k for r in fresh.lookup("b").collect()} == {99}
+    assert fresh.applied_version() == store.latest_version()
