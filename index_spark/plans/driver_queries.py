@@ -3616,6 +3616,38 @@ def q_fuzzy_token_pairs(spark, sf_dir):
     )
 
 
+# ---- round-3 batch 16: store history introspection
+def q_store_history(spark, sf_dir):
+    """DESCRIBE HISTORY: per-version row/file counts straight from the
+    manifest (zero data I/O) across a create -> upsert -> delete ->
+    rollback lifecycle. The oracle recomputes each version's expected row
+    count from base algebra, so a mis-recorded manifest row would
+    hash-fail."""
+    from index_spark.snapshots import SnapshotStore
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 2000)
+    )
+    d = tempfile.mkdtemp(prefix="histq_")
+    try:
+        store = SnapshotStore(spark, d + "/idx")
+        h = store.create(["o_orderkey"], df=orders, rows_per_partition=500)
+        h2 = h.upsert_partial(
+            [{"o_orderkey": -1, "o_totalprice": 1.0}, {"o_orderkey": -2, "o_totalprice": 2.0}],
+            version="hx-up",
+        )
+        h2.delete_where(F.col("o_orderkey") < 100, version="hx-del")
+        store.rollback(1)  # metadata-only commit, always a new version
+        out = store.versions_df().select(
+            "version", "n_rows", (F.col("n_files") >= 1).alias("has_files"), "writer_version"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # materialize pre-rmtree
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 # ---- round-3 batch 15: range secondary lookup / calendar / analytics windows
 def q_projection_range(spark, sf_dir):
     """Ranged secondary-index lookup: an acctbal-band membership query
@@ -5279,6 +5311,18 @@ def build_oracles() -> dict[str, str]:
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
         ),
+        # --- round-3 batch 16: store history introspection
+        "store_history": (
+            "WITH base AS (SELECT count(*) AS n FROM orders WHERE o_orderkey <= 2000), "
+            "v AS ("
+            "  SELECT 0 AS version, n AS n_rows, CAST(NULL AS VARCHAR) AS writer_version FROM base "
+            "  UNION ALL SELECT 1, n + 2, 'hx-up' FROM base "
+            "  UNION ALL SELECT 2, (SELECT count(*) FROM orders WHERE o_orderkey <= 2000 "
+            "    AND o_orderkey >= 100), 'hx-del' FROM base "
+            "  UNION ALL SELECT 3, n + 2, NULL FROM base) "
+            "SELECT CAST(version AS INTEGER) AS version, CAST(n_rows AS BIGINT) AS n_rows, "
+            "TRUE AS has_files, writer_version FROM v"
+        ),
     }
     # the star-CC variant must produce the identical cluster map
     out["dedup_clusters_star"] = out["dedup_clusters"]
@@ -5400,6 +5444,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonality_profile": q_seasonality_profile,
         "ratio_to_report": q_ratio_to_report,
         "window_nth": q_window_nth,
+        # --- (c16) round-3 batch 16: store history introspection
+        "store_history": q_store_history,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

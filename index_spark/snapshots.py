@@ -368,6 +368,25 @@ class SnapshotStore:
         self._write_manifest(m)
         return version
 
+    def versions_df(self) -> DataFrame:
+        """Store introspection (DESCRIBE HISTORY): one row per committed
+        version with its row count, file count, and writer-version string
+        — straight from the manifest, zero data I/O. ``n_files`` NULL for
+        dir-level (stat-less) versions."""
+        m = self._read_manifest()
+        rows = [
+            (
+                r["version"],
+                r["n_rows"],
+                len(r["files"]) if r.get("files") is not None else None,
+                r.get("writer_version"),
+            )
+            for r in m["versions"]
+        ]
+        return self.spark.createDataFrame(
+            rows, "version int, n_rows long, n_files int, writer_version string"
+        )
+
     def rollback(self, to_version: int) -> int:
         """RESTORE: make the head a copy of ``to_version`` — a
         metadata-only commit (zero data I/O) whose version row carries the

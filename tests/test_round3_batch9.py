@@ -72,3 +72,13 @@ def test_clone_of_specific_version(spark, tmp_base):
     h.delete_where(F.col("k") >= 10, version="trim")
     clone = store.clone_to(tmp_base + "/c2_clone", version=v0)
     assert clone.df.count() == 20  # the pre-trim state
+
+
+def test_versions_df_describes_history(spark, tmp_base):
+    store, h = _mk(spark, tmp_base, sub="vh")
+    h2 = h.upsert_partial([{"k": 100, "v": 1.0}], version="w1")
+    h2.delete_where(F.col("k") < 5)
+    rows = {r.version: r for r in store.versions_df().collect()}
+    assert rows[0].n_rows == 20 and rows[1].n_rows == 21 and rows[2].n_rows == 16
+    assert rows[1].writer_version == "w1" and rows[0].writer_version is None
+    assert all(r.n_files >= 1 for r in rows.values())
