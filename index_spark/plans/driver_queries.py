@@ -3616,6 +3616,47 @@ def q_fuzzy_token_pairs(spark, sf_dir):
     )
 
 
+# ---- round-3 batch 17: streaming ingestion dedup
+def q_stream_dedup_ingest(spark, sf_dir):
+    """Streaming ingestion with near-dup screening: the documents file
+    streamed, each micro-batch synthesized into the ingest batch (20
+    near-copies + 20 fresh docs, same construction as the batch
+    ``incremental_dedup``) and screened against the static banded corpus;
+    verdicts append to a parquet sink. A full availableNow drain must
+    land on the batch twin's exact answer — the SAME oracle gates both."""
+    import uuid as _uuid
+
+    from index_spark.streaming import ingest_with_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def synthesize(batch):
+        near = batch.where(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz tail marker")).alias("text"),
+        )
+        fresh = batch.where(F.col("doc_id") % 25 == 7).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(F.lit("unique marker doc "), F.col("doc_id")).alias("text"),
+        )
+        return near.unionByName(fresh)
+
+    d = tempfile.mkdtemp(prefix="sdq_" + _uuid.uuid4().hex[:6])
+    try:
+        out_path = d + "/verdicts"
+        ingest_with_dedup(stream, docs, out_path, transform=synthesize)
+        out = spark.read.parquet(out_path)
+        return spark.createDataFrame(out.collect(), out.schema)  # materialize pre-rmtree
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 # ---- round-3 batch 16: store history introspection
 def q_store_history(spark, sf_dir):
     """DESCRIBE HISTORY: per-version row/file counts straight from the
@@ -5326,6 +5367,8 @@ def build_oracles() -> dict[str, str]:
     }
     # the star-CC variant must produce the identical cluster map
     out["dedup_clusters_star"] = out["dedup_clusters"]
+    # full availableNow drain of the streaming ingest-dedup == the batch twin
+    out["stream_dedup_ingest"] = out["incremental_dedup"]
     # full in-order drain of the streaming funnel == the batch funnel:
     out["stream_funnel"] = out["funnel_steps"]
     return out
@@ -5446,6 +5489,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_nth": q_window_nth,
         # --- (c16) round-3 batch 16: store history introspection
         "store_history": q_store_history,
+        # --- (c17) round-3 batch 17: streaming ingestion dedup
+        "stream_dedup_ingest": q_stream_dedup_ingest,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,

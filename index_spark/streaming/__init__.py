@@ -2,6 +2,7 @@ from index_spark.streaming.events import (  # noqa: F401
     attributed_purchases,
     dedup_stream,
     hourly_counts,
+    ingest_with_dedup,
     read_events_stream,
     run_available_now,
     sessionized,

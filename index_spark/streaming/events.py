@@ -425,3 +425,33 @@ def stream_merge_into(events: DataFrame, store, timeout_s: int = 120) -> int:
     q = events.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
     q.awaitTermination(timeout_s)
     return n_batches["n"]
+
+
+def ingest_with_dedup(
+    stream_df: DataFrame,
+    corpus: DataFrame,
+    out_path: str,
+    transform=None,
+    timeout_s: int = 180,
+) -> int:
+    """Streaming ingestion with near-dup screening: every micro-batch is
+    screened against the (static, banded) corpus LSH index via
+    :func:`index_spark.operators.dedup.incremental_near_dups` and the
+    per-doc verdicts append to ``out_path`` — the continuous-ingest shape
+    where screening stays O(batch) because corpus-internal pairs are
+    never generated. ``transform`` (optional) maps the raw batch into the
+    (doc_id, text) screening input. Returns the number of batches."""
+    from index_spark.operators.dedup import incremental_near_dups
+
+    n = {"n": 0}
+
+    def screen(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = transform(batch_df) if transform is not None else batch_df
+        incremental_near_dups(corpus, b).write.mode("append").parquet(out_path)
+        n["n"] += 1
+
+    q = stream_df.writeStream.foreachBatch(screen).trigger(availableNow=True).start()
+    q.awaitTermination(timeout_s)
+    return n["n"]

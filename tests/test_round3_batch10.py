@@ -52,3 +52,17 @@ def test_lsh_recall_bounds_and_determinism(spark, sf_dir):
     assert 0 <= r1.n_hit <= 10
     # the query vector itself is always in both top-10s -> recall > 0
     assert r1.n_hit >= 1
+
+
+def test_stream_dedup_ingest_equals_batch_twin(spark, sf_dir, tmp_base):
+    """A full availableNow drain of the streaming ingest-dedup must land
+    on the batch incremental_near_dups answer exactly."""
+    from index_spark.plans.driver_queries import q_incremental_dedup, q_stream_dedup_ingest
+
+    batch = {
+        tuple(r) for r in q_incremental_dedup(spark, sf_dir).collect()
+    }
+    stream = {
+        tuple(r) for r in q_stream_dedup_ingest(spark, sf_dir).collect()
+    }
+    assert stream == batch and len(stream) > 0
