@@ -3616,6 +3616,31 @@ def q_fuzzy_token_pairs(spark, sf_dir):
     )
 
 
+# ---- round-3 batch 18: Python UDTF (lateral table function)
+def q_udtf_tokens(spark, sf_dir):
+    """Python UDTF coverage (Spark 4 user-defined TABLE function, called
+    LATERAL per input row): positional tokenization of a small doc slice.
+    A UDTF is the right tool when the row-expansion logic is genuinely
+    imperative — for plain tokenization the JVM explode (used everywhere
+    else in this repo) is the fast path, which is why this exemplar is
+    bounded to 10 docs. Oracle: UNNEST WITH ORDINALITY."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string")
+    class SplitTokens:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").lower().split()):
+                yield i, t
+
+    spark.udtf.register("split_tokens", SplitTokens)
+    load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10).createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        "SELECT doc_id, t.pos, t.tok FROM __udtf_docs, LATERAL split_tokens(text) t"
+    )
+
+
 # ---- round-3 batch 17: streaming ingestion dedup
 def q_stream_dedup_ingest(spark, sf_dir):
     """Streaming ingestion with near-dup screening: the documents file
@@ -5369,6 +5394,12 @@ def build_oracles() -> dict[str, str]:
     out["dedup_clusters_star"] = out["dedup_clusters"]
     # full availableNow drain of the streaming ingest-dedup == the batch twin
     out["stream_dedup_ingest"] = out["incremental_dedup"]
+    out["udtf_tokens"] = (
+        "SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ws[i] AS tok "
+        "FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws "
+        "      FROM documents WHERE doc_id < 10), "
+        "UNNEST(range(1, len(ws) + 1)) r(i)"
+    )
     # full in-order drain of the streaming funnel == the batch funnel:
     out["stream_funnel"] = out["funnel_steps"]
     return out
@@ -5491,6 +5522,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_history": q_store_history,
         # --- (c17) round-3 batch 17: streaming ingestion dedup
         "stream_dedup_ingest": q_stream_dedup_ingest,
+        # --- (c18) round-3 batch 18: Python UDTF
+        "udtf_tokens": q_udtf_tokens,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,
