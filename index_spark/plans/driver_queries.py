@@ -3616,6 +3616,43 @@ def q_fuzzy_token_pairs(spark, sf_dir):
     )
 
 
+# ---- round-3 batch 19: full preprocessing pipeline showcase
+def q_full_pipeline(spark, sf_dir):
+    """The whole preprocessing pipeline as ONE DAG: duplicate-injected
+    corpus -> quality filter (>= 0.75) -> exact dedup (min-id survivor per
+    fingerprint) -> language rebalancing (target 30/group) -> overlapping
+    chunking -> per-language chunk stats. Every stage is an engine
+    operator with its own proven oracle; the composed oracle chains the
+    same algebra, so a drift in ANY stage hash-fails the whole pipeline.
+    Plan shape: narrow maps + one fp shuffle + one group count + a final
+    rollup — text enters exactly one exchange (the dedup semi-join's
+    build side is id-only)."""
+    from index_spark.operators.dedup import exact_dedup
+    from index_spark.operators.sampling import rebalance_by_group
+    from index_spark.operators.segments import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dup = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+    )
+    corpus = docs.unionByName(dup)
+    kept = corpus.filter(F.round(TX.quality_score(F.col("text")), 6) >= 0.75)
+    uniq = exact_dedup(kept)
+    counts = {
+        r.lang: r.n
+        for r in uniq.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rebal = rebalance_by_group(uniq, "lang", "doc_id", counts, target=30)
+    chunks = chunk_documents(rebal, width=64, stride=48).join(
+        rebal.select("doc_id", "lang"), on="doc_id"
+    )
+    return chunks.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
 # ---- round-3 batch 18: Python UDTF (lateral table function)
 def q_udtf_tokens(spark, sf_dir):
     """Python UDTF coverage (Spark 4 user-defined TABLE function, called
@@ -5390,6 +5427,27 @@ def build_oracles() -> dict[str, str]:
             "TRUE AS has_files, writer_version FROM v"
         ),
     }
+    # full-pipeline showcase: every stage's proven algebra, chained
+    out["full_pipeline"] = (
+        "WITH corpus AS (SELECT doc_id, text, lang FROM documents UNION ALL "
+        "  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0), "
+        f"kept AS (SELECT doc_id, text, lang FROM corpus WHERE {_SQL_QUALITY_EXPR} >= 0.75), "
+        f"fpd AS (SELECT doc_id, text, lang, md5({SQL_NORM}) AS fp FROM kept), "
+        "surv AS (SELECT doc_id, text, lang FROM "
+        "  (SELECT fpd.*, min(doc_id) OVER (PARTITION BY fp) AS keep FROM fpd) "
+        "  WHERE doc_id = keep), "
+        "c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM surv GROUP BY 1), "
+        "reb AS (SELECT s.doc_id, s.text, s.lang FROM surv s JOIN c USING(lang) "
+        "  WHERE ('0x'||substr(md5('mix#'||CAST(s.doc_id AS VARCHAR)),1,7))::BIGINT "
+        "    / 268435456.0 < least(1.0, 30.0/c.n)), "
+        "t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '\\S+') AS w FROM reb), "
+        "ch AS (SELECT doc_id, lang, least(len(w) - i*48, 64) AS n_tokens "
+        "  FROM t, UNNEST(range(0, 1 + CAST(ceil(greatest(len(w)-64, 0)/48.0) AS BIGINT))) r(i) "
+        "  WHERE len(w) > 0) "
+        "SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(count(*) AS BIGINT) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens "
+        "FROM ch GROUP BY 1"
+    )
     # the star-CC variant must produce the identical cluster map
     out["dedup_clusters_star"] = out["dedup_clusters"]
     # full availableNow drain of the streaming ingest-dedup == the batch twin
@@ -5524,6 +5582,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_ingest": q_stream_dedup_ingest,
         # --- (c18) round-3 batch 18: Python UDTF
         "udtf_tokens": q_udtf_tokens,
+        # --- (c19) round-3 batch 19: full preprocessing pipeline showcase
+        "full_pipeline": q_full_pipeline,
         # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,
