@@ -237,3 +237,16 @@ def test_q21_no_lineitem_self_join(plans):
     # lineitem appears in exactly one scan node (formatted plans repeat
     # each node once in the tree and once in details -> count == 2)
     assert p.count("lineitem") <= 2, p.count("lineitem")
+
+
+def test_full_pipeline_text_in_at_most_one_exchange(plans):
+    """The composed preprocessing pipeline shuffles text at most once
+    (the dedup semi-join recovery); every other stage is a narrow map or
+    an id/hash-only shuffle."""
+    p = plans("full_pipeline")
+    n_text_exchanges = 0
+    for line in p.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line and "text" in line:
+            n_text_exchanges += 1
+    assert n_text_exchanges <= 1, p
+    assert "CartesianProduct" not in p
