@@ -326,3 +326,24 @@ def test_read_range_after_partial_upsert(spark, tmp_base, orders):
     present = {x.o_orderkey for x in data.collect() if 140 <= x.o_orderkey <= 160}
     assert vals[150] == 77.0
     assert set(vals) == present | {150}
+
+
+def test_read_range_composite_key_is_conservative_and_exact(spark, tmp_base, lineitem):
+    """Composite keys: per-column manifest min/max is a SUPERSET interval —
+    pruning may keep extra files but the residual predicate keeps the
+    result exactly equal to the unpruned range."""
+    from index_spark.snapshots import SnapshotStore
+
+    data = lineitem.select("l_orderkey", "l_linenumber", "l_quantity")
+    store = SnapshotStore(spark, tmp_base + "/zmc")
+    h = store.create(["l_orderkey", "l_linenumber"], df=data, rows_per_partition=500)
+    lo, hi = (100, 2), (400, 3)
+    got = sorted(
+        (r.l_orderkey, r.l_linenumber)
+        for r in h.read_range(lo, hi).select("l_orderkey", "l_linenumber").collect()
+    )
+    expect = sorted(
+        (r.l_orderkey, r.l_linenumber)
+        for r in h.range(lo, hi).select("l_orderkey", "l_linenumber").collect()
+    )
+    assert got == expect and len(got) > 0
