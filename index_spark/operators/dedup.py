@@ -198,12 +198,22 @@ def minhash_candidates(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_k: int = 3,
+    max_bucket: "int | None" = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) that share ≥1 LSH band.
 
     Plan shape: project → explode bands → shuffle on (band, h) → in-bucket
     self-join → distinct pairs. The only exchanged payload is
-    (id, band, 32-char hash)."""
+    (id, band, 32-char hash).
+
+    ``max_bucket`` is the hot-bucket guard for adversarial corpora: one
+    common band value (e.g. thousands of identical boilerplate docs)
+    makes the in-bucket self-join quadratic. Buckets larger than the cap
+    emit a sorted CHAIN of consecutive pairs instead of all pairs — O(n)
+    edges that keep the bucket CONNECTED (connected-components clustering
+    recovers the full duplicate group), trading some direct-pair recall
+    for a hard bound on join fan-out. Default None preserves exact
+    all-pairs semantics (the hash-gated oracle shape)."""
     rows = num_hashes // bands
     # Two steps on purpose: the signature must be a materialized attribute
     # BEFORE the explode. Inlining it into the generator expression makes
@@ -216,6 +226,33 @@ def minhash_candidates(
     sigs = with_sig.select(
         "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bh")
     ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "h")
+        sized = sigs.withColumn("__n", F.count(F.lit(1)).over(w))
+        small = sized.filter(F.col("__n") <= max_bucket).drop("__n")
+        big = sized.filter(F.col("__n") > max_bucket).drop("__n")
+        chain_w = Window.partitionBy("band", "h").orderBy("id")
+        chained = (
+            big.withColumn("__prev", F.lag("id").over(chain_w))
+            .filter(F.col("__prev").isNotNull())
+            .select(F.col("__prev").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        a = small.alias("a")
+        b = small.alias("b")
+        dense = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+        return dense.unionByName(chained).distinct()
+
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (

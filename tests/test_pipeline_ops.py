@@ -395,3 +395,30 @@ def test_lsh_index_persisted_probe_equals_direct(spark, documents, tmp_base):
     with redirect_stdout(buf):
         idx.where(F.col("band") == 3).explain("formatted")
     assert "PartitionFilters" in buf.getvalue()
+
+
+def test_lsh_hot_bucket_cap_bounds_fanout_and_keeps_connectivity(spark):
+    """Adversarial corpus: 60 identical docs put every band in one hot
+    bucket. With max_bucket, candidate pairs are O(n) (a chain), not
+    O(n^2) — and connected components over the chain still recover the
+    full duplicate group."""
+    from index_spark.operators.dedup import minhash_candidates
+    from index_spark.operators.graph import connected_components_star
+
+    docs = [(i, "the exact same boilerplate text repeated for every single doc here") for i in range(60)]
+    docs += [(100, "a completely different document with its own words entirely"),
+             (101, "another unique document that matches nothing else at all")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = minhash_candidates(df, max_bucket=10)
+    n_capped = capped.count()
+    assert n_capped <= 8 * 60  # <= bands * chain length, never C(60,2)=1770
+    # connectivity survives: one cluster containing all 60 duplicates
+    # chained buckets produce DEEP graphs (diameter ~ bucket size):
+    # pair the cap with the star CC variant (log rounds), not min-label
+    cc = connected_components_star(capped, "id_a", "id_b")
+    lab = [c for c in cc.columns if c != "id"][0]
+    groups = cc.groupBy(lab).count().collect()
+    assert max(r["count"] for r in groups) == 60
+    # uncapped semantics unchanged
+    uncapped = minhash_candidates(df)
+    assert uncapped.count() >= n_capped
