@@ -47,6 +47,8 @@ def bm25_topk(
     are excluded.
     """
     terms = list(terms)
+    if not terms:
+        raise ValueError("bm25_topk requires at least one query term")
     toks = TX.tokens(F.lower(F.col(text_col)))
 
     def _tf(term: str):
@@ -97,6 +99,9 @@ def sql_bm25_topk(
     """Exact DuckDB twin of :func:`bm25_topk` — identical expression tree
     (same parenthesization, same fixed term order), so the doubles match
     bit-for-bit before the final round."""
+    terms = list(terms)
+    if not terms:
+        raise ValueError("sql_bm25_topk requires at least one query term")
     tf_defs = ", ".join(
         f"len(list_filter(toks, t -> t = '{term}')) AS tf_{i}"
         for i, term in enumerate(terms)

@@ -277,13 +277,15 @@ def rebalance_by_group(
     the deterministic md5-uniform draw — groups at or under target pass
     through untouched. ``counts`` (group -> row count) comes from one tiny
     aggregate the caller runs (or a catalog stat); keeping it an explicit
-    input makes the kept-set a pure function of (data, target)."""
+    input makes the kept-set a pure function of (data, target). Groups
+    ABSENT from ``counts`` (stale stats, a group that appeared after the
+    count) pass through whole — never silently dropped."""
     from index_spark.functions.text import md5_prefix28
 
     u = md5_prefix28(F.concat(F.lit(salt + "#"), F.col(key).cast("string"))).cast(
         "double"
     ) / F.lit(float(1 << 28))
-    frac = F.lit(None).cast("double")
+    frac = F.lit(1.0)  # unknown group → keep everything, not NULL-drop
     for g, n in sorted(counts.items()):
         f = min(1.0, target / n) if n else 1.0
         frac = F.when(F.col(group) == g, F.lit(f)).otherwise(frac)

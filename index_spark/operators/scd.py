@@ -84,10 +84,13 @@ def scd2_apply(
         "valid_from",
         F.lit(effective).cast("long").alias("valid_to"),
     )
+    # tracked columns take the update value DIRECTLY — a coalesce here
+    # would make NULL unwritable (the change is detected, the old row
+    # closes, but the old value would silently reopen)
     opened = j.filter(in_batch & changed).select(
         *key,
         *[
-            (F.coalesce(F.col(f"__u_{c}"), F.col(c)) if c in tracked else F.col(c)).alias(c)
+            (F.col(f"__u_{c}") if c in tracked else F.col(c)).alias(c)
             for c in attrs
         ],
         F.lit(effective).cast("long").alias("valid_from"),

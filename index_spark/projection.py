@@ -20,9 +20,11 @@ Scale contract:
   Remove+Insert together, so readers never see a half-applied sync.
 - the applied base version rides in a CAS-committed catalog entry next
   to the projection's own manifest, so refresh is idempotent and
-  crash-safe (re-running a completed refresh is a no-op; a crash before
-  the state commit re-applies the same diff onto the same projection
-  version — the Remove/Insert pair is deterministic).
+  crash-safe: re-running a completed refresh is a no-op, and a crash
+  between the projection commit and the state commit just re-applies
+  the diff — removes are pre-filtered to still-present mappings and
+  inserts are upserts, so the apply is a pure function of the target
+  state, safe to repeat.
 """
 
 from __future__ import annotations
@@ -92,6 +94,7 @@ class ProjectionIndex:
         d = self.base.diff(v0, v1).select(*base_key, "change")
         retired_keys = d.filter(F.col("change").isin("update", "delete")).select(*base_key)
         added_keys = d.filter(F.col("change").isin("insert", "update")).select(*base_key)
+        proj_key = [self.attr] + list(base_key)
         old_maps = (
             self.base.read(v0)
             .join(retired_keys, on=list(base_key), how="left_semi")
@@ -102,17 +105,30 @@ class ProjectionIndex:
             .join(added_keys, on=list(base_key), how="left_semi")
             .select(self.attr, *base_key)
         )
-        self.store.latest().execute([Remove(old_maps), Insert(new_maps)])
+        # idempotent apply: a crash AFTER the store commit but BEFORE the
+        # state commit leaves the projection already advanced; re-running
+        # the same diff must then be a no-op, not a KEY_NOT_FOUND /
+        # DUPLICATED_KEYS storm. Removing only mappings still present and
+        # inserting with upsert makes the (Remove, Insert) pair a pure
+        # function of the target state.
+        h = self.store.latest()
+        cur_keys = h.df.select(*proj_key)
+        old_present = old_maps.join(cur_keys, on=proj_key, how="left_semi")
+        h.execute([Remove(old_present), Insert(new_maps, upsert=True)])
         self._commit_state(v1)
         return v1 - v0
 
     # ------------------------------------------------------------- lookup
     def lookup(self, value) -> DataFrame:
         """Base keys whose ``attr`` equals ``value`` — a prefix scan on the
-        (attr, key) ordering: manifest zone maps + parquet min/max prune to
-        the files covering this attribute value."""
+        (attr, key) ordering THROUGH the manifest zone maps
+        (:meth:`~index_spark.snapshots.VersionedIndex.read_range` with the
+        one-column prefix bound): only files whose [min, max] can contain
+        this attribute value are opened; parquet min/max prunes row groups
+        within them."""
         h = self.store.latest()
-        return h.prefix(value).select(*[c for c in h.df.columns if c not in (self.attr, "__version")])
+        out = h.read_range((value,), (value,))
+        return out.select(*[c for c in out.columns if c not in (self.attr, "__version")])
 
     def lookup_rows(self, value) -> DataFrame:
         """Full base rows for an attribute value: index lookup, then a key
@@ -135,11 +151,11 @@ class ProjectionIndex:
         return pruned.join(keys, on=list(base_key), how="left_semi")
 
     def lookup_range(self, lo, hi, lo_inclusive: bool = True, hi_inclusive: bool = True) -> DataFrame:
-        """Base keys whose ``attr`` lies in [lo, hi] — a bounded scan on
-        the (attr, key) ordering (partial-tuple lexicographic bounds:
-        inclusive ends cover every key under the boundary attribute).
-        Combined with :meth:`~index_spark.snapshots.VersionedIndex.read_range`
-        zone maps this opens only the files covering the attribute band."""
+        """Base keys whose ``attr`` lies in [lo, hi] — a zone-map-pruned
+        scan on the (attr, key) ordering (partial-tuple lexicographic
+        bounds: inclusive ends cover every key under the boundary
+        attribute): only files whose manifest [min, max] intersect the
+        attribute band are opened."""
         h = self.store.latest()
-        out = h.range((lo,), (hi,), from_inclusive=lo_inclusive, to_inclusive=hi_inclusive)
+        out = h.read_range((lo,), (hi,), from_inclusive=lo_inclusive, to_inclusive=hi_inclusive)
         return out.select(self.attr, *[c for c in out.columns if c not in (self.attr, "__version")])

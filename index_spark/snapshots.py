@@ -929,9 +929,13 @@ class VersionedIndex(SortedIndex):
         def overlaps(f: dict) -> bool:
             try:
                 fmin, fmax = tuple(f["min"]), tuple(f["max"])
-                # inclusive exclusion test is sound for exclusive bounds
-                # too (it only ever keeps extra files, never drops a match)
-                return not (fmax < lo or fmin > hi)
+                # Partial-tuple (prefix) bounds admit the whole prefix
+                # equivalence class (keys.py semantics), so the exclusion
+                # test must compare file stats TRUNCATED to each bound's
+                # width: (700000, 3) is NOT above the inclusive prefix
+                # bound (700000,). Inclusive exclusion stays sound for
+                # exclusive bounds too (keeps extra files, never drops).
+                return not (fmax[: len(lo)] < lo or fmin[: len(hi)] > hi)
             except TypeError:
                 return True  # stats not comparable to the probe → keep
 
@@ -941,7 +945,11 @@ class VersionedIndex(SortedIndex):
             return SortedIndex(empty, self.key).range(
                 frm, to, from_inclusive, to_inclusive, reverse, limit
             )
-        pruned = self.store.spark.read.parquet(*touched)
+        # mergeSchema: the touched list can mix pre- and post-evolution
+        # schemas, same as read() — without it the added columns would
+        # nondeterministically vanish and the ``== self.range()`` invariant
+        # would break
+        pruned = self.store.spark.read.option("mergeSchema", "true").parquet(*touched)
         return SortedIndex(pruned, self.key).range(
             frm, to, from_inclusive, to_inclusive, reverse, limit
         )
@@ -972,7 +980,14 @@ class VersionedIndex(SortedIndex):
         key = list(self.key)
         cur_keys = self._current().select(*key) if not self._empty else None
         if cur_keys is None:
-            return self.execute([Insert(source)], version=version)
+            # empty head: deletes of absent keys are no-ops (same contract
+            # as the non-empty path) — insert only the non-tombstone rows
+            live0 = (
+                source.filter(~F.coalesce(delete_condition, F.lit(False)))
+                if delete_condition is not None
+                else source
+            )
+            return self.execute([Insert(live0)], version=version)
         live = source
         if delete_condition is not None:
             doomed = source.filter(delete_condition)
@@ -1213,8 +1228,14 @@ class VersionedIndex(SortedIndex):
         if staged is None:
             # every command was an empty batch against an untouched base:
             # a metadata-only commit — zero new rows written, every file
-            # carried by reference (same shape as rollback())
-            staged = self._current().filter(F.lit(False))
+            # carried by reference (same shape as rollback()). On an EMPTY
+            # index there is nothing to commit and no schema to commit an
+            # empty frame with — the batch is a pure no-op; hand back this
+            # (unconsumed) handle.
+            cur = self._current()
+            if cur is None:
+                return self
+            staged = cur.filter(F.lit(False))
             n_parts = 1
         new_version = self.store.commit(
             staged, self.key, self.rows_per_partition,

@@ -423,7 +423,11 @@ def stream_merge_into(events: DataFrame, store, timeout_s: int = 120) -> int:
     run_id = uuid.uuid4().hex[:8]
     n_batches = {"n": 0}
     q = events.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # a partial count with commits still landing would be silent
+        # corruption for the caller reading store.latest() next
+        q.stop()
+        raise TimeoutError(f"stream_merge_into did not drain within {timeout_s}s")
     return n_batches["n"]
 
 
@@ -453,5 +457,7 @@ def ingest_with_dedup(
         n["n"] += 1
 
     q = stream_df.writeStream.foreachBatch(screen).trigger(availableNow=True).start()
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"ingest_with_dedup did not drain within {timeout_s}s")
     return n["n"]
