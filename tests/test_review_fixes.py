@@ -118,3 +118,37 @@ def test_bm25_rejects_empty_terms(spark, documents):
         bm25_topk(documents, [])
     with pytest.raises(ValueError):
         sql_bm25_topk([])
+
+
+# randomized confirmation of the prefix-bound pruning fix
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SMALL = settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+
+
+@SMALL
+@given(
+    lo=st.integers(0, 4),
+    width=st.integers(0, 3),
+    incl=st.tuples(st.booleans(), st.booleans()),
+)
+def test_read_range_prefix_bounds_random(spark, tmp_path_factory, lo, width, incl):
+    """Partial-tuple bounds over a composite-key store: pruned read ==
+    unpruned range for any attribute band and inclusivity."""
+    import uuid
+
+    rows = [(a, k, float(a * 100 + k)) for a in range(6) for k in range(15)]
+    df = spark.createDataFrame(rows, "attr long, k long, v double")
+    d = tmp_path_factory.mktemp("zpp")
+    store = SnapshotStore(spark, str(d / uuid.uuid4().hex[:8]))
+    h = store.create(["attr", "k"], df=df, rows_per_partition=20)
+    hi = lo + width
+    args = dict(from_inclusive=incl[0], to_inclusive=incl[1])
+    got = sorted(
+        (r.attr, r.k) for r in h.read_range((lo,), (hi,), **args).select("attr", "k").collect()
+    )
+    want = sorted(
+        (r.attr, r.k) for r in h.range((lo,), (hi,), **args).select("attr", "k").collect()
+    )
+    assert got == want
