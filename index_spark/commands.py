@@ -21,6 +21,10 @@ from typing import Any, Optional
 class Insert:
     rows: Any  # list[dict] | DataFrame
     upsert: bool = False  # batch default; a dict row may override with row["__upsert"]
+    # Schema evolution is opt-in (Delta/Iceberg mergeSchema shape): by
+    # default a batch column absent from the snapshot raises, catching the
+    # misspelled-column bug where the intended column silently stays NULL.
+    allow_new_columns: bool = False
 
 
 @dataclass

@@ -290,3 +290,35 @@ def rebalance_by_group(
         f = min(1.0, target / n) if n else 1.0
         frac = F.when(F.col(group) == g, F.lit(f)).otherwise(frac)
     return df.filter(u < frac)
+
+
+def kmv_by_group(df: DataFrame, group_col: str, col: str, k: int = 32) -> DataFrame:
+    """Per-group KMV distinct-count estimates — the grouped form of
+    :func:`kmv_distinct` (e.g. distinct users per event type without a
+    count_distinct shuffle of raw values). One shuffle of (group, frac)
+    pairs; the window keeps each group's k smallest distinct hash
+    fractions, then one row per group: (group, est_distinct, k_used).
+
+    Exact-replayable in SQL like the global sketch (deterministic md5
+    fractions), unlike approx_count_distinct's HLL. Groups with fewer
+    than k distinct values report their exact count (the sketch holds
+    every value)."""
+    from pyspark.sql import Window
+
+    frac = (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, _KMV_HEX_CHARS), 16, 10)
+        .cast("double")
+        / F.lit(_KMV_SPACE)
+    )
+    distinct = df.select(F.col(group_col), frac.alias("frac")).distinct()
+    w = Window.partitionBy(group_col).orderBy("frac")
+    kmin = distinct.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    return kmin.groupBy(group_col).agg(
+        F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1))
+        )
+        .otherwise(F.round((F.count(F.lit(1)) - 1) / F.max("frac")))
+        .cast("long")
+        .alias("est_distinct"),
+        F.count(F.lit(1)).alias("k_used"),
+    )

@@ -39,6 +39,7 @@ def scd2_apply(
     tracked: Sequence[str],
     effective: int,
     broadcast_updates: bool = True,
+    strict_intervals: bool = False,
 ) -> DataFrame:
     """Merge an update batch into an SCD2 dimension.
 
@@ -55,6 +56,41 @@ def scd2_apply(
     attrs = [c for c in dim.columns if c not in key + ["valid_from", "valid_to"]]
     cur = dim.filter(F.col("valid_to").isNull())
     hist = dim.filter(F.col("valid_to").isNotNull())
+
+    # Two update rows for one business key would close the current row
+    # twice and open two concurrent versions — silent dimension
+    # corruption. Reject up front (same contract as the store's _dup_keys
+    # guard); the batch is small by this function's contract, so the
+    # check is one cheap job.
+    from index_spark.errors import DuplicatedKeysError
+
+    dup = (
+        updates.groupBy(*key)
+        .count()
+        .filter(F.col("count") > 1)
+        .select(*key)
+        .limit(20)
+        .collect()
+    )
+    if dup:
+        raise DuplicatedKeysError(
+            f"duplicate business keys in SCD2 update batch: {[tuple(r) for r in dup]}"
+        )
+
+    # Optional (costs one extra pass over the dimension): an `effective`
+    # at or before a touched current row's valid_from would emit an
+    # empty/negative closed interval overlapping the opened one.
+    if strict_intervals:
+        bad_from = (
+            cur.join(F.broadcast(updates.select(*key)), on=key, how="left_semi")
+            .agg(F.max("valid_from").alias("mx"))
+            .first()["mx"]
+        )
+        if bad_from is not None and bad_from >= effective:
+            raise ValueError(
+                f"effective={effective} is not after the latest touched "
+                f"valid_from={bad_from}: would create overlapping SCD2 intervals"
+            )
 
     upd = updates.select(
         key

@@ -163,3 +163,68 @@ def fk_violations(
     return child.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
         orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    tie_col: str,
+    trim_frac: float = 0.01,
+) -> DataFrame:
+    """Rank-based trimmed (winsorized-style) moments per group: drop the
+    lowest and highest ``⌊trim_frac·n⌋`` rows by ``(value, tie)`` rank,
+    then aggregate the kept middle — the robust mean a quality-score or
+    price column needs when 1% of rows are scraper garbage.
+
+    Rank-based (not quantile-value-based) so the kept set is an exact,
+    deterministic row subset in any engine: ``tie_col`` must be unique
+    within a group. Same one-shuffle window shape as
+    :func:`grouped_percentile_disc`. Returns (group..., n_kept,
+    mean_kept, min_kept, max_kept)."""
+    group_cols = list(group_cols)
+    w_rank = Window.partitionBy(*group_cols).orderBy(value_col, tie_col)
+    w_all = Window.partitionBy(*group_cols)
+    cut = F.floor(F.lit(float(trim_frac)) * F.col("__n")).cast("long")
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col),
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    kept = ranked.filter((F.col("__rn") > cut) & (F.col("__rn") <= F.col("__n") - cut))
+    # mean as exact-integer-sum / count, not avg(): when value_col is an
+    # integer (cents), both engines then perform ONE identical double
+    # division — avg()'s internal accumulation order is engine-specific
+    return kept.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(
+            F.sum(value_col).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_kept"),
+        F.min(value_col).alias("min_kept"),
+        F.max(value_col).alias("max_kept"),
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame, value_col: str, tie_col: str, bins: int = 10
+) -> DataFrame:
+    """Equi-depth (equal-count) histogram: ``ntile(bins)`` over
+    ``(value, tie)`` → per-bin count, min, max — the bin boundaries a
+    range-partitioner or CBO would derive. ``tie_col`` unique ⇒ the bin
+    assignment is deterministic and engine-portable (ntile's row split is
+    rank arithmetic, identical in Spark and ANSI SQL).
+
+    Scale note: a single global ntile funnels the sort through one task —
+    fine for the bounded inputs this profiling op targets; for a 100 TB
+    column use the two-level bucket-count plan (``q_split_median``) to
+    locate each boundary instead."""
+    w = Window.orderBy(value_col, tie_col)
+    binned = df.select(
+        F.col(value_col), F.ntile(bins).over(w).alias("bin")
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+    )

@@ -141,7 +141,12 @@ def hourly_anomalies(
     )
     mean = F.col("s").cast("double") / F.col("m").cast("double")
     var = F.col("q").cast("double") / F.col("m").cast("double") - mean * mean
-    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    # var == 0 (constant series) must yield z = 0, not NaN: Spark orders
+    # NaN above every number, so an unguarded abs(NaN) >= z_min is TRUE
+    # and every hour of a flat series would be flagged
+    z = F.when(var > 0, (F.col("n").cast("double") - mean) / F.sqrt(var)).otherwise(
+        F.lit(0.0)
+    )
     return (
         hourly.join(F.broadcast(stats), on=series)
         .withColumn("z", F.round(z, 6))

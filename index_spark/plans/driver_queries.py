@@ -3356,7 +3356,7 @@ def q_schema_evolution(spark, sf_dir):
         batch = orders.filter(
             (F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 150)
         ).select("o_orderkey", "o_totalprice", F.lit("vip").alias("o_flag"))
-        h2 = h.insert(batch, upsert=True, version="ev1")
+        h2 = h.insert(batch, upsert=True, version="ev1", allow_new_columns=True)
         out = h2.df.agg(
             F.count(F.lit(1)).alias("n"),
             F.count("o_flag").alias("n_flagged"),
@@ -3999,6 +3999,160 @@ SELECT doc_id,
   ) / 5, 6) AS quality
 FROM documents WHERE doc_id < 100
 """
+
+
+# ---- round-4 batch 1: MOR deletes / quotas / postings / splits / robust stats
+
+
+def q_mor_delete(spark, sf_dir):
+    """Merge-on-read delete (deletion-vector shape): doomed keys land in a
+    tombstone sidecar, every base data file carries by reference — zero
+    data rewritten; reads subtract the sidecar with one key anti-join.
+    Returns live-state aggregates plus the tombstoned-row count straight
+    from the O(1) manifest bookkeeping. Oracle recomputes both from base
+    algebra. Cites reference COW semantics (Context.scala:135-154) —
+    re-expressed at file granularity with a sidecar, like Delta deletion
+    vectors."""
+    from index_spark.snapshots import SnapshotStore
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .filter(F.col("o_orderkey") <= 3000)
+    )
+    d = tempfile.mkdtemp(prefix="morq_")
+    try:
+        store = SnapshotStore(spark, d + "/idx")
+        h = store.create(["o_orderkey"], df=orders, rows_per_partition=1000)
+        base_files = sorted(
+            f["path"] for f in store._version_row(0).get("files") or []
+        )
+        h2 = h.delete_where_mor(
+            F.col("o_orderdate") < F.lit("1997-01-01").cast("date"), version="mor1"
+        )
+        carried = sorted(
+            f["path"] for f in store._version_row(h2.version).get("files") or []
+        )
+        assert carried == base_files, "MOR delete must not rewrite data files"
+        n_deleted = store._version_row(0)["n_rows"] - h2.count()
+        out = h2.df.agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.lit(n_deleted).cast("long").alias("n_deleted"),
+            _sum_cents(F.col("o_totalprice"), "total"),
+            F.min("o_orderdate").alias("min_date"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # materialize pre-rmtree
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-source document quota (C4-style domain cap): keep the best 20
+    docs per source by (n_chars desc, doc_id). Two-phase salted top-N —
+    exact, and no single task ever sorts a whole hot domain. Aggregated
+    per source for the hash gate."""
+    from index_spark.operators.quota import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = cap_per_group(
+        docs,
+        ["source"],
+        20,
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        id_col="doc_id",
+    )
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+def q_inverted_postings(spark, sf_dir):
+    """Inverted-index build: per term (≥5 chars) its document frequency,
+    total term count, and the first 10 doc_ids — bounded posting payload,
+    exact counts. One shuffle on the term."""
+    from index_spark.operators.postings import build_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = build_postings(docs, max_postings=10)
+    return p.filter(F.length("term") >= 5).select(
+        "term", "df", "tf_total", "postings"
+    )
+
+
+def q_boolean_retrieval(spark, sf_dir):
+    """Conjunctive (AND) retrieval over the inverted term-doc edges:
+    doc_ids containing every query term. The term filter pushes to the
+    scan; only matching edges shuffle."""
+    from index_spark.operators.postings import conjunctive_query
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = conjunctive_query(docs, ["vector", "stream", "window"])
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def q_split_leakage(spark, sf_dir):
+    """Train/val leakage audit: deterministic md5-fraction split, then
+    near-dup (banded MinHash → exact Jaccard ≥ 0.5) pairs CROSSING the
+    split — the eval-contamination check. Banding + split assignment are
+    replayed literally in the oracle."""
+    from index_spark.operators.splits import split_leakage
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).unionByName(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    pairs = split_leakage(docs, train_frac=0.9, threshold=0.5)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_leaks"),
+        F.count_distinct("val_id").alias("n_val_docs"),
+        F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+    )
+
+
+def q_winsorized_stats(spark, sf_dir):
+    """Robust per-group price stats: drop each priority class's top and
+    bottom 1% by (price, orderkey) rank, aggregate the kept middle —
+    rank-based so the kept set is an exact row subset in any engine.
+    Prices as integer cents end-to-end (exact sums)."""
+    from index_spark.operators.stats import winsorized_stats
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", _cents(F.col("o_totalprice")).alias("cents"), "o_orderkey"
+    )
+    return winsorized_stats(
+        orders, ["o_orderpriority"], "cents", "o_orderkey", trim_frac=0.01
+    )
+
+
+def q_equidepth_hist(spark, sf_dir):
+    """Equi-depth 10-bin histogram of order totals (cents): ntile rank
+    arithmetic, deterministic via the orderkey tie-break — the boundary
+    profile a range partitioner derives."""
+    from index_spark.operators.stats import equidepth_histogram
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        _cents(F.col("o_totalprice")).alias("cents"), "o_orderkey"
+    )
+    return equidepth_histogram(orders, "cents", "o_orderkey", bins=10)
+
+
+def q_kmv_groups(spark, sf_dir):
+    """Per-event-type KMV distinct-user estimates (k=32): the grouped
+    mergeable-sketch form — groups below k report exact counts. Every
+    step is a deterministic expression the oracle replays."""
+    from index_spark.operators.sampling import kmv_by_group
+
+    events = load_table(spark, sf_dir, "events")
+    return kmv_by_group(events, "event_type", "user_id", k=32)
 
 
 def build_oracles() -> dict[str, str]:
@@ -5099,10 +5253,13 @@ def build_oracles() -> dict[str, str]:
             "st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m, "
             "  CAST(sum(n) AS BIGINT) AS s, CAST(sum(n*n) AS BIGINT) AS q "
             "  FROM hourly GROUP BY 1), "
-            "z AS (SELECT event_type, h, n, round("
+            "z AS (SELECT event_type, h, n, round(CASE WHEN "
+            "  CAST(q AS DOUBLE)/CAST(m AS DOUBLE) "
+            "     - (CAST(s AS DOUBLE)/CAST(m AS DOUBLE))*(CAST(s AS DOUBLE)/CAST(m AS DOUBLE)) > 0 THEN "
             "  (CAST(n AS DOUBLE) - CAST(s AS DOUBLE)/CAST(m AS DOUBLE)) / "
             "  sqrt(CAST(q AS DOUBLE)/CAST(m AS DOUBLE) "
-            "     - (CAST(s AS DOUBLE)/CAST(m AS DOUBLE))*(CAST(s AS DOUBLE)/CAST(m AS DOUBLE))), 6) AS z "
+            "     - (CAST(s AS DOUBLE)/CAST(m AS DOUBLE))*(CAST(s AS DOUBLE)/CAST(m AS DOUBLE))) "
+            "  ELSE 0.0 END, 6) AS z "
             "  FROM hourly JOIN st USING(event_type)) "
             "SELECT event_type, h, n, z FROM z WHERE abs(z) >= 2.0"
         ),
@@ -5460,20 +5617,155 @@ def build_oracles() -> dict[str, str]:
     )
     # full in-order drain of the streaming funnel == the batch funnel:
     out["stream_funnel"] = out["funnel_steps"]
+    # ---- round-4 batch 1 oracles
+    out["mor_delete"] = (
+        "SELECT CAST(count(*) FILTER (WHERE o_orderdate >= DATE '1997-01-01') AS BIGINT) AS n_live, "
+        "CAST(count(*) FILTER (WHERE o_orderdate < DATE '1997-01-01') AS BIGINT) AS n_deleted, "
+        f"CAST(sum({_sql_cents('o_totalprice')}) FILTER (WHERE o_orderdate >= DATE '1997-01-01') AS DOUBLE)/100 AS total, "
+        "min(o_orderdate) FILTER (WHERE o_orderdate >= DATE '1997-01-01') AS min_date "
+        "FROM orders WHERE o_orderkey <= 3000"
+    )
+    out["domain_cap"] = (
+        "WITH r AS (SELECT source, n_chars, doc_id, row_number() OVER "
+        "  (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn FROM documents) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_kept, "
+        "CAST(sum(n_chars) AS BIGINT) AS chars_kept, min(doc_id) AS min_doc "
+        "FROM r WHERE rn <= 20 GROUP BY 1"
+    )
+    out["inverted_postings"] = (
+        "WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term "
+        "  FROM documents), "
+        "td AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2) "
+        "SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS tf_total, "
+        "(list(doc_id ORDER BY doc_id))[1:10] AS postings "
+        "FROM td WHERE length(term) >= 5 GROUP BY 1"
+    )
+    out["boolean_retrieval"] = (
+        "WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term "
+        "  FROM documents), "
+        "m AS (SELECT doc_id FROM t WHERE term IN ('vector', 'stream', 'window') "
+        "  GROUP BY doc_id HAVING count(DISTINCT term) = 3) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc, "
+        "max(doc_id) AS max_doc FROM m"
+    )
+    _split_frac = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)"
+        " / 1152921504606846976.0"
+    )
+    out["split_leakage"] = (
+        f"WITH alldocs AS ({dup_docs}), "
+        f"sh AS ({_sql_shingles('alldocs')}), "
+        f"sig AS (SELECT doc_id, {_sql_minhash_sig()} AS sig FROM sh), "
+        "bands AS (SELECT doc_id, b, md5(concat_ws('|', sig[2*b+1], sig[2*b+2])) AS h "
+        "          FROM sig CROSS JOIN range(0, 8) t(b)), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b FROM bands a "
+        "          JOIN bands bb ON a.b = bb.b AND a.h = bb.h AND a.doc_id < bb.doc_id), "
+        "ver AS (SELECT id_a, id_b, CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)"
+        " / greatest(len(list_distinct(list_concat(s1.sh, s2.sh))), 1) AS jaccard "
+        "  FROM pairs JOIN sh s1 ON s1.doc_id = id_a JOIN sh s2 ON s2.doc_id = id_b), "
+        f"spl AS (SELECT doc_id, CASE WHEN {_split_frac} < 0.9 THEN 'train' ELSE 'val' END "
+        "  AS split FROM alldocs), "
+        "cr AS (SELECT v.jaccard, CASE WHEN sa.split = 'val' THEN v.id_a ELSE v.id_b END AS val_id "
+        "  FROM ver v JOIN spl sa ON sa.doc_id = v.id_a JOIN spl sb ON sb.doc_id = v.id_b "
+        "  WHERE v.jaccard >= 0.5 AND sa.split <> sb.split) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_leaks, "
+        "CAST(count(DISTINCT val_id) AS BIGINT) AS n_val_docs, "
+        "round(avg(jaccard), 6) AS avg_jaccard FROM cr"
+    )
+    out["winsorized_stats"] = (
+        f"WITH r AS (SELECT o_orderpriority, {_sql_cents('o_totalprice')} AS cents, o_orderkey, "
+        f"  row_number() OVER (PARTITION BY o_orderpriority "
+        f"    ORDER BY {_sql_cents('o_totalprice')}, o_orderkey) AS rn, "
+        "  count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders) "
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_kept, "
+        "round(CAST(sum(cents) AS DOUBLE) / count(*), 6) AS mean_kept, "
+        "min(cents) AS min_kept, max(cents) AS max_kept "
+        "FROM r WHERE rn > CAST(floor(0.01 * n) AS BIGINT) "
+        "  AND rn <= n - CAST(floor(0.01 * n) AS BIGINT) GROUP BY 1"
+    )
+    out["equidepth_hist"] = (
+        f"WITH b AS (SELECT {_sql_cents('o_totalprice')} AS cents, "
+        f"  ntile(10) OVER (ORDER BY {_sql_cents('o_totalprice')}, o_orderkey) AS bin "
+        "  FROM orders) "
+        "SELECT bin, CAST(count(*) AS BIGINT) AS n, min(cents) AS lo, max(cents) AS hi "
+        "FROM b GROUP BY 1"
+    )
+    out["kmv_groups"] = (
+        "WITH fr AS (SELECT DISTINCT event_type, "
+        "  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)"
+        "  / 1152921504606846976.0 AS frac FROM events), "
+        "r AS (SELECT event_type, frac, row_number() OVER "
+        "  (PARTITION BY event_type ORDER BY frac) AS rn FROM fr) "
+        "SELECT event_type, CAST(CASE WHEN count(*) < 32 THEN count(*) "
+        "  ELSE round((count(*) - 1) / max(frac)) END AS BIGINT) AS est_distinct, "
+        "CAST(count(*) AS BIGINT) AS k_used FROM r WHERE rn <= 32 GROUP BY 1"
+    )
     return out
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate verifies only the
-    # first ~50 entries per round.  Round 3 front-loads (a) the 16 entries
-    # never yet driver-verified (9 added after the r2 cut + 7 former
-    # events-loader victims whose newest driver row is still r1's err),
-    # then (b) the 2 queries whose oracles were upgraded from rows-only to
-    # exact this round, then (c) queries new in round 3, then (d) everything
-    # already driver-green in r1/r2.  Functionally the dict is identical
-    # either way.
+    # first ~50 entries per round.  Round 4 front-loads the 42 queries with
+    # no driver row yet (round-3 additions past the r3 gate cut), then new
+    # round-4 queries, then everything already driver-green in r1/r2/r3.
+    # Functionally the dict is identical either way.
     return {
-        # --- (a) never driver-verified (r2 additions + r1 loader victims) ---
+        # --- (a) round-4 front-load: never yet driver-verified (42: the
+        #     round-3 additions past the r3 gate cut). The driver checks the
+        #     first ~50 entries per round; new round-4 queries slot in right
+        #     after this block.
+        "gapfill_hourly": q_gapfill_hourly,
+        "ewma_users": q_ewma_users,
+        "hourly_anomaly": q_hourly_anomaly,
+        "knn_graph": q_knn_graph,
+        "scd2_customer": q_scd2_customer,
+        "zone_map_skip": q_zone_map_skip,
+        "curriculum_bins": q_curriculum_bins,
+        "pit_join": q_pit_join,
+        "bm25_topk": q_bm25_topk,
+        "json_props": q_json_props,
+        "stream_hourly_topk": q_stream_hourly_topk,
+        "band_join_events": q_band_join_events,
+        "merge_into_orders": q_merge_into_orders,
+        "chunk_docs": q_chunk_docs,
+        "asof_cogroup": q_asof_cogroup,
+        "retention_delete": q_retention_delete,
+        "schema_evolution": q_schema_evolution,
+        "bfs_hops": q_bfs_hops,
+        "dq_expectations": q_dq_expectations,
+        "cms_heavy": q_cms_heavy,
+        "rollback_restore": q_rollback_restore,
+        "stream_merge_state": q_stream_merge_state,
+        "lsh_recall": q_lsh_recall,
+        "pivot_status": q_pivot_status,
+        "unpivot_metrics": q_unpivot_metrics,
+        "window_ranks": q_window_ranks,
+        "fuzzy_token_pairs": q_fuzzy_token_pairs,
+        "arrow_norms": q_arrow_norms,
+        "epoch_shuffle": q_epoch_shuffle,
+        "lang_rebalance": q_lang_rebalance,
+        "projection_lookup": q_projection_lookup,
+        "longest_streak": q_longest_streak,
+        "projection_range": q_projection_range,
+        "seasonality_profile": q_seasonality_profile,
+        "ratio_to_report": q_ratio_to_report,
+        "window_nth": q_window_nth,
+        "store_history": q_store_history,
+        "stream_dedup_ingest": q_stream_dedup_ingest,
+        "udtf_tokens": q_udtf_tokens,
+        "full_pipeline": q_full_pipeline,
+        "erase_roundtrip": q_erase_roundtrip,
+        "incremental_dedup": q_incremental_dedup,
+        # --- (b) round-4 additions (gate slots 43-50) ---
+        "mor_delete": q_mor_delete,
+        "domain_cap": q_domain_cap,
+        "inverted_postings": q_inverted_postings,
+        "boolean_retrieval": q_boolean_retrieval,
+        "split_leakage": q_split_leakage,
+        "winsorized_stats": q_winsorized_stats,
+        "equidepth_hist": q_equidepth_hist,
+        "kmv_groups": q_kmv_groups,
+        # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,
         "simhash_block_pairs": q_simhash_block_pairs,
         "stream_user_state": q_stream_user_state,
@@ -5490,10 +5782,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sliding_window": q_sliding_window,
         "sessionize": q_sessionize,
-        # --- (b) oracles upgraded rows-only -> exact in round 3 ---
         "lsh_sign_topk": q_lsh_sign_topk,
         "ivf_trained_topk": q_ivf_trained_topk,
-        # --- (c) new in round 3 ---
         "repetition_quality": q_repetition_quality,
         "contamination_scan": q_contamination_scan,
         "group_percentiles": q_group_percentiles,
@@ -5504,7 +5794,6 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "seek_pagination_df": q_seek_pagination_df,
         "zorder_layout": q_zorder_layout,
-        # --- (c2) round-3 batch 2: pipeline + analytics operators ---
         "dup_span_stats": q_dup_span_stats,
         "bloom_prune_join": q_bloom_prune_join,
         "unigram_nll": q_unigram_nll,
@@ -5526,65 +5815,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_union": q_kmv_union,
         "stream_funnel": q_stream_funnel,
         "triangle_parts": q_triangle_parts,
-        # --- (c3) round-3 batch 3: time-series / segments / graph / SCD2 / zone maps
         "segment_dedup": q_segment_dedup,
-        "gapfill_hourly": q_gapfill_hourly,
-        "ewma_users": q_ewma_users,
-        "hourly_anomaly": q_hourly_anomaly,
-        "knn_graph": q_knn_graph,
-        "scd2_customer": q_scd2_customer,
-        "zone_map_skip": q_zone_map_skip,
-        "curriculum_bins": q_curriculum_bins,
-        # --- (c4) round-3 batch 4: PIT join / BM25 / variant JSON / stream top-k
-        "pit_join": q_pit_join,
-        "bm25_topk": q_bm25_topk,
-        "json_props": q_json_props,
-        "stream_hourly_topk": q_stream_hourly_topk,
-        # --- (c5) round-3 batch 5: band join / MERGE INTO / chunking / cogroup asof
-        "band_join_events": q_band_join_events,
-        "merge_into_orders": q_merge_into_orders,
-        "chunk_docs": q_chunk_docs,
-        "asof_cogroup": q_asof_cogroup,
-        # --- (c6) round-3 batch 6: retention delete / schema evolution
-        "retention_delete": q_retention_delete,
-        "schema_evolution": q_schema_evolution,
-        # --- (c7) round-3 batch 7: BFS / data-quality expectations
-        "bfs_hops": q_bfs_hops,
-        "dq_expectations": q_dq_expectations,
-        # --- (c8) round-3 batch 8: count-min sketch
-        "cms_heavy": q_cms_heavy,
-        # --- (c9) round-3 batch 9: rollback / shallow clone
-        "rollback_restore": q_rollback_restore,
-        # --- (c10) round-3 batch 10: streaming MERGE / ANN recall eval
-        "stream_merge_state": q_stream_merge_state,
-        "lsh_recall": q_lsh_recall,
-        # --- (c11) round-3 batch 11: pivot / unpivot / rank windows / fuzzy matching
-        "pivot_status": q_pivot_status,
-        "unpivot_metrics": q_unpivot_metrics,
-        "window_ranks": q_window_ranks,
-        "fuzzy_token_pairs": q_fuzzy_token_pairs,
-        # --- (c12) round-3 batch 12: Arrow-native kernel
-        "arrow_norms": q_arrow_norms,
-        # --- (c13) round-3 batch 13: epoch shuffle / data mixing
-        "epoch_shuffle": q_epoch_shuffle,
-        "lang_rebalance": q_lang_rebalance,
-        # --- (c14) round-3 batch 14: secondary-index projection / gaps-and-islands
-        "projection_lookup": q_projection_lookup,
-        "longest_streak": q_longest_streak,
-        # --- (c15) round-3 batch 15: range secondary lookup / calendar / analytics windows
-        "projection_range": q_projection_range,
-        "seasonality_profile": q_seasonality_profile,
-        "ratio_to_report": q_ratio_to_report,
-        "window_nth": q_window_nth,
-        # --- (c16) round-3 batch 16: store history introspection
-        "store_history": q_store_history,
-        # --- (c17) round-3 batch 17: streaming ingestion dedup
-        "stream_dedup_ingest": q_stream_dedup_ingest,
-        # --- (c18) round-3 batch 18: Python UDTF
-        "udtf_tokens": q_udtf_tokens,
-        # --- (c19) round-3 batch 19: full preprocessing pipeline showcase
-        "full_pipeline": q_full_pipeline,
-        # --- (d) already driver-green (r1 or r2 rows) ---
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,
         "set_ops": q_set_ops,
@@ -5676,6 +5907,4 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_bracket_filter": q_q19_bracket_filter,
         "q22_idle_rich": q_q22_idle_rich,
         "group_topk": q_group_topk,
-        "erase_roundtrip": q_erase_roundtrip,
-        "incremental_dedup": q_incremental_dedup,
     }

@@ -278,6 +278,8 @@ class SnapshotStore:
         carry_files: Optional[list[dict]] = None,
         expected_stamp: Optional[int] = None,
         writer_version: Optional[str] = None,
+        tombstones: Optional[list[str]] = None,
+        n_rows_override: Optional[int] = None,
     ) -> int:
         """Write ``df`` as the next snapshot version (sorted, range-partitioned).
 
@@ -348,11 +350,15 @@ class SnapshotStore:
             # upsert_partial, which requires a stats-bearing base).
             assert not carry_files, "file-level COW requires JSON-able key stats"
             files = None
-        n_rows = (
-            sum(f["n_rows"] for f in files)
-            if files is not None
-            else self.spark.read.parquet(path).count()
-        )
+        if n_rows_override is not None:
+            # carried tombstones hide an unknown share of the carried files'
+            # physical rows — the caller (compact on a MOR base) knows the
+            # exact live count (unchanged by compaction) and supplies it
+            n_rows = n_rows_override
+        elif files is not None:
+            n_rows = sum(f["n_rows"] for f in files)
+        else:
+            n_rows = self.spark.read.parquet(path).count()
         prev_ts = m["versions"][-1]["ts"] if m["versions"] else 0
         m["versions"].append(
             {
@@ -362,6 +368,7 @@ class SnapshotStore:
                 "n_rows": n_rows,
                 "files": files,
                 "data_path": path,
+                **({"tombstones": tombstones} if tombstones else {}),
                 **({"writer_version": writer_version} if writer_version else {}),
             }
         )
@@ -408,6 +415,65 @@ class SnapshotStore:
                 "n_rows": row["n_rows"],
                 "files": files,
                 "data_path": self._version_dir(row),
+                # restoring a merge-on-read version must restore its
+                # tombstones too, or the deleted rows would resurrect
+                **(
+                    {"tombstones": row["tombstones"]}
+                    if row.get("tombstones")
+                    else {}
+                ),
+            }
+        )
+        self._write_manifest(m)
+        return version
+
+    def commit_mor_delete(
+        self,
+        base_version: int,
+        tombstone_paths: list[str],
+        n_deleted: int,
+        expected_stamp: Optional[int] = None,
+        writer_version: Optional[str] = None,
+    ) -> int:
+        """Metadata-only commit of a merge-on-read delete: version N+1
+        references the base version's data files UNCHANGED plus the new
+        key-tombstone sidecar(s); reads subtract tombstoned keys with an
+        anti-join (:meth:`_apply_tombstones`). No data file is rewritten —
+        the Delta deletion-vector / Iceberg positional-delete shape at key
+        granularity. Same manifest CAS + writer-version-reuse rules as
+        :meth:`commit`."""
+        m = self._read_manifest()
+        if expected_stamp is not None:
+            if m[self._MV] != expected_stamp:
+                raise CommitConflictError(
+                    f"manifest advanced to stamp {m[self._MV]} past this "
+                    f"handle's base {expected_stamp} — take a fresh handle"
+                )
+            m[self._MV] = expected_stamp
+        if writer_version is not None:
+            used = m.setdefault("writer_versions", [])
+            if writer_version in used or any(
+                row.get("writer_version") == writer_version for row in m["versions"]
+            ):
+                raise ValueError(
+                    f"writer version {writer_version!r} was already used by a "
+                    "previous commit; version strings are per-transaction ids"
+                )
+            used.append(writer_version)
+        base = next(r for r in m["versions"] if r["version"] == base_version)
+        version = m["versions"][-1]["version"] + 1
+        prev_ts = m["versions"][-1]["ts"]
+        m["versions"].append(
+            {
+                "version": version,
+                "version_id": str(uuid.uuid4()),
+                "ts": _now_ns(prev_ts),
+                "n_rows": base["n_rows"] - n_deleted,
+                "files": base.get("files"),
+                "data_path": self._version_dir(base),
+                "tombstones": (base.get("tombstones") or [])
+                + [os.path.abspath(p) for p in tombstone_paths],
+                **({"writer_version": writer_version} if writer_version else {}),
             }
         )
         self._write_manifest(m)
@@ -429,6 +495,13 @@ class SnapshotStore:
         if files is None:
             raise ValueError(
                 "clone_to requires a stats-bearing (file-listed) source version"
+            )
+        if row.get("tombstones"):
+            # create_from_files has no tombstone slot; a clone that dropped
+            # them would resurrect deleted rows. Callers compact() first.
+            raise ValueError(
+                "clone_to of a merge-on-read version would drop its "
+                "tombstones — compact() the source head first"
             )
         dest = SnapshotStore(self.spark, dest_path)
         return dest.create_from_files(
@@ -464,10 +537,25 @@ class SnapshotStore:
             # old- and new-schema files; merging is a footer-only metadata
             # step, and rows from pre-evolution files read NULL in the
             # added columns.
-            return self.spark.read.option("mergeSchema", "true").parquet(
+            df = self.spark.read.option("mergeSchema", "true").parquet(
                 *[f["path"] for f in files]
             )
-        return self.spark.read.parquet(self._version_dir(row))
+        else:
+            df = self.spark.read.parquet(self._version_dir(row))
+        return self._apply_tombstones(df, row)
+
+    def _apply_tombstones(self, df: DataFrame, row: dict) -> DataFrame:
+        """Merge-on-read deletes: a version may carry key-granularity
+        tombstone sidecars (``delete_where_mor``); reads subtract them with
+        one anti-join on the key. The Delta deletion-vector / Iceberg
+        merge-on-read shape: at 100 TB, deleting 10 rows from a 1 GB file
+        writes a 10-row sidecar, never the gigabyte."""
+        tombs = row.get("tombstones")
+        if not tombs:
+            return df
+        key = self._read_manifest()["key"]
+        dead = self.spark.read.parquet(*tombs).select(*key)
+        return df.join(dead, on=list(key), how="left_anti")
 
     def diff(self, from_version: int, to_version: int) -> DataFrame:
         """Change feed between two snapshot versions: one row per key whose
@@ -591,6 +679,10 @@ class SnapshotStore:
             if row["version"] not in pinned:
                 continue
             kept_dirs.add(os.path.abspath(self._version_dir(row)))
+            for t in row.get("tombstones") or ():
+                referenced.add(os.path.abspath(t))
+                # sidecars live in their own ts-* dirs; keep the dir too
+                referenced.add(os.path.abspath(os.path.dirname(t)))
             files = row.get("files")
             if files:
                 referenced |= {os.path.abspath(f["path"]) for f in files}
@@ -637,6 +729,19 @@ class SnapshotStore:
                     _shutil.rmtree(sub, ignore_errors=True)
             if not _glob.glob(os.path.join(edir, "*")):
                 _shutil.rmtree(edir, ignore_errors=True)
+        # tombstone sidecar dirs (merge-on-read deletes): same per-file
+        # referenced-set sweep — sidecars of dropped versions go, sidecars
+        # any kept version still reads stay
+        for tdir in _glob.glob(os.path.join(self.base_path, "ts-*")):
+            if not os.path.isdir(tdir):
+                continue
+            for p in _glob.glob(os.path.join(tdir, "*")):
+                if os.path.abspath(p) not in referenced:
+                    os.remove(p) if os.path.isfile(p) else _shutil.rmtree(
+                        p, ignore_errors=True
+                    )
+            if not _glob.glob(os.path.join(tdir, "*")):
+                _shutil.rmtree(tdir, ignore_errors=True)
         # adopted files (create_from_files) live outside version dirs — drop
         # the ones no kept version references, by manifest path
         for row in removed_rows:
@@ -685,6 +790,17 @@ class SnapshotStore:
 
         m = self._read_manifest()
         key_cols = m["key"]
+        if any(r.get("tombstones") for r in m["versions"]):
+            # MOR sidecars hold raw key values and their versions count
+            # live (not physical) rows — an in-place history rewrite here
+            # would leave the erased key readable in a sidecar and corrupt
+            # the n_rows bookkeeping. Refuse with the safe recipe instead
+            # of guessing.
+            raise ValueError(
+                "erase_keys on a store with merge-on-read tombstone "
+                "versions: compact() the head, then vacuum() the MOR "
+                "versions, then erase"
+            )
         tuples = [tuple(k[c] for c in key_cols) for k in keys]
         if not tuples:
             return {"files_rewritten": 0, "versions_touched": [], "rows_erased": 0}
@@ -921,7 +1037,8 @@ class VersionedIndex(SortedIndex):
 
         if self._empty or self.version is None:
             raise ValueError("read_range on an empty index (no committed version)")
-        files = self.store._version_row(self.version).get("files")
+        vrow = self.store._version_row(self.version)
+        files = vrow.get("files")
         if not files:
             return self.range(frm, to, from_inclusive, to_inclusive, reverse, limit)
         lo, hi = as_tuple(frm), as_tuple(to)
@@ -950,6 +1067,9 @@ class VersionedIndex(SortedIndex):
         # nondeterministically vanish and the ``== self.range()`` invariant
         # would break
         pruned = self.store.spark.read.option("mergeSchema", "true").parquet(*touched)
+        # merge-on-read base: the ``== self.range()`` invariant requires the
+        # pruned scan to subtract tombstoned keys exactly like read() does
+        pruned = self.store._apply_tombstones(pruned, vrow)
         return SortedIndex(pruned, self.key).range(
             frm, to, from_inclusive, to_inclusive, reverse, limit
         )
@@ -1015,6 +1135,40 @@ class VersionedIndex(SortedIndex):
             raise KeyNotFoundError([])
         keys = self._current().filter(condition).select(*self.key)
         return self.execute([Remove(keys)], version=version)
+
+    def delete_where_mor(self, condition, version: Optional[str] = None) -> "VersionedIndex":
+        """Merge-on-read predicate delete: write the doomed KEYS as a
+        tombstone sidecar and commit a metadata-only version that carries
+        every base data file by reference — zero data files rewritten
+        (contrast :meth:`delete_where`, which copy-on-writes the touched
+        files). Reads of the new version subtract the tombstones with one
+        key anti-join. At 100 TB this turns "delete 0.01% of rows" from a
+        multi-TB rewrite into a KB-scale sidecar write; the debt is one
+        anti-join per read until a later full-rewrite commit or
+        :meth:`compact` folds the tombstones away. Returns the new head
+        handle; no-ops (returning ``self``) when nothing matches."""
+        self._check_usable()
+        if self._empty or self.version is None:
+            raise KeyNotFoundError([])
+        path = os.path.join(self.store.base_path, f"ts-{uuid.uuid4().hex[:8]}")
+        doomed = self._current().filter(condition).select(*self.key)
+        doomed.write.mode("errorifexists").parquet(path)
+        stats = self.store._file_stats(path, self.key)
+        n_del = sum(f["n_rows"] for f in stats)
+        if n_del == 0:
+            import shutil as _shutil
+
+            _shutil.rmtree(path, ignore_errors=True)
+            return self
+        new_version = self.store.commit_mor_delete(
+            self.version,
+            [f["path"] for f in stats],
+            n_del,
+            expected_stamp=self._base_stamp,
+            writer_version=version,
+        )
+        self._used = True
+        return self.store.at_version(new_version)
 
     @staticmethod
     def _maybe_broadcast(keys_df: DataFrame, rows) -> DataFrame:
@@ -1218,6 +1372,33 @@ class VersionedIndex(SortedIndex):
             carry = None
         for cmd in commands:
             if isinstance(cmd, Insert):
+                # Schema evolution is opt-in: a batch column the head does
+                # not have raises by default, catching the misspelled-column
+                # bug (the typo would otherwise become a new column while
+                # the intended column silently stays NULL for the batch rows
+                # — the exact trap Delta/Iceberg gate behind mergeSchema).
+                # Checked against the HEAD schema, not the staged subset:
+                # on the file-level-COW path an all-new-keys batch stages
+                # against no files at all, but the gate must still fire.
+                if not getattr(cmd, "allow_new_columns", False) and not self._empty:
+                    head_cols = set(self.df.columns)
+                    batch_cols = (
+                        cmd.rows.columns
+                        if isinstance(cmd.rows, DataFrame)
+                        else {k for r in cmd.rows for k in r}
+                    )
+                    unknown = sorted(
+                        c
+                        for c in batch_cols
+                        if c not in head_cols and not c.startswith("__")
+                    )
+                    if unknown:
+                        raise ValueError(
+                            "insert batch has columns not in the snapshot "
+                            f"schema: {unknown}; pass allow_new_columns=True "
+                            "to add them (schema evolution) or fix the "
+                            "column names"
+                        )
                 staged = self._staged_insert(staged, cmd.rows, cmd.upsert, version)
             elif isinstance(cmd, Update):
                 staged = self._staged_update(staged, cmd.rows, version)
@@ -1256,7 +1437,14 @@ class VersionedIndex(SortedIndex):
         analog of the reference's root→leaf descent (Index.scala:62-99)."""
         if self._empty or self.version is None:
             return None
-        files = self.store._version_row(self.version).get("files")
+        row = self.store._version_row(self.version)
+        if row.get("tombstones"):
+            # merge-on-read base: touched files read raw would resurrect
+            # tombstoned keys into the validation joins. Fall back to the
+            # full path — staged = the tombstone-filtered head, and the
+            # rewrite commit naturally compacts the tombstones away.
+            return None
+        files = row.get("files")
         if not files:
             return None
         batch_keys: list[tuple] = []
@@ -1338,18 +1526,32 @@ class VersionedIndex(SortedIndex):
         staged = self.store.spark.read.option("mergeSchema", "true").parquet(
             *[f["path"] for f in small]
         )
+        # merge-on-read base: rewritten small files drop their tombstoned
+        # rows for good; carried full files still need the sidecar, so the
+        # tombstone list rides into the new version (extra tombstone keys
+        # pointing at rewritten files anti-join against nothing — harmless)
+        vrow = self.store._version_row(self.version)
+        staged = self.store._apply_tombstones(staged, vrow)
         n_rows = sum(f["n_rows"] for f in small)
         n_parts = max(1, -(-n_rows // target))
         new_version = self.store.commit(
             staged, self.key, self.rows_per_partition,
             n_partitions=n_parts, carry_files=full,
             expected_stamp=self._base_stamp,
+            tombstones=vrow.get("tombstones"),
+            n_rows_override=vrow["n_rows"] if vrow.get("tombstones") else None,
         )
         self._used = True
         return self.store.at_version(new_version)
 
-    def insert(self, rows: "list[dict[str, Any]] | DataFrame", upsert: bool = False, version: Optional[str] = None) -> "VersionedIndex":
-        return self.execute([Insert(rows, upsert)], version)
+    def insert(
+        self,
+        rows: "list[dict[str, Any]] | DataFrame",
+        upsert: bool = False,
+        version: Optional[str] = None,
+        allow_new_columns: bool = False,
+    ) -> "VersionedIndex":
+        return self.execute([Insert(rows, upsert, allow_new_columns)], version)
 
     def upsert_partial(self, rows: list[dict[str, Any]], version: Optional[str] = None) -> "VersionedIndex":
         """File-level COW upsert: rewrite ONLY the files whose key range the

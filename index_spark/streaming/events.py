@@ -395,8 +395,15 @@ def stream_merge_into(events: DataFrame, store, timeout_s: int = 120) -> int:
     SnapshotStore — existing users update, new users insert, all as ONE
     COW commit per batch via :meth:`VersionedIndex.merge_into`. The
     store's head is therefore always the exactly-once-applied latest
-    state with time travel over every batch boundary. Returns the number
-    of committed batches."""
+    state with time travel over every batch boundary.
+
+    Micro-batches are NOT event-time ordered (file discovery order under
+    ``maxFilesPerTrigger`` is arbitrary), so each batch row is screened
+    against the stored row for its user and kept only when its
+    ``(last_ts_us, last_event_id)`` exceeds the stored pair — a later
+    batch carrying only older events for a user can never regress the
+    head to stale state. ``last_event_id`` is persisted for exactly that
+    tie-break. Returns the number of committed batches."""
     from pyspark.sql import Window
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -411,10 +418,33 @@ def stream_merge_into(events: DataFrame, store, timeout_s: int = 120) -> int:
             .select(
                 "user_id",
                 F.col("ts_us").alias("last_ts_us"),
+                F.col("event_id").alias("last_event_id"),
                 F.col("value").alias("last_value"),
             )
         )
-        store.latest().merge_into(latest, version=f"stream-merge-{run_id}-{batch_id}")
+        head = store.latest()
+        cur = None if head._empty else head.df
+        if cur is not None:
+            stored = cur.select(
+                "user_id",
+                F.col("last_ts_us").alias("__cur_ts"),
+                F.col("last_event_id").alias("__cur_eid"),
+            )
+            latest = (
+                latest.join(stored, on="user_id", how="left")
+                .filter(
+                    F.col("__cur_ts").isNull()
+                    | (F.col("last_ts_us") > F.col("__cur_ts"))
+                    | (
+                        (F.col("last_ts_us") == F.col("__cur_ts"))
+                        & (F.col("last_event_id") > F.col("__cur_eid"))
+                    )
+                )
+                .drop("__cur_ts", "__cur_eid")
+            )
+            if latest.isEmpty():
+                return
+        head.merge_into(latest, version=f"stream-merge-{run_id}-{batch_id}")
         n_batches["n"] += 1
 
     # a fresh (checkpoint-less) run restarts batch ids at 0; writer-version

@@ -39,6 +39,7 @@ def test_read_range_spans_schema_evolution(spark, tmp_base):
         spark.createDataFrame([(3, 3.0, "vip")], "k long, v double, flag string"),
         upsert=True,
         version="ev",
+        allow_new_columns=True,
     )
     got = {r.k: r.flag for r in h2.read_range(0, 10).select("k", "flag").collect()}
     assert got[3] == "vip" and got[0] is None and len(got) == 11

@@ -42,7 +42,7 @@ def test_delete_where_on_empty_store_raises(spark, tmp_base):
 def test_upsert_batch_adding_column_evolves_schema(spark, tmp_base):
     store, h = _mk(spark, tmp_base, [(i, float(i)) for i in range(10)], sub="e1", rpp=3)
     batch = spark.createDataFrame([(2, 2.0, "vip"), (99, 99.0, "new")], "k long, v double, flag string")
-    h2 = h.insert(batch, upsert=True, version="ev")
+    h2 = h.insert(batch, upsert=True, version="ev", allow_new_columns=True)
     rows = {r.k: (r.v, r.flag) for r in h2.df.select("k", "v", "flag").collect()}
     assert rows[2] == (2.0, "vip") and rows[99] == (99.0, "new")
     # carried old-schema rows read NULL in the added column
@@ -57,6 +57,7 @@ def test_mutations_after_evolution_keep_working(spark, tmp_base):
         spark.createDataFrame([(3, 3.5, "x")], "k long, v double, flag string"),
         upsert=True,
         version="ev",
+        allow_new_columns=True,
     )
     # a partial update touching an OLD-schema file after evolution
     h3 = h2.update([{"k": 1, "v": 10.0}], version="u2")
@@ -82,6 +83,7 @@ def test_diff_spans_schema_evolution(spark, tmp_base):
         spark.createDataFrame([(2, 2.5, "y"), (3, 3.0, "z")], "k long, v double, flag string"),
         upsert=True,
         version="ev",
+        allow_new_columns=True,
     )
     changes = {
         (r.k, r.change) for r in store.diff(0, store.latest_version()).collect()

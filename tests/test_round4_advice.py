@@ -1,0 +1,156 @@
+"""Round-4 regression tests for the four ADVICE.md findings:
+
+1. ``hourly_anomalies`` zero-variance guard (flat series must not flag
+   every hour with z=NaN — Spark sorts NaN above all numbers).
+2. ``stream_merge_into`` out-of-order batch screening (a batch carrying
+   only older events must never regress a user's stored head state).
+3. ``scd2_apply`` duplicate-business-key rejection + optional
+   overlapping-interval guard.
+4. Insert schema evolution is opt-in (unknown columns raise unless
+   ``allow_new_columns=True``).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from index_spark.errors import DuplicatedKeysError
+
+
+# ---------------------------------------------------------- 1. anomaly guard
+def test_hourly_anomalies_constant_series_not_flagged(spark):
+    from index_spark.operators.timeseries import hourly_anomalies
+
+    # 5 hours x exactly 3 events each -> var = 0 -> z must be 0, not NaN
+    rows = [(h * 3600_000_000 + i, "flat") for h in range(5) for i in range(3)]
+    ev = spark.createDataFrame(rows, "ts_us long, event_type string")
+    out = hourly_anomalies(ev, z_min=2.0).collect()
+    assert out == []
+
+
+def test_hourly_anomalies_mixed_series_still_detects(spark):
+    from index_spark.operators.timeseries import hourly_anomalies
+
+    # flat series + a spiky series in one frame: only the spike flags
+    rows = [(h * 3600_000_000 + i, "flat") for h in range(6) for i in range(3)]
+    spiky = [(h * 3600_000_000, "spiky") for h in range(6)] + [
+        (5 * 3600_000_000 + i, "spiky") for i in range(1, 40)
+    ]
+    ev = spark.createDataFrame(rows + spiky, "ts_us long, event_type string")
+    out = hourly_anomalies(ev, z_min=2.0).collect()
+    assert out and all(r.event_type == "spiky" for r in out)
+    assert all(r.z == r.z for r in out)  # no NaN
+
+
+# ------------------------------------------------- 2. stale-batch screening
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long, value double"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return df.schema
+
+
+def _stream(spark, path, schema):
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def test_stream_merge_into_ignores_stale_batches(spark, tmp_base):
+    from index_spark.snapshots import SnapshotStore
+    from index_spark.streaming.events import stream_merge_into
+
+    store = SnapshotStore(spark, tmp_base + "/idx")
+    store.create(["user_id"])
+
+    schema = _write_events(
+        spark, tmp_base + "/a", [(1, 100, 10, 1.0), (2, 100, 11, 2.0)]
+    )
+    stream_merge_into(_stream(spark, tmp_base + "/a", schema), store)
+
+    # a later drain carrying ONLY older events must not regress the head
+    _write_events(spark, tmp_base + "/b", [(1, 50, 5, 9.9), (3, 40, 4, 3.0)])
+    stream_merge_into(_stream(spark, tmp_base + "/b", schema), store)
+
+    state = {
+        r.user_id: (r.last_ts_us, r.last_value)
+        for r in store.latest().df.collect()
+    }
+    assert state[1] == (100, 1.0)  # NOT regressed to ts 50
+    assert state[3] == (40, 3.0)  # genuinely-new user still inserts
+
+
+def test_stream_merge_into_event_id_tiebreak(spark, tmp_base):
+    from index_spark.snapshots import SnapshotStore
+    from index_spark.streaming.events import stream_merge_into
+
+    store = SnapshotStore(spark, tmp_base + "/idx2")
+    store.create(["user_id"])
+    schema = _write_events(spark, tmp_base + "/a", [(1, 100, 10, 1.0)])
+    stream_merge_into(_stream(spark, tmp_base + "/a", schema), store)
+
+    # same ts, LOWER event_id -> stale; HIGHER event_id -> wins
+    _write_events(spark, tmp_base + "/b", [(1, 100, 5, 5.0)])
+    stream_merge_into(_stream(spark, tmp_base + "/b", schema), store)
+    assert store.latest().df.first().last_value == 1.0
+
+    _write_events(spark, tmp_base + "/c", [(1, 100, 20, 7.0)])
+    stream_merge_into(_stream(spark, tmp_base + "/c", schema), store)
+    assert store.latest().df.first().last_value == 7.0
+
+
+# --------------------------------------------------------- 3. SCD2 guards
+def test_scd2_rejects_duplicate_update_keys(spark):
+    from index_spark.operators.scd import scd2_apply, scd2_init
+
+    dim = scd2_init(spark.createDataFrame([(1, "gold")], "k long, seg string"))
+    upd = spark.createDataFrame(
+        [(1, "plat"), (1, "silver")], "k long, seg string"
+    )
+    with pytest.raises(DuplicatedKeysError):
+        scd2_apply(dim, upd, key=["k"], tracked=["seg"], effective=5)
+
+
+def test_scd2_strict_intervals_rejects_non_monotonic_effective(spark):
+    from index_spark.operators.scd import scd2_apply, scd2_init
+
+    dim = scd2_init(
+        spark.createDataFrame([(1, "gold")], "k long, seg string"), valid_from=10
+    )
+    upd = spark.createDataFrame([(1, "plat")], "k long, seg string")
+    with pytest.raises(ValueError, match="overlapping"):
+        scd2_apply(
+            dim, upd, key=["k"], tracked=["seg"], effective=10, strict_intervals=True
+        )
+    # strictly-later effective passes
+    out = scd2_apply(
+        dim, upd, key=["k"], tracked=["seg"], effective=11, strict_intervals=True
+    )
+    assert out.filter(F.col("valid_to").isNull()).first().seg == "plat"
+
+
+# ---------------------------------------------- 4. opt-in schema evolution
+def test_insert_unknown_column_raises_without_flag(spark, tmp_base):
+    from index_spark.snapshots import SnapshotStore
+
+    store = SnapshotStore(spark, tmp_base + "/s")
+    h = store.create(
+        ["k"], df=spark.createDataFrame([(1, 1.0)], "k long, v double")
+    )
+    bad = spark.createDataFrame([(2, 2.0, "x")], "k long, vv double, flag string")
+    with pytest.raises(ValueError, match="allow_new_columns"):
+        h.insert(bad, upsert=True, version="t1")
+    # the same batch with the flag evolves the schema
+    h2 = h.insert(bad, upsert=True, version="t2", allow_new_columns=True)
+    assert {"vv", "flag"} <= set(h2.df.columns)
+
+
+def test_insert_missing_columns_still_allowed(spark, tmp_base):
+    # OMITTING value columns stays legal (rows read NULL there) — the gate
+    # only fires on ADDED columns
+    from index_spark.snapshots import SnapshotStore
+
+    store = SnapshotStore(spark, tmp_base + "/s2")
+    h = store.create(
+        ["k"], df=spark.createDataFrame([(1, 1.0)], "k long, v double")
+    )
+    h2 = h.insert(spark.createDataFrame([(7,)], "k long"), upsert=True, version="m1")
+    assert {r.k: r.v for r in h2.df.collect()} == {1: 1.0, 7: None}

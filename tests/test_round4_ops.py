@@ -1,0 +1,134 @@
+"""Round-4 operator units: per-group quotas (two-phase == single window),
+inverted postings, hash splits + leakage, winsorized stats, equi-depth
+histogram, grouped KMV."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ quota
+def test_cap_per_group_equals_single_window(spark, sf_dir):
+    from index_spark.operators.quota import cap_per_group
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+    got = cap_per_group(docs, ["source"], 5, order, id_col="doc_id", salts=4)
+    w = Window.partitionBy("source").orderBy(*order)
+    want = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+    assert sorted(r.doc_id for r in got.select("doc_id").collect()) == sorted(
+        r.doc_id for r in want.select("doc_id").collect()
+    )
+
+
+def test_cap_per_group_respects_cap_with_one_salt_cell_overflow(spark):
+    from index_spark.operators.quota import cap_per_group
+
+    # 100 rows, ONE group, cap 3 with 2 salts: phase 1 keeps <= 6, phase 2
+    # must land on exactly the global top 3
+    df = spark.createDataFrame([(i, i % 7) for i in range(100)], "id long, g int")
+    got = cap_per_group(
+        df, ["g"], 3, [F.col("id").desc()], id_col="id", salts=2, keep_rank=True
+    )
+    rows = got.collect()
+    per_g = {}
+    for r in rows:
+        per_g.setdefault(r.g, []).append(r.id)
+    for g, ids in per_g.items():
+        assert sorted(ids, reverse=True) == sorted(
+            [i for i in range(100) if i % 7 == g], reverse=True
+        )[:3]
+
+
+# --------------------------------------------------------------- postings
+def test_build_postings_counts(spark):
+    from index_spark.operators.postings import build_postings, conjunctive_query
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b c"), (3, "a a a")], "doc_id long, text string"
+    )
+    p = {r.term: r for r in build_postings(docs).collect()}
+    assert p["a"].df == 2 and p["a"].tf_total == 5 and p["a"].postings == [1, 3]
+    assert p["b"].df == 2 and p["b"].tf_total == 2
+    assert p["c"].df == 2
+    hits = sorted(r.doc_id for r in conjunctive_query(docs, ["a", "c"]).collect())
+    assert hits == [1]
+
+
+def test_postings_bounded_payload(spark):
+    from index_spark.operators.postings import build_postings
+
+    docs = spark.createDataFrame(
+        [(i, "common") for i in range(50)], "doc_id long, text string"
+    )
+    r = build_postings(docs, max_postings=10).first()
+    assert r.df == 50 and len(r.postings) == 10 and r.postings == list(range(10))
+
+
+# ----------------------------------------------------------------- splits
+def test_hash_split_stable_and_complete(spark, sf_dir):
+    from index_spark.operators.splits import hash_split
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet").select("doc_id")
+    a = {r.doc_id: r.split for r in hash_split(docs, train_frac=0.8).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs, train_frac=0.8).collect()}
+    assert a == b  # deterministic across runs
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 0.6 < n_train / len(a) < 0.95  # roughly the asked fraction
+
+
+def test_split_leakage_detects_planted_dup(spark):
+    from index_spark.operators.splits import hash_split, split_leakage
+
+    base = [(i, f"w{i} x{i} y{i} z{i} q{i} r{i} s{i} t{i}") for i in range(40)]
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    # plant exact copies under shifted ids; any copy landing across the
+    # split from its source must be reported
+    dup = docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    corpus = docs.unionByName(dup)
+    tagged = {r.doc_id: r.split for r in hash_split(corpus, train_frac=0.5).collect()}
+    expected = sum(
+        1 for i in range(40) if tagged[i] != tagged[i + 1000]
+    )
+    got = split_leakage(corpus, train_frac=0.5, threshold=0.9)
+    assert got.count() == expected
+    for r in got.collect():
+        assert tagged[r.train_id] == "train" and tagged[r.val_id] == "val"
+        assert r.jaccard == 1.0
+
+
+# ----------------------------------------------------- winsorized / ntile
+def test_winsorized_trims_both_tails(spark):
+    from index_spark.operators.stats import winsorized_stats
+
+    rows = [(1, v, i) for i, v in enumerate([1000] + [10] * 98 + [-1000])]
+    df = spark.createDataFrame(rows, "g int, v long, k long")
+    r = winsorized_stats(df, ["g"], "v", "k", trim_frac=0.01).first()
+    assert r.n_kept == 98 and r.min_kept == 10 and r.max_kept == 10
+    assert r.mean_kept == 10.0
+
+
+def test_equidepth_histogram_bins(spark):
+    from index_spark.operators.stats import equidepth_histogram
+
+    df = spark.createDataFrame([(i, i) for i in range(100)], "v long, k long")
+    bins = {r.bin: r for r in equidepth_histogram(df, "v", "k", bins=10).collect()}
+    assert len(bins) == 10
+    assert all(bins[b].n == 10 for b in bins)
+    assert bins[1].lo == 0 and bins[10].hi == 99
+
+
+# -------------------------------------------------------------------- kmv
+def test_kmv_by_group_exact_below_k(spark):
+    from index_spark.operators.sampling import kmv_by_group
+
+    rows = [("a", i % 5) for i in range(100)] + [("b", i) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, u long")
+    got = {r.g: r for r in kmv_by_group(df, "g", "u", k=32).collect()}
+    # group a has 5 distinct (< k): exact
+    assert got["a"].est_distinct == 5 and got["a"].k_used == 5
+    # group b has 200 distinct: sketch estimate within 40%
+    assert got["b"].k_used == 32 and 120 <= got["b"].est_distinct <= 280
