@@ -4155,6 +4155,80 @@ def q_kmv_groups(spark, sf_dir):
     return kmv_by_group(events, "event_type", "user_id", k=32)
 
 
+def q_change_feed(spark, sf_dir):
+    """Multi-version CDF (Delta table_changes shape): three commits, then
+    one feed of every (key, change, version) step — churn rows only,
+    carried files classified by writer-version without value reads. The
+    oracle replays the three commits' algebra."""
+    from index_spark.snapshots import SnapshotStore
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 2000)
+    )
+    d = tempfile.mkdtemp(prefix="cfq_")
+    try:
+        store = SnapshotStore(spark, d + "/idx")
+        h = store.create(["o_orderkey"], df=orders, rows_per_partition=500)
+        upd = orders.filter(
+            (F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 150)
+        ).withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        ins = orders.filter(F.col("o_orderkey") <= 10).select(
+            (F.col("o_orderkey") + 500000).alias("o_orderkey"), "o_totalprice"
+        )
+        h1 = h.insert(upd.unionByName(ins), upsert=True, version="cf-up")
+        h2 = h1.delete_where(
+            (F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 510), version="cf-del"
+        )
+        feed = store.change_feed(0, h2.version).select(
+            "o_orderkey", "change", "version"
+        )
+        return spark.createDataFrame(feed.collect(), feed.schema)  # materialize pre-rmtree
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_bloom_point(spark, sf_dir):
+    """Manifest Bloom file skipping: after interleaved upserts overlap the
+    file key ranges, fit per-file key blooms, then point-probe — the plan
+    must open fewer files than the version holds (asserted), and results
+    equal the plain pushdown get. Probes aggregate for the hash gate."""
+    from index_spark.snapshots import SnapshotStore
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 2000)
+    )
+    d = tempfile.mkdtemp(prefix="bfq_")
+    try:
+        store = SnapshotStore(spark, d + "/idx")
+        h = store.create(["o_orderkey"], df=orders, rows_per_partition=200)
+        h1 = h.upsert_partial(
+            [{"o_orderkey": 7, "o_totalprice": 1.0},
+             {"o_orderkey": 1999, "o_totalprice": 2.0}]
+        )
+        store.build_blooms()
+        head = store.at_version(h1.version)
+        n_files = len(store._version_row(h1.version)["files"])
+        probes = [7, 399, 801, 1202, 1603, 1999]
+        parts = [head.read_point(p) for p in probes]
+        assert all(len(pp.inputFiles()) < n_files for pp in parts), "no pruning"
+        out = parts[0]
+        for pp in parts[1:]:
+            out = out.unionByName(pp)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            _sum_cents(F.col("o_totalprice"), "total"),
+            F.min("o_orderkey").alias("min_k"),
+            F.max("o_orderkey").alias("max_k"),
+        )
+        return spark.createDataFrame(agg.collect(), agg.schema)  # materialize pre-rmtree
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def build_oracles() -> dict[str, str]:
     rev_cents = f"{_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')})"
     dup_docs = (
@@ -5690,6 +5764,26 @@ def build_oracles() -> dict[str, str]:
         "SELECT bin, CAST(count(*) AS BIGINT) AS n, min(cents) AS lo, max(cents) AS hi "
         "FROM b GROUP BY 1"
     )
+    out["change_feed"] = (
+        "WITH base AS (SELECT o_orderkey FROM orders WHERE o_orderkey <= 2000), "
+        "f AS ("
+        "  SELECT o_orderkey, 'update' AS change, 1 AS version FROM base "
+        "    WHERE o_orderkey BETWEEN 100 AND 149 "
+        "  UNION ALL SELECT o_orderkey + 500000, 'insert', 1 FROM base WHERE o_orderkey <= 10 "
+        "  UNION ALL SELECT o_orderkey, 'delete', 2 FROM base "
+        "    WHERE o_orderkey BETWEEN 500 AND 509) "
+        "SELECT o_orderkey, change, CAST(version AS INTEGER) AS version FROM f"
+    )
+    out["bloom_point"] = (
+        "WITH live AS ("
+        "  SELECT o_orderkey, o_totalprice FROM orders "
+        "    WHERE o_orderkey <= 2000 AND o_orderkey NOT IN (7, 1999) "
+        "  UNION ALL SELECT 7, 1.0 UNION ALL SELECT 1999, 2.0), "
+        "hits AS (SELECT * FROM live WHERE o_orderkey IN (7, 399, 801, 1202, 1603, 1999)) "
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        + _sql_sum_cents("o_totalprice", "total")
+        + ", min(o_orderkey) AS min_k, max(o_orderkey) AS max_k FROM hits"
+    )
     out["kmv_groups"] = (
         "WITH fr AS (SELECT DISTINCT event_type, "
         "  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)"
@@ -5765,6 +5859,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_stats": q_winsorized_stats,
         "equidepth_hist": q_equidepth_hist,
         "kmv_groups": q_kmv_groups,
+        "change_feed": q_change_feed,
+        "bloom_point": q_bloom_point,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,
         "simhash_block_pairs": q_simhash_block_pairs,

@@ -61,6 +61,54 @@ def stat_row_to_file(r, key: Sequence[str]) -> dict:
     }
 
 
+_BLOOM_SAFE_DTYPES = {"tinyint", "smallint", "int", "bigint", "string"}
+
+
+def _bloom_positions_expr(key_cols: Sequence[str], m_bits: int, k: int):
+    """Spark-side bit positions for a row's key: k independent md5-based
+    hashes of the canonical 'v1|v2#i' string. The SAME bytes hash on the
+    driver side (:func:`_bloom_positions_py`) — parity holds because int
+    and string casts render identically in both runtimes (why blooms are
+    restricted to _BLOOM_SAFE_DTYPES)."""
+    s = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    return F.array(
+        *[
+            (
+                F.conv(F.substring(F.md5(F.concat(s, F.lit(f"#{i}"))), 1, 8), 16, 10)
+                .cast("long")
+                % m_bits
+            ).cast("int")
+            for i in range(k)
+        ]
+    )
+
+
+def _bloom_positions_py(vals: Sequence[Any], m_bits: int, k: int) -> list[int]:
+    import hashlib
+
+    s = "|".join(str(v) for v in vals)
+    return [
+        int(hashlib.md5((s + f"#{i}").encode()).hexdigest()[:8], 16) % m_bits
+        for i in range(k)
+    ]
+
+
+def _bloom_encode(positions: Sequence[int], m_bits: int) -> str:
+    import base64
+
+    bits = bytearray(m_bits // 8)
+    for p in positions:
+        bits[p // 8] |= 1 << (p % 8)
+    return base64.b64encode(bytes(bits)).decode("ascii")
+
+
+def _bloom_contains(b64: str, positions: Sequence[int]) -> bool:
+    import base64
+
+    bits = base64.b64decode(b64)
+    return all(bits[p // 8] & (1 << (p % 8)) for p in positions)
+
+
 class SnapshotStore:
     """Versioned parquet datasets + JSON manifest under ``base_path``.
 
@@ -393,6 +441,100 @@ class SnapshotStore:
         return self.spark.createDataFrame(
             rows, "version int, n_rows long, n_files int, writer_version string"
         )
+
+    def build_blooms(
+        self, version: Optional[int] = None, m_bits: int = 4096, k: int = 3
+    ) -> int:
+        """Per-file key Bloom filters into the manifest (the OPTIMIZE-style
+        metadata step; Delta/Iceberg ship the same idea as file-skipping
+        indexes). Zone maps prune point gets by key RANGE; once mutation
+        history makes file ranges overlap, a point probe still opens every
+        overlapping file. A ~4 KB bloom per file prunes by key CONTENT:
+        :meth:`VersionedIndex.read_point` skips any file whose filter
+        rejects the probe — the manifest-level analog of the reference's
+        exact leaf descent (Index.scala:62-99). One column-pruned scan of
+        the version's files; blooms live in the manifest row keyed by file
+        path. Restricted to int/string key columns (cast-to-string parity
+        between JVM and driver hashing). Returns the number of files
+        fitted. Advances the manifest stamp — writers take a fresh handle
+        afterwards (same contract as any metadata commit)."""
+        m = self._read_manifest()
+        key = m["key"]
+        row = next(
+            r
+            for r in m["versions"]
+            if r["version"] == (version if version is not None else m["versions"][-1]["version"])
+        )
+        files = row.get("files")
+        if not files:
+            raise ValueError("build_blooms requires a stats-bearing (file-listed) version")
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            *[f["path"] for f in files]
+        )
+        bad = [
+            (c, t) for c, t in df.select(*key).dtypes if t not in _BLOOM_SAFE_DTYPES
+        ]
+        if bad:
+            raise ValueError(
+                f"bloom filters need int/string key columns, got {bad}"
+            )
+        got = (
+            df.select(
+                F.input_file_name().alias("p"),
+                F.explode(_bloom_positions_expr(key, m_bits, k)).alias("pos"),
+            )
+            .groupBy("p")
+            .agg(F.collect_set("pos").alias("ps"))
+            .collect()
+        )
+        blooms = {
+            os.path.abspath(r.p.replace("file://", "")): _bloom_encode(r.ps, m_bits)
+            for r in got
+        }
+        row["blooms"] = blooms
+        row["bloom_m"] = m_bits
+        row["bloom_k"] = k
+        self._write_manifest(m)
+        return len(blooms)
+
+    def change_feed(self, from_version: int, to_version: int) -> DataFrame:
+        """Multi-version CDF (Delta's ``table_changes`` shape): one row per
+        (key, version-step) whose state changed, ``change ∈ {insert,
+        update, delete}`` stamped with the version that introduced it —
+        what an incremental downstream consumer replays instead of
+        re-diffing snapshots pairwise.
+
+        Built as the union of per-step :meth:`diff` plans. Under
+        file-level COW each step's full-outer join touches mostly CARRIED
+        (byte-identical) files on both sides, which the writer-version
+        comparison classifies without value reads, so a step's cost tracks
+        its churn, not the table size."""
+        if from_version > to_version:
+            raise ValueError(
+                f"change_feed requires from_version <= to_version, got "
+                f"{from_version} > {to_version}"
+            )
+        steps = [
+            self.diff(v, v + 1).withColumn(
+                "version", F.lit(v + 1).cast("int")
+            )
+            for v in range(from_version, to_version)
+        ]
+        if not steps:
+            key = self._read_manifest()["key"]
+            return (
+                self.read(from_version)
+                .select(*key)
+                .filter(F.lit(False))
+                .withColumn("change", F.lit(None).cast("string"))
+                .withColumn("__v_old", F.lit(None).cast("string"))
+                .withColumn("__v_new", F.lit(None).cast("string"))
+                .withColumn("version", F.lit(None).cast("int"))
+            )
+        out = steps[0]
+        for s in steps[1:]:
+            out = out.unionByName(s)
+        return out
 
     def rollback(self, to_version: int) -> int:
         """RESTORE: make the head a copy of ``to_version`` — a
@@ -1073,6 +1215,54 @@ class VersionedIndex(SortedIndex):
         return SortedIndex(pruned, self.key).range(
             frm, to, from_inclusive, to_inclusive, reverse, limit
         )
+
+    def read_point(self, k: Any) -> DataFrame:
+        """Point get with zone-map + Bloom file skipping: candidate files
+        must cover the probe per-column (manifest min/max) AND pass the
+        per-file key Bloom when :meth:`SnapshotStore.build_blooms` has
+        fitted one — so overlapping-range files that merely straddle the
+        key are skipped without opening a footer. Equals ``self.get(k)``
+        always (blooms have no false negatives; the exact key-equality
+        residual still applies). Falls back to the plain pushdown get for
+        stat-less versions."""
+        from index_spark.keys import as_tuple, key_eq
+
+        vals = as_tuple(k)
+        assert len(vals) == len(self.key), "read_point requires the full key"
+        if self._empty or self.version is None:
+            raise ValueError("read_point on an empty index (no committed version)")
+        vrow = self.store._version_row(self.version)
+        files = vrow.get("files")
+        if not files:
+            return self.get(vals)
+
+        def may_contain(f: dict) -> bool:
+            try:
+                return all(
+                    f["min"][i] <= vals[i] <= f["max"][i] for i in range(len(vals))
+                )
+            except TypeError:
+                return True  # stats not comparable → keep
+
+        cands = [f for f in files if may_contain(f)]
+        blooms = vrow.get("blooms")
+        if blooms:
+            pos = _bloom_positions_py(vals, vrow["bloom_m"], vrow["bloom_k"])
+            cands = [
+                f
+                for f in cands
+                if f["path"] not in blooms
+                or _bloom_contains(blooms[f["path"]], pos)
+            ]
+        if not cands:
+            # empty LOCAL relation, not self.df.filter(False): the latter
+            # still lists every file in the plan
+            return self.store.spark.createDataFrame([], self.df.schema)
+        pruned = self.store.spark.read.option("mergeSchema", "true").parquet(
+            *[f["path"] for f in cands]
+        )
+        pruned = self.store._apply_tombstones(pruned, vrow)
+        return pruned.filter(key_eq(self.key, vals))
 
     # ---------------------------------------------------------- MERGE INTO
     def merge_into(

@@ -1,0 +1,101 @@
+"""Round-4 store features: multi-version change feed (table_changes shape)
+and manifest Bloom filters for point-get file skipping."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from index_spark.snapshots import SnapshotStore, _bloom_positions_py
+
+
+def _mk(spark, base, n=30, rpp=10):
+    store = SnapshotStore(spark, base + "/idx")
+    h = store.create(
+        ["k"],
+        df=spark.createDataFrame([(i, float(i)) for i in range(n)], "k long, v double"),
+        rows_per_partition=rpp,
+    )
+    return store, h
+
+
+# ------------------------------------------------------------- change feed
+def test_change_feed_stamps_each_step(spark, tmp_base):
+    store, h = _mk(spark, tmp_base)
+    h1 = h.insert([{"k": 100, "v": 1.0}, {"k": 5, "v": 5.5}], upsert=True, version="w1")
+    h2 = h1.remove([{"k": 7}], version="w2")
+    feed = store.change_feed(0, h2.version).collect()
+    got = {(r.k, r.change, r.version) for r in feed}
+    assert (100, "insert", 1) in got
+    assert (5, "update", 1) in got
+    assert (7, "delete", 2) in got
+    # churn only: carried rows never appear
+    assert len(feed) == 3
+
+
+def test_change_feed_empty_range(spark, tmp_base):
+    store, h = _mk(spark, tmp_base)
+    assert store.change_feed(0, 0).count() == 0
+
+
+def test_change_feed_spans_mor_delete(spark, tmp_base):
+    store, h = _mk(spark, tmp_base)
+    h2 = h.delete_where_mor(F.col("k") < 3, version="mor")
+    got = {(r.k, r.change, r.version) for r in store.change_feed(0, h2.version).collect()}
+    assert got == {(0, "delete", 1), (1, "delete", 1), (2, "delete", 1)}
+
+
+# ------------------------------------------------------------------ blooms
+def test_bloom_point_get_prunes_and_matches(spark, tmp_base):
+    store, h = _mk(spark, tmp_base, n=60, rpp=10)
+    # interleaved upserts create overlapping file ranges
+    h1 = h.upsert_partial([{"k": 5, "v": 5.5}, {"k": 55, "v": 55.5}])
+    n = store.build_blooms()
+    assert n == len(store._version_row(h1.version)["files"])
+    head = store.at_version(h1.version)
+    for probe in (5, 17, 55):
+        got = head.read_point(probe).select("k", "v").collect()
+        want = head.get(probe).select("k", "v").collect()
+        assert got == want and len(got) == 1
+    # pruning: the probe's plan reads fewer files than the version holds
+    n_files = len(store._version_row(h1.version)["files"])
+    assert len(head.read_point(17).inputFiles()) < n_files
+
+
+def test_bloom_absent_key_reads_no_or_few_files(spark, tmp_base):
+    store, h = _mk(spark, tmp_base, n=40, rpp=10)
+    store.build_blooms()
+    head = store.latest()
+    # a key inside the global range but absent: zone maps alone cannot
+    # prune it; the bloom usually can (false positives allowed, never
+    # false negatives) — correctness is the empty result either way
+    assert head.read_point(17).count() == 1  # present sanity
+    df = head.read_point(1_000_000)
+    assert df.count() == 0
+
+
+def test_bloom_positions_parity(spark, tmp_base):
+    # the Spark-side expression and the driver-side hash must agree, or
+    # pruning would silently drop real rows
+    from index_spark.snapshots import _bloom_positions_expr
+
+    df = spark.createDataFrame([(42, "x")], "k long, s string")
+    got = df.select(_bloom_positions_expr(["k", "s"], 4096, 3).alias("p")).first().p
+    assert got == _bloom_positions_py((42, "x"), 4096, 3)
+
+
+def test_bloom_rejects_unsafe_key_types(spark, tmp_base):
+    store = SnapshotStore(spark, tmp_base + "/f")
+    store.create(
+        ["k"],
+        df=spark.createDataFrame([(1.5, 1.0)], "k double, v double"),
+    )
+    with pytest.raises(ValueError, match="int/string"):
+        store.build_blooms()
+
+
+def test_bloom_survives_tombstones(spark, tmp_base):
+    store, h = _mk(spark, tmp_base, n=40, rpp=10)
+    h2 = h.delete_where_mor(F.col("k") == 17)
+    store.build_blooms(version=h2.version)
+    head = store.at_version(h2.version)
+    assert head.read_point(17).count() == 0  # bloom hit, tombstone wins
+    assert head.read_point(18).count() == 1
