@@ -27,6 +27,22 @@ def tmp_base():
     shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.fixture()
+def tmp_base_factory():
+    # hypothesis reuses function-scoped fixtures across examples; store
+    # tests need a FRESH dir per example, so hand out a factory instead
+    dirs = []
+
+    def make():
+        d = tempfile.mkdtemp(prefix="index_spark_")
+        dirs.append(d)
+        return d
+
+    yield make
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @pytest.fixture(scope="session")
 def orders(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
