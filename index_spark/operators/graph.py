@@ -177,9 +177,15 @@ def pagerank_int(
     """
     # edge list + per-source degree computed ONCE and persisted: building
     # degrees/nodes and every iteration would otherwise re-evaluate the
-    # caller's (often expensive) edge derivation 4+ times (at cluster
-    # scale: pre-partition on src and reuse the layout across iterations)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    # caller's (often expensive) edge derivation 4+ times. The explicit
+    # repartition on src keys the persisted layout so the degree groupBy
+    # reuses it with no further exchange (and caps the partition count a
+    # union-of-unions input would otherwise inflate).
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(F.col("src"))
+        .persist()
+    )
     ed = e.join(
         e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), on="src"
     ).persist()
@@ -193,13 +199,18 @@ def pagerank_int(
     base = (total_mass * (100 - damping_pct)) // (100 * n)
     ranks = nodes.withColumn("rank", F.lit(total_mass // n).cast("long"))
     for _ in range(iterations):
+        # ranks is node-sized — broadcast it so the (persisted, src-keyed)
+        # edge table never re-enters an exchange: per iteration the only
+        # shuffle left is the map-side-combined groupBy(dst). At node
+        # counts past broadcast reach, drop the hint and pre-partition
+        # both sides on src once instead.
         contribs = (
-            ed.join(ranks, ed["src"] == ranks["node"])
+            ed.join(F.broadcast(ranks), ed["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), F.expr("rank div deg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = nodes.join(contribs, on="node", how="left").select(
+        ranks = nodes.join(F.broadcast(contribs), on="node", how="left").select(
             "node",
             (
                 F.lit(base)

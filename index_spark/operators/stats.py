@@ -228,3 +228,59 @@ def equidepth_histogram(
         F.min(value_col).alias("lo"),
         F.max(value_col).alias("hi"),
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    qs: Sequence[float],
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Exact discrete quantiles of a huge column WITHOUT a global
+    single-reducer sort — the multi-quantile generalization of the
+    two-level split-median plan (``driver_queries.q_split_median``):
+
+    1. bucket values by ``floor(value / bucket_width)`` and aggregate
+       per-bucket counts — one partial-agg shuffle producing a tiny
+       table; its cumulative sum locates, for EVERY requested rank
+       ``⌈q·n⌉`` at once, the one bucket containing it;
+    2. rank only inside the hit buckets (``partitionBy(bucket)``, rows
+       bounded by the bucket width) and read the value at each rank.
+
+    Nothing funnels the full table through one task; cost is one count,
+    one bucket-count shuffle, and one bounded per-bucket sort — at 100 TB
+    this is THE way to get exact percentiles (``percentile_disc``
+    semantics: value at rank ``⌈q·n⌉``). ``tie_col`` only makes the
+    within-bucket ordering deterministic; the value at a global rank is
+    tie-invariant. Returns (p DOUBLE, value) one row per requested q."""
+    import math
+
+    n = df.count()
+    if n == 0:
+        raise ValueError("exact_quantiles of an empty DataFrame")
+    rank_of = {float(q): max(1, math.ceil(float(q) * n)) for q in qs}
+    targets = sorted(set(rank_of.values()))
+    b = F.floor(F.col(value_col) / F.lit(int(bucket_width))).cast("long")
+    keyed = df.select(F.col(value_col), F.col(tie_col), b.alias("__b"))
+    counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.withColumn("__before", F.coalesce(F.sum("__c").over(wb), F.lit(0)))
+    hit_any = None
+    for t in targets:
+        cond = (F.col("__before") < t) & (F.col("__before") + F.col("__c") >= t)
+        hit_any = cond if hit_any is None else (hit_any | cond)
+    hits = cum.filter(hit_any).select("__b", "__before")
+    win = Window.partitionBy("__b").orderBy(value_col, tie_col)
+    at_rank = (
+        keyed.join(F.broadcast(hits), "__b")
+        .withColumn("__rn", F.row_number().over(win))
+        .withColumn("__rank", F.col("__before") + F.col("__rn"))
+        .filter(F.col("__rank").isin(targets))
+        .select("__rank", F.col(value_col).alias("value"))
+    )
+    spark = df.sparkSession
+    want = spark.createDataFrame(
+        [(p, r) for p, r in rank_of.items()], "p double, __rank long"
+    )
+    return want.join(F.broadcast(at_rank), "__rank").select("p", "value")

@@ -4229,6 +4229,23 @@ def q_bloom_point(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_exact_quantiles(spark, sf_dir):
+    """Exact multi-quantile over order totals WITHOUT a global sort: one
+    bucket-count shuffle locates every target rank's bucket, then a
+    bounded per-bucket rank reads the values — the multi-quantile
+    generalization of the split_median two-level plan. percentile_disc
+    semantics (value at rank ceil(q*n)); the oracle ranks the full column
+    (fine at oracle scale)."""
+    from index_spark.operators.stats import exact_quantiles
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        _cents(F.col("o_totalprice")).alias("cents"), "o_orderkey"
+    )
+    return exact_quantiles(
+        orders, "cents", "o_orderkey", [0.25, 0.5, 0.75, 0.95], bucket_width=100000
+    )
+
+
 def build_oracles() -> dict[str, str]:
     rev_cents = f"{_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')})"
     dup_docs = (
@@ -5784,6 +5801,15 @@ def build_oracles() -> dict[str, str]:
         + _sql_sum_cents("o_totalprice", "total")
         + ", min(o_orderkey) AS min_k, max(o_orderkey) AS max_k FROM hits"
     )
+    out["exact_quantiles"] = (
+        f"WITH v AS (SELECT {_sql_cents('o_totalprice')} AS cents FROM orders), "
+        "n AS (SELECT count(*) AS n FROM v), "
+        "r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM v), "
+        "t AS (SELECT CAST(p AS DOUBLE) AS p, "
+        "  greatest(1, CAST(ceil(CAST(p AS DOUBLE) * n) AS BIGINT)) AS rank "
+        "  FROM (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p), n) "
+        "SELECT t.p, r.cents AS value FROM t JOIN r ON r.rn = t.rank"
+    )
     out["kmv_groups"] = (
         "WITH fr AS (SELECT DISTINCT event_type, "
         "  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)"
@@ -5861,6 +5887,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_groups": q_kmv_groups,
         "change_feed": q_change_feed,
         "bloom_point": q_bloom_point,
+        "exact_quantiles": q_exact_quantiles,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,
         "simhash_block_pairs": q_simhash_block_pairs,

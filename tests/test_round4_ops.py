@@ -132,3 +132,26 @@ def test_kmv_by_group_exact_below_k(spark):
     assert got["a"].est_distinct == 5 and got["a"].k_used == 5
     # group b has 200 distinct: sketch estimate within 40%
     assert got["b"].k_used == 32 and 120 <= got["b"].est_distinct <= 280
+
+
+def test_exact_quantiles_matches_sorted_model(spark):
+    import math
+
+    from index_spark.operators.stats import exact_quantiles
+
+    vals = [((i * 7919) % 1000) - 200 for i in range(500)]
+    df = spark.createDataFrame([(v, i) for i, v in enumerate(vals)], "v long, k long")
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    got = {r.p: r.value for r in exact_quantiles(df, "v", "k", qs, bucket_width=64).collect()}
+    s = sorted(vals)
+    want = {q: s[max(1, math.ceil(q * len(s))) - 1] for q in qs}
+    assert got == want
+
+
+def test_exact_quantiles_duplicate_ranks_and_tiny_input(spark):
+    from index_spark.operators.stats import exact_quantiles
+
+    df = spark.createDataFrame([(5, 0), (7, 1)], "v long, k long")
+    got = {r.p: r.value for r in exact_quantiles(df, "v", "k", [0.1, 0.5, 0.9]).collect()}
+    # ceil(0.1*2)=1 -> 5; ceil(0.5*2)=1 -> 5; ceil(0.9*2)=2 -> 7
+    assert got == {0.1: 5, 0.5: 5, 0.9: 7}
