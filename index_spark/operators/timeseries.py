@@ -153,3 +153,41 @@ def hourly_anomalies(
         .filter(F.abs(F.col("z")) >= F.lit(float(z_min)))
         .select(series, "h", "n", "z")
     )
+
+
+def ohlc_hourly(
+    events: DataFrame,
+    value: str = "value",
+    ts_us: str = "ts_us",
+    tie: str = "event_id",
+    series: str = "event_type",
+) -> DataFrame:
+    """Per-series hourly OHLC resample (open/high/low/close + count) —
+    the standard downsample for any metric stream. Open/close are the
+    values at the first/last event of the hour by ``(ts, tie)`` — the
+    unique tie-break makes both deterministic (and engine-portable; an
+    unqualified first_value over equal timestamps is not).
+
+    ONE shuffle: the window partitions by (series, hour) and the groupBy
+    reuses that partitioning, so ranking and aggregation share a single
+    exchange."""
+    h = (F.col(ts_us) / F.lit(US_PER_HOUR)).cast("long")
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy(series, "h").orderBy(ts_us, tie)
+    wd = Window.partitionBy(series, "h").orderBy(
+        F.col(ts_us).desc(), F.col(tie).desc()
+    )
+    return (
+        events.select(series, h.alias("h"), F.col(value), F.col(ts_us), F.col(tie))
+        .withColumn("__ra", F.row_number().over(wa))
+        .withColumn("__rd", F.row_number().over(wd))
+        .groupBy(series, "h")
+        .agg(
+            F.round(F.min(F.when(F.col("__ra") == 1, F.col(value))), 6).alias("open"),
+            F.round(F.max(value), 6).alias("high"),
+            F.round(F.min(value), 6).alias("low"),
+            F.round(F.min(F.when(F.col("__rd") == 1, F.col(value))), 6).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -4246,6 +4246,17 @@ def q_exact_quantiles(spark, sf_dir):
     )
 
 
+def q_ohlc_hourly(spark, sf_dir):
+    """Per-event-type hourly OHLC resample: open/close via deterministic
+    (ts, event_id) first/last ranks, high/low plain extrema — one
+    exchange shared by the window and the groupBy. Filtered to hours with
+    >= 3 events to keep the result compact."""
+    from index_spark.operators.timeseries import ohlc_hourly
+
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_hourly(ev).filter(F.col("n") >= 3)
+
+
 def build_oracles() -> dict[str, str]:
     rev_cents = f"{_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')})"
     dup_docs = (
@@ -5810,6 +5821,21 @@ def build_oracles() -> dict[str, str]:
         "  FROM (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p), n) "
         "SELECT t.p, r.cents AS value FROM t JOIN r ON r.rn = t.rank"
     )
+    out["ohlc_hourly"] = (
+        "WITH e AS (SELECT event_type, epoch_us(ts)//3600000000 AS h, value, "
+        "  epoch_us(ts) AS tu, event_id, "
+        "  row_number() OVER (PARTITION BY event_type, epoch_us(ts)//3600000000 "
+        "    ORDER BY epoch_us(ts), event_id) AS ra, "
+        "  row_number() OVER (PARTITION BY event_type, epoch_us(ts)//3600000000 "
+        "    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rd "
+        "  FROM events) "
+        "SELECT event_type, h, "
+        "round(min(CASE WHEN ra = 1 THEN value END), 6) AS open, "
+        "round(max(value), 6) AS high, round(min(value), 6) AS low, "
+        "round(min(CASE WHEN rd = 1 THEN value END), 6) AS close, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM e GROUP BY 1, 2 HAVING count(*) >= 3"
+    )
     out["kmv_groups"] = (
         "WITH fr AS (SELECT DISTINCT event_type, "
         "  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)"
@@ -5888,6 +5914,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_feed": q_change_feed,
         "bloom_point": q_bloom_point,
         "exact_quantiles": q_exact_quantiles,
+        "ohlc_hourly": q_ohlc_hourly,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,
         "simhash_block_pairs": q_simhash_block_pairs,

@@ -789,7 +789,12 @@ class SnapshotStore:
         return best
 
     # -------------------------------------------------------------- vacuum
-    def vacuum(self, keep_last: int = 1, pin: Optional[set[int]] = None) -> list[int]:
+    def vacuum(
+        self,
+        keep_last: int = 1,
+        pin: Optional[set[int]] = None,
+        dry_run: bool = False,
+    ) -> list[int]:
         """Garbage-collect snapshot data (SURVEY.md §7 risk register:
         one COW version per batch proliferates files).
 
@@ -801,8 +806,11 @@ class SnapshotStore:
         With file-level COW a kept version may reference files living
         under a dropped version's directory, so deletion is per-FILE:
         only files referenced by no kept version are removed. Returns the
-        removed version numbers. Single-writer contract applies — do not
-        vacuum concurrently with a writer holding an older base version."""
+        removed version numbers. ``dry_run=True`` returns the versions
+        that WOULD be dropped without touching manifest or disk (the
+        Delta ``VACUUM DRY RUN`` shape — check the blast radius first).
+        Single-writer contract applies — do not vacuum concurrently with
+        a writer holding an older base version."""
         import glob as _glob
         import shutil as _shutil
 
@@ -812,6 +820,8 @@ class SnapshotStore:
         pinned |= {h["version"] for h in m["history"]}
         pinned |= set(pin or ()) & set(versions)
         removed = [v for v in versions if v not in pinned]
+        if dry_run:
+            return removed
 
         import re as _re
 

@@ -5,6 +5,7 @@ Example counts stay small: every example pays local Spark jobs."""
 import hashlib
 from collections import defaultdict
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -142,3 +143,53 @@ def test_read_point_equals_get_with_blooms(spark, tmp_base_factory, keys, probes
         want = sorted(tuple(r) for r in head.get(p).select("k", "v").collect())
         assert got == want
         assert len(got) == (1 if p in keys else 0)
+
+
+# --------------------------------------- MOR mixed with the other verbs
+@SET
+@given(
+    ops=st.lists(
+        st.tuples(st.sampled_from(["mor", "upsert", "remove", "cow_del"]), st.integers(0, 19)),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_mor_interleaved_with_mutations_matches_model(spark, tmp_base_factory, ops):
+    from index_spark.errors import KeyNotFoundError
+    from index_spark.snapshots import SnapshotStore
+
+    base = tmp_base_factory()
+    store = SnapshotStore(spark, base + "/idx")
+    h = store.create(
+        ["k"],
+        df=spark.createDataFrame([(i, 0.0) for i in range(20)], "k long, v double"),
+        rows_per_partition=6,
+    )
+    model = {i: 0.0 for i in range(20)}
+    for i, (op, x) in enumerate(ops):
+        if op == "mor":
+            doomed = {k for k in model if k % 5 == x % 5}
+            h2 = h.delete_where_mor(F.col("k") % 5 == x % 5)
+            for k in doomed:
+                del model[k]
+            if doomed:
+                h = h2
+        elif op == "upsert":
+            h = h.insert([{"k": x, "v": float(i + 1)}], upsert=True)
+            model[x] = float(i + 1)
+        elif op == "remove":
+            if x in model:
+                h = h.remove([{"k": x}])
+                del model[x]
+            else:
+                with pytest.raises(KeyNotFoundError):
+                    h.remove([{"k": x}])
+        else:  # cow_del
+            doomed = {k for k in model if k > 20 - x}
+            if doomed:
+                h = h.delete_where(F.col("k") > 20 - x)
+                for k in doomed:
+                    del model[k]
+        got = {r.k: r.v for r in h.df.select("k", "v").collect()}
+        assert got == model
+        assert h.count() == len(model)

@@ -99,3 +99,19 @@ def test_bloom_survives_tombstones(spark, tmp_base):
     head = store.at_version(h2.version)
     assert head.read_point(17).count() == 0  # bloom hit, tombstone wins
     assert head.read_point(18).count() == 1
+
+
+def test_vacuum_dry_run_touches_nothing(spark, tmp_base):
+    import glob
+
+    store, h = _mk(spark, tmp_base)
+    h1 = h.insert([{"k": 100, "v": 1.0}], upsert=True)
+    h2 = h1.insert([{"k": 101, "v": 2.0}], upsert=True)
+    before = sorted(glob.glob(tmp_base + "/idx/**", recursive=True))
+    would = store.vacuum(keep_last=1, dry_run=True)
+    assert sorted(would) == [0, 1]
+    # nothing moved: same files on disk, every version still readable
+    assert sorted(glob.glob(tmp_base + "/idx/**", recursive=True)) == before
+    assert store.at_version(0).df.count() == 30
+    # the real vacuum then removes exactly what the dry run promised
+    assert store.vacuum(keep_last=1) == would
