@@ -1,1 +1,11 @@
-from index_spark.operators import asof, decontam, dedup, quality, similarity, stats  # noqa: F401
+from index_spark.operators import (  # noqa: F401
+    asof,
+    decontam,
+    dedup,
+    postings,
+    quality,
+    quota,
+    similarity,
+    splits,
+    stats,
+)

@@ -115,3 +115,33 @@ def test_vacuum_dry_run_touches_nothing(spark, tmp_base):
     assert store.at_version(0).df.count() == 30
     # the real vacuum then removes exactly what the dry run promised
     assert store.vacuum(keep_last=1) == would
+
+
+def test_diff_reads_only_changed_files(spark, tmp_base):
+    store, h = _mk(spark, tmp_base, n=60, rpp=10)  # 6 files
+    h1 = h.upsert_partial([{"k": 5, "v": 5.5}])  # touches 1 file
+    d = store.diff(0, h1.version)
+    assert {(r.k, r.change) for r in d.collect()} == {(5, "update")}
+    n_total = len(store._version_row(0)["files"]) + len(
+        store._version_row(h1.version)["files"]
+    )
+    # symmetric-difference pruning: only the replaced + replacement files
+    assert 0 < len(d.inputFiles()) < n_total
+    assert len(d.inputFiles()) <= 3
+
+
+def test_diff_pruned_equals_full_after_rollback_and_evolution(spark, tmp_base):
+    store, h = _mk(spark, tmp_base, n=20, rpp=5)
+    h1 = h.insert(
+        spark.createDataFrame([(3, 3.5, "x"), (99, 9.9, "y")], "k long, v double, f string"),
+        upsert=True,
+        version="ev",
+        allow_new_columns=True,
+    )
+    store.rollback(0)
+    restored = store.latest_version()
+    # diff across the restore reports exactly the undone rows
+    got = {(r.k, r.change) for r in store.diff(h1.version, restored).collect()}
+    assert got == {(3, "update"), (99, "delete")}
+    # and a version diffed against itself is empty
+    assert store.diff(restored, restored).count() == 0
