@@ -77,3 +77,72 @@ def duplicate_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def trim_duplicate_spans(
+    df: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Remove corpus-duplicated spans from every document (the actual
+    dedup step of Lee et al. 2021, not just the statistics): a token is
+    dropped when it lies inside ANY k-gram whose hash occurs ≥ 2 times
+    corpus-wide; the survivors re-join in order. Operates on lowercased
+    whitespace tokens (the dedup pipeline's canonical form).
+
+    Relational shape end-to-end — no per-doc quadratic work: positional
+    k-grams join the (hash → duplicated) table on the hash, duplicated
+    starts explode into covered token positions, and an anti-join keeps
+    the uncovered tokens. Shuffles carry (id, position) pairs and 28-bit
+    hashes only; the text rides one final per-doc rebuild.
+
+    Returns ``(id_col, clean_text, n_kept, n_removed)`` for every doc
+    with ≥ 1 token."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(TX.tokens(F.lower(F.col(text_col)))).alias("j", "tok"),
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(TX.word_ngrams_all(F.lower(F.col(text_col)), k)).alias(
+            "i", "__g"
+        ),
+    ).select(
+        id_col,
+        "i",
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 7), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("tot"))
+        .filter(F.col("tot") >= 2)
+        .select("h")
+    )
+    covered = (
+        grams.join(dup, on="h")
+        .select(id_col, F.explode(F.sequence(F.col("i"), F.col("i") + (k - 1))).alias("j"))
+        .distinct()
+    )
+    kept = toks.join(covered, on=[id_col, "j"], how="left_anti")
+    removed = toks.join(covered, on=[id_col, "j"], how="left_semi")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "tok"))), lambda s: s["tok"]
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    n_rm = removed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_removed"))
+    all_docs = toks.select(id_col).distinct()
+    return (
+        all_docs.join(rebuilt, on=id_col, how="left")
+        .join(n_rm, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )

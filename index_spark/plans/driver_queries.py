@@ -4257,6 +4257,29 @@ def q_ohlc_hourly(spark, sf_dir):
     return ohlc_hourly(ev).filter(F.col("n") >= 3)
 
 
+def q_span_trim(spark, sf_dir):
+    """Duplicate-SPAN REMOVAL (Lee et al. dedup applied, not just
+    counted): tokens inside any corpus-duplicated 5-gram are dropped and
+    the survivors re-join in order — all relational (positions + 28-bit
+    hashes shuffle; no per-doc loops). Clean text verified by md5 so the
+    reconstruction itself hash-gates. Sampled to doc_id % 7 == 0."""
+    from index_spark.operators.spans import trim_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    out = trim_duplicate_spans(corpus, k=5)
+    return out.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_kept",
+        "n_removed",
+    )
+
+
 def build_oracles() -> dict[str, str]:
     rev_cents = f"{_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')})"
     dup_docs = (
@@ -5836,6 +5859,26 @@ def build_oracles() -> dict[str, str]:
         "CAST(count(*) AS BIGINT) AS n "
         "FROM e GROUP BY 1, 2 HAVING count(*) >= 3"
     )
+    out["span_trim"] = (
+        f"WITH corpus AS ({dup_docs}), "
+        f"t AS (SELECT doc_id, {SQL_TOKS_LOWER} AS w FROM corpus), "
+        "g AS (SELECT doc_id, i - 1 AS i0, "
+        "  ('0x'||substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])),1,7))::BIGINT AS h "
+        "  FROM t, UNNEST(range(1, greatest(len(w)-3, 1))) r(i) WHERE len(w) >= 5), "
+        "dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2), "
+        "cov AS (SELECT DISTINCT g.doc_id, i0 + d AS j FROM g JOIN dup USING(h), "
+        "  UNNEST(range(0, 5)) rr(d)), "
+        "tok AS (SELECT doc_id, i - 1 AS j, w[i] AS tok FROM t, "
+        "  UNNEST(range(1, len(w) + 1)) r(i)), "
+        "kept AS (SELECT tok.* FROM tok ANTI JOIN cov USING (doc_id, j)), "
+        "reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text, "
+        "  CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1), "
+        "alln AS (SELECT doc_id, len(w) AS n FROM t WHERE len(w) >= 1) "
+        "SELECT a.doc_id, md5(coalesce(r.clean_text, '')) AS clean_md5, "
+        "CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept, "
+        "CAST(a.n - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed "
+        "FROM alln a LEFT JOIN reb r USING (doc_id) WHERE a.doc_id % 7 = 0"
+    )
     out["kmv_groups"] = (
         "WITH fr AS (SELECT DISTINCT event_type, "
         "  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)"
@@ -5915,6 +5958,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_point": q_bloom_point,
         "exact_quantiles": q_exact_quantiles,
         "ohlc_hourly": q_ohlc_hourly,
+        "span_trim": q_span_trim,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,
         "simhash_block_pairs": q_simhash_block_pairs,

@@ -155,3 +155,42 @@ def test_exact_quantiles_duplicate_ranks_and_tiny_input(spark):
     got = {r.p: r.value for r in exact_quantiles(df, "v", "k", [0.1, 0.5, 0.9]).collect()}
     # ceil(0.1*2)=1 -> 5; ceil(0.5*2)=1 -> 5; ceil(0.9*2)=2 -> 7
     assert got == {0.1: 5, 0.5: 5, 0.9: 7}
+
+
+def test_trim_duplicate_spans_matches_model(spark):
+    import hashlib
+
+    from index_spark.operators.spans import trim_duplicate_spans
+
+    docs = [
+        (1, "the quick brown fox jumps over a lazy dog tonight"),
+        (2, "something else entirely here the quick brown fox jumps again now"),
+        (3, "totally unique words without any repeats at all ok"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in trim_duplicate_spans(df, k=5).collect()}
+
+    # python model
+    k = 5
+    grams = []
+    for d, t in docs:
+        w = t.lower().split()
+        for i in range(max(len(w) - k + 1, 0)):
+            h = int(hashlib.md5(" ".join(w[i : i + k]).encode()).hexdigest()[:7], 16)
+            grams.append((d, i, h))
+    from collections import Counter
+
+    tot = Counter(h for _, _, h in grams)
+    covered = {}
+    for d, i, h in grams:
+        if tot[h] >= 2:
+            covered.setdefault(d, set()).update(range(i, i + k))
+    for d, t in docs:
+        w = t.lower().split()
+        keep = [w[j] for j in range(len(w)) if j not in covered.get(d, set())]
+        assert got[d].clean_text == " ".join(keep)
+        assert got[d].n_kept == len(keep)
+        assert got[d].n_removed == len(w) - len(keep)
+    # the planted cross-doc span is actually removed
+    assert "quick brown fox" not in got[1].clean_text
+    assert got[3].n_removed == 0
