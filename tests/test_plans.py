@@ -81,6 +81,12 @@ def test_no_cartesian_anywhere_in_core_queries(plans):
         "band_join_events", "knn_graph", "pit_join", "segment_dedup",
         "fuzzy_token_pairs", "longest_streak", "gapfill_hourly",
         "epoch_shuffle", "lang_rebalance", "window_ranks",
+        # round-4 additions: quota window, postings explode-aggregate,
+        # cross-split LSH leakage, rank trims, span removal — all must
+        # stay equi-join/aggregate shapes
+        "domain_cap", "inverted_postings", "boolean_retrieval",
+        "split_leakage", "winsorized_stats", "kmv_groups",
+        "exact_quantiles", "ohlc_hourly", "span_trim",
     ]:
         p = plans(name)
         assert "CartesianProduct" not in p, name
@@ -250,3 +256,29 @@ def test_full_pipeline_text_in_at_most_one_exchange(plans):
             n_text_exchanges += 1
     assert n_text_exchanges <= 1, p
     assert "CartesianProduct" not in p
+
+
+def test_exact_quantiles_never_sorts_full_table(plans):
+    # the two-level plan may sort inside hit buckets and over the tiny
+    # bucket-count table, but the full orders scan must not feed a global
+    # single-partition sort
+    p = plans("exact_quantiles")
+    assert "CartesianProduct" not in p
+    import re
+
+    # every Sort in the plan sits above an Exchange hashpartitioning or the
+    # bucket-count aggregate — never above the raw scan partitioning
+    assert "rangepartitioning(cents" not in p.replace(" ", "")
+
+
+def test_domain_cap_is_two_phase_salted(plans):
+    p = plans("domain_cap")
+    # two window stages: (source, salt) then (source)
+    assert p.count("RunningWindowFunction") >= 2 or p.count("Window") >= 2
+
+
+def test_span_trim_pushes_projection(plans):
+    # the text column must be pruned out of the shuffled edges: the only
+    # wide column rides the token rebuild, never the hash joins
+    p = plans("span_trim")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
