@@ -4280,6 +4280,40 @@ def q_span_trim(spark, sf_dir):
     )
 
 
+def q_sharded_mor_delete(spark, sf_dir):
+    """Merge-on-read delete across a SHARDED logical index: every shard
+    writes only a key-tombstone sidecar behind one atomic catalog swap —
+    a logical predicate delete over N range-disjoint stores with zero
+    data files rewritten anywhere. The read path subtracts per-shard
+    tombstones; the oracle recomputes survivors from base algebra."""
+    from index_spark.sharded import ShardedIndex
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .filter(F.col("o_orderkey") < 12_000)
+    )
+    d = tempfile.mkdtemp(prefix="shmq_")
+    try:
+        sh = ShardedIndex.create(
+            spark, d + "/sh", ["o_orderkey"], orders, n_shards=4,
+            rows_per_partition=500_000,
+        )
+        changed = sh.delete_where(
+            F.col("o_orderdate") < F.lit("1997-01-01").cast("date"), mor=True
+        )
+        assert changed, "expected at least one shard to tombstone rows"
+        out = sh.in_order().groupBy().agg(
+            F.count(F.lit(1)).alias("n_live"),
+            _sum_cents(F.col("o_totalprice"), "total"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # materialize pre-rmtree
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def build_oracles() -> dict[str, str]:
     rev_cents = f"{_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')})"
     dup_docs = (
@@ -5879,6 +5913,12 @@ def build_oracles() -> dict[str, str]:
         "CAST(a.n - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed "
         "FROM alln a LEFT JOIN reb r USING (doc_id) WHERE a.doc_id % 7 = 0"
     )
+    out["sharded_mor_delete"] = (
+        "SELECT CAST(count(*) AS BIGINT) AS n_live, "
+        + _sql_sum_cents("o_totalprice", "total")
+        + ", min(o_orderdate) AS min_date, max(o_orderkey) AS max_key "
+        "FROM orders WHERE o_orderkey < 12000 AND o_orderdate >= DATE '1997-01-01'"
+    )
     out["kmv_groups"] = (
         "WITH fr AS (SELECT DISTINCT event_type, "
         "  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)"
@@ -5959,6 +5999,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         "ohlc_hourly": q_ohlc_hourly,
         "span_trim": q_span_trim,
+        "sharded_mor_delete": q_sharded_mor_delete,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,
         "simhash_block_pairs": q_simhash_block_pairs,

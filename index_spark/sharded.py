@@ -485,6 +485,46 @@ class ShardedIndex:
             self._write_catalog(cat)
         return changed
 
+    def delete_where(self, condition, mor: bool = False) -> dict[int, int]:
+        """Logical predicate delete across every shard behind ONE catalog
+        swap. The predicate is not key-bounded, so every non-empty shard
+        evaluates it against its own snapshot; shards with no matching
+        rows keep their pinned version (``delete_where_mor`` no-ops
+        without a commit; the COW path probes with a limit(1) first for
+        the same reason). ``mor=True`` uses merge-on-read tombstone
+        sidecars per shard — zero data files rewritten anywhere. Shards
+        are disjoint stores, so the per-shard deletes run concurrently
+        like cross-shard commits. Returns {shard_id: new_version} for
+        shards that changed."""
+        cat = self._read_catalog()
+
+        def _one(s: dict):
+            h = self._handle(s, cat)
+            if h is None or h._empty:
+                return None
+            if mor:
+                new = h.delete_where_mor(condition)
+                return (s["id"], new.version) if new is not h else None
+            if h.df.filter(condition).limit(1).count() == 0:
+                return None
+            return s["id"], h.delete_where(condition).version
+
+        shards = cat["shards"]
+        if len(shards) <= 1:
+            results = [_one(s) for s in shards]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(shards))) as pool:
+                results = list(pool.map(_one, shards))
+        changed = dict(r for r in results if r is not None)
+        if changed:
+            for s in cat["shards"]:
+                if s["id"] in changed:
+                    s["version"] = changed[s["id"]]
+            self._write_catalog(cat)
+        return changed
+
     def erase_keys(self, keys: "list[dict]") -> dict:
         """Hard key erasure across the whole LOGICAL index, including its
         pinned history: every shard store the catalog OR any history

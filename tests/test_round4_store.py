@@ -145,3 +145,29 @@ def test_diff_pruned_equals_full_after_rollback_and_evolution(spark, tmp_base):
     assert got == {(3, "update"), (99, "delete")}
     # and a version diffed against itself is empty
     assert store.diff(restored, restored).count() == 0
+
+
+# --------------------------------------------------- sharded delete_where
+def test_sharded_delete_where_mor_and_cow(spark, tmp_base):
+    from index_spark.sharded import ShardedIndex
+
+    sh = ShardedIndex.create(
+        spark,
+        tmp_base + "/sh",
+        ["k"],
+        spark.createDataFrame([(i, float(i)) for i in range(40)], "k long, v double"),
+        n_shards=3,
+        rows_per_partition=10,
+    )
+    changed = sh.delete_where(F.col("k") % 4 == 0, mor=True)
+    assert changed  # at least one shard committed
+    got = sorted(r.k for r in sh.in_order().select("k").collect())
+    assert got == [i for i in range(40) if i % 4]
+    assert sh.count() == len(got)
+    # COW path on top of the MOR state
+    changed2 = sh.delete_where(F.col("k") > 35)
+    got2 = sorted(r.k for r in sh.in_order().select("k").collect())
+    assert got2 == [i for i in range(36) if i % 4]
+    # predicate matching nothing changes no shard
+    assert sh.delete_where(F.col("k") > 1000, mor=True) == {}
+    assert sh.delete_where(F.col("k") > 1000) == {}
