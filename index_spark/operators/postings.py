@@ -48,13 +48,21 @@ def build_postings(
     """Posting lists: per term, document frequency ``df``, total term
     count ``tf_total``, and the first ``max_postings`` doc_ids ascending
     (bounded payload; counts stay exact)."""
+    from pyspark.sql import Window
+
     td = term_doc_freqs(docs, text_col, id_col)
-    return td.groupBy("term").agg(
+    # the posting payload must be bounded BEFORE aggregation: a bare
+    # collect_list would buffer a stop-word's 10⁹ doc_ids in one task.
+    # The rank filter inside the conditional collect keeps the aggregation
+    # buffer at max_postings entries; df/tf stay exact over all rows.
+    w = Window.partitionBy("term").orderBy("doc_id")
+    ranked = td.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("tf_total"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_postings).alias(
-            "postings"
-        ),
+        F.sort_array(
+            F.collect_list(F.when(F.col("__rn") <= max_postings, F.col("doc_id")))
+        ).alias("postings"),
     )
 
 
@@ -69,7 +77,9 @@ def conjunctive_query(
     term set FIRST (predicate pushdown to the scan), so only matching
     edges shuffle; a doc qualifies when its distinct matched-term count
     equals |terms|."""
-    t = [x.lower() for x in terms]
+    # dedupe the query: ['a', 'a'] must mean 'a', not an unsatisfiable
+    # distinct-count-of-2 requirement
+    t = sorted({x.lower() for x in terms})
     td = term_doc_freqs(postings_src, text_col, id_col)
     return (
         td.filter(F.col("term").isin(t))

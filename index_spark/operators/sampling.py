@@ -104,6 +104,19 @@ _KMV_HEX_CHARS = 15
 _KMV_SPACE = float(16 ** _KMV_HEX_CHARS)
 
 
+def md5_frac(col: "F.Column") -> "F.Column":
+    """Deterministic uniform fraction in [0, 1) from any column — the ONE
+    definition of the md5-prefix trick (15 hex chars < 2^60: exact as
+    BIGINT in both engines, identical IEEE conversion). Every consumer
+    (KMV sketches, grouped KMV, hash splits) must use this helper so the
+    SQL-oracle twins stay in lockstep with a single expression."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, _KMV_HEX_CHARS), 16, 10)
+        .cast("double")
+        / F.lit(_KMV_SPACE)
+    )
+
+
 def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     """K-minimum-values distinct-count sketch: hash every value to a uniform
     fraction of [0,1), keep the k smallest distinct hashes; if the kth
@@ -117,11 +130,7 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
 
     Returns one row: (est_distinct BIGINT, kth_frac DOUBLE, k BIGINT).
     """
-    frac = (
-        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, _KMV_HEX_CHARS), 16, 10)
-        .cast("double")
-        / F.lit(_KMV_SPACE)
-    )
+    frac = md5_frac(F.col(col))
     kmin = df.select(frac.alias("frac")).distinct().orderBy("frac").limit(k)
     return kmin.agg(
         F.round((F.count(F.lit(1)) - 1) / F.max("frac")).cast("long").alias("est_distinct"),
@@ -135,11 +144,7 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     the mergeable-aggregate form. A 100 TB pipeline stores one of these
     per partition/day/source (k rows each) and answers any union's
     distinct count later by merging sketches, never rescanning data."""
-    frac = (
-        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, _KMV_HEX_CHARS), 16, 10)
-        .cast("double")
-        / F.lit(_KMV_SPACE)
-    )
+    frac = md5_frac(F.col(col))
     return df.select(frac.alias("frac")).distinct().orderBy("frac").limit(k)
 
 
@@ -305,11 +310,7 @@ def kmv_by_group(df: DataFrame, group_col: str, col: str, k: int = 32) -> DataFr
     every value)."""
     from pyspark.sql import Window
 
-    frac = (
-        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, _KMV_HEX_CHARS), 16, 10)
-        .cast("double")
-        / F.lit(_KMV_SPACE)
-    )
+    frac = md5_frac(F.col(col))
     distinct = df.select(F.col(group_col), frac.alias("frac")).distinct()
     w = Window.partitionBy(group_col).orderBy("frac")
     kmin = distinct.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)

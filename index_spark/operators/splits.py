@@ -19,18 +19,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_HEX_CHARS = 15
-_SPACE = float(16**_HEX_CHARS)
+from index_spark.operators.sampling import md5_frac
 
 
 def hash_frac(col: Column) -> Column:
-    """Deterministic uniform fraction in [0, 1) from any id column."""
-    return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, _HEX_CHARS), 16, 10).cast(
-            "double"
-        )
-        / F.lit(_SPACE)
-    )
+    """Deterministic uniform fraction in [0, 1) from any id column (the
+    shared :func:`index_spark.operators.sampling.md5_frac` expression —
+    one definition keeps every SQL-oracle twin in lockstep)."""
+    return md5_frac(col)
 
 
 def hash_split(

@@ -251,11 +251,16 @@ def exact_quantiles(
     Nothing funnels the full table through one task; cost is one count,
     one bucket-count shuffle, and one bounded per-bucket sort — at 100 TB
     this is THE way to get exact percentiles (``percentile_disc``
-    semantics: value at rank ``⌈q·n⌉``). ``tie_col`` only makes the
+    semantics: value at rank ``⌈q·n⌉``). Caveat: the bound is in VALUE
+    units, so a column where one value dominates (90% identical rows)
+    concentrates its bucket regardless of width — pre-aggregate such a
+    column to (value, count) weights instead of ranking raw rows. ``tie_col`` only makes the
     within-bucket ordering deterministic; the value at a global rank is
     tie-invariant. Returns (p DOUBLE, value) one row per requested q."""
     import math
 
+    if not qs:
+        raise ValueError("exact_quantiles needs at least one q")
     n = df.count()
     if n == 0:
         raise ValueError("exact_quantiles of an empty DataFrame")

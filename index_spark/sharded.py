@@ -404,7 +404,9 @@ class ShardedIndex:
         per_shard: dict[int, list] = {}
         for cmd in commands:
             if isinstance(cmd, Insert):
-                rows, mk = cmd.rows, lambda rs, c=cmd: Insert(rs, c.upsert)
+                rows, mk = cmd.rows, lambda rs, c=cmd: Insert(
+                    rs, c.upsert, getattr(c, "allow_new_columns", False)
+                )
             elif isinstance(cmd, Update):
                 rows, mk = cmd.rows, lambda rs: Update(rs)
             elif isinstance(cmd, Remove):
@@ -454,8 +456,14 @@ class ShardedIndex:
             self._auto_split(cat)
         return self
 
-    def insert(self, rows: list[dict[str, Any]], upsert: bool = False, version: Optional[str] = None) -> "ShardedIndex":
-        return self.execute([Insert(rows, upsert)], version)
+    def insert(
+        self,
+        rows: list[dict[str, Any]],
+        upsert: bool = False,
+        version: Optional[str] = None,
+        allow_new_columns: bool = False,
+    ) -> "ShardedIndex":
+        return self.execute([Insert(rows, upsert, allow_new_columns)], version)
 
     def update(self, rows: list[dict[str, Any]], version: Optional[str] = None) -> "ShardedIndex":
         return self.execute([Update(rows)], version)
@@ -769,4 +777,7 @@ class _AsOfShardedView(ShardedIndex):
         raise IndexError_("as-of view is read-only")
 
     def erase_keys(self, keys: "list[dict]") -> dict:
+        raise IndexError_("as-of view is read-only")
+
+    def delete_where(self, condition, mor: bool = False) -> dict[int, int]:
         raise IndexError_("as-of view is read-only")

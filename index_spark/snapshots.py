@@ -64,13 +64,25 @@ def stat_row_to_file(r, key: Sequence[str]) -> dict:
 _BLOOM_SAFE_DTYPES = {"tinyint", "smallint", "int", "bigint", "string"}
 
 
+_BLOOM_NULL = "\x00null"
+
+
 def _bloom_positions_expr(key_cols: Sequence[str], m_bits: int, k: int):
     """Spark-side bit positions for a row's key: k independent md5-based
     hashes of the canonical 'v1|v2#i' string. The SAME bytes hash on the
     driver side (:func:`_bloom_positions_py`) — parity holds because int
     and string casts render identically in both runtimes (why blooms are
-    restricted to _BLOOM_SAFE_DTYPES)."""
-    s = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    restricted to _BLOOM_SAFE_DTYPES). NULL key values get an explicit
+    sentinel: ``concat_ws`` SKIPS nulls, so an unguarded (7, NULL) key
+    would render '7' JVM-side but '7|…' driver-side — a silent bloom
+    false negative."""
+    s = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(_BLOOM_NULL))
+            for c in key_cols
+        ],
+    )
     return F.array(
         *[
             (
@@ -86,7 +98,7 @@ def _bloom_positions_expr(key_cols: Sequence[str], m_bits: int, k: int):
 def _bloom_positions_py(vals: Sequence[Any], m_bits: int, k: int) -> list[int]:
     import hashlib
 
-    s = "|".join(str(v) for v in vals)
+    s = "|".join(_BLOOM_NULL if v is None else str(v) for v in vals)
     return [
         int(hashlib.md5((s + f"#{i}").encode()).hexdigest()[:8], 16) % m_bits
         for i in range(k)
@@ -458,6 +470,11 @@ class SnapshotStore:
         between JVM and driver hashing). Returns the number of files
         fitted. Advances the manifest stamp — writers take a fresh handle
         afterwards (same contract as any metadata commit)."""
+        if m_bits % 8 or m_bits <= 0:
+            raise ValueError(
+                f"m_bits must be a positive multiple of 8, got {m_bits} "
+                "(the bitmap is byte-encoded)"
+            )
         m = self._read_manifest()
         key = m["key"]
         row = next(
@@ -748,11 +765,15 @@ class SnapshotStore:
             pb = {f["path"] for f in fb}
             ua = sorted(pa - pb)
             ub = sorted(pb - pa)
-            schema = self.read(from_version).schema
 
             def side(paths):
                 if not paths:
-                    return self.spark.createDataFrame([], schema)
+                    # schema resolved lazily and only here: reading it via
+                    # read() on the non-empty path would open every footer
+                    # of the old version, defeating the pruning
+                    return self.spark.createDataFrame(
+                        [], self.read(from_version).schema
+                    )
                 return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
             a = side(ua).select(*key, F.col(VERSION_COL).alias("__v_old"))

@@ -154,3 +154,79 @@ def test_insert_missing_columns_still_allowed(spark, tmp_base):
     )
     h2 = h.insert(spark.createDataFrame([(7,)], "k long"), upsert=True, version="m1")
     assert {r.k: r.v for r in h2.df.collect()} == {1: 1.0, 7: None}
+
+
+# ------------------------------------ round-4 self-review (code-review) fixes
+def test_sharded_insert_schema_evolution_flag_threads_through(spark, tmp_base):
+    from index_spark.sharded import ShardedIndex
+
+    sh = ShardedIndex.create(
+        spark,
+        tmp_base + "/sh",
+        ["k"],
+        spark.createDataFrame([(i, float(i)) for i in range(20)], "k long, v double"),
+        n_shards=2,
+        rows_per_partition=10,
+    )
+    with pytest.raises(ValueError, match="allow_new_columns"):
+        sh.insert([{"k": 1, "v": 1.0, "flag": "x"}], upsert=True)
+    sh.insert([{"k": 1, "v": 1.0, "flag": "x"}], upsert=True, allow_new_columns=True)
+    row = sh.get(1).first()
+    assert row.flag == "x"
+
+
+def test_asof_view_refuses_delete_where(spark, tmp_base):
+    from index_spark.errors import IndexError_
+    from index_spark.sharded import ShardedIndex
+
+    sh = ShardedIndex.create(
+        spark,
+        tmp_base + "/sh2",
+        ["k"],
+        spark.createDataFrame([(i, float(i)) for i in range(10)], "k long, v double"),
+        n_shards=2,
+        rows_per_partition=5,
+    )
+    t = sh.snapshot()
+    view = sh.as_of(t)
+    with pytest.raises(IndexError_):
+        view.delete_where(F.col("k") > 0, mor=True)
+    # nothing mutated: the live index still reads everything
+    assert sh.count() == 10
+
+
+def test_conjunctive_query_duplicate_terms(spark):
+    from index_spark.operators.postings import conjunctive_query
+
+    docs = spark.createDataFrame([(1, "a b"), (2, "b c")], "doc_id long, text string")
+    got = sorted(r.doc_id for r in conjunctive_query(docs, ["b", "B", "b"]).collect())
+    assert got == [1, 2]
+
+
+def test_bloom_null_key_component_parity(spark):
+    from index_spark.snapshots import _bloom_positions_expr, _bloom_positions_py
+
+    df = spark.createDataFrame([(7, None)], "k long, s string")
+    got = df.select(_bloom_positions_expr(["k", "s"], 4096, 3).alias("p")).first().p
+    assert got == _bloom_positions_py((7, None), 4096, 3)
+    # and differs from the no-null key (the skip-null trap this guards)
+    df2 = spark.createDataFrame([(7, "")], "k long, s string")
+    other = df2.select(_bloom_positions_expr(["k", "s"], 4096, 3).alias("p")).first().p
+    assert got != other
+
+
+def test_build_blooms_rejects_bad_m_bits(spark, tmp_base):
+    from index_spark.snapshots import SnapshotStore
+
+    store = SnapshotStore(spark, tmp_base + "/b")
+    store.create(["k"], df=spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    with pytest.raises(ValueError, match="multiple of 8"):
+        store.build_blooms(m_bits=4100)
+
+
+def test_exact_quantiles_rejects_empty_qs(spark):
+    from index_spark.operators.stats import exact_quantiles
+
+    df = spark.createDataFrame([(1, 1)], "v long, k long")
+    with pytest.raises(ValueError, match="at least one q"):
+        exact_quantiles(df, "v", "k", [])
