@@ -1328,6 +1328,65 @@ class VersionedIndex(SortedIndex):
         pruned = self.store._apply_tombstones(pruned, vrow)
         return pruned.filter(key_eq(self.key, vals))
 
+    def read_points(self, keys: Sequence[Any]) -> DataFrame:
+        """Bloom/zone-map-pruned MULTI-get: the driver-side union of every
+        probe's candidate files, opened once, filtered by an ``isin`` (or
+        composite key-eq OR) residual. Equals ``get_all(keys)`` always;
+        the win over it is the same as :meth:`read_point`'s — candidate
+        files are decided from manifest stats + blooms without opening a
+        single footer, so a 100-key probe against 10⁵ files lists only
+        the handful that can match. Driver cost is O(|keys| · |files|)
+        comparisons — fine for the ≤10⁴-key requests this path targets
+        (larger requests belong in :meth:`SortedIndex.get_all`'s shuffle
+        semi-join)."""
+        from functools import reduce
+
+        from index_spark.keys import as_tuple, key_eq
+
+        tuples = [as_tuple(k) for k in keys]
+        if not tuples:
+            return self.store.spark.createDataFrame([], self.df.schema)
+        for t in tuples:
+            assert len(t) == len(self.key), "read_points requires full keys"
+        if self._empty or self.version is None:
+            raise ValueError("read_points on an empty index (no committed version)")
+        vrow = self.store._version_row(self.version)
+        files = vrow.get("files")
+        residual = (
+            F.col(self.key[0]).isin([t[0] for t in tuples])
+            if len(self.key) == 1
+            else reduce(lambda a, b: a | b, (key_eq(self.key, t) for t in tuples))
+        )
+        if not files:
+            return self.df.filter(residual)
+        blooms = vrow.get("blooms")
+        cands: list[str] = []
+        for f in files:
+            def may(t):
+                try:
+                    return all(
+                        f["min"][i] <= t[i] <= f["max"][i] for i in range(len(t))
+                    )
+                except TypeError:
+                    return True
+            hit = [t for t in tuples if may(t)]
+            if hit and blooms and f["path"] in blooms:
+                hit = [
+                    t
+                    for t in hit
+                    if _bloom_contains(
+                        blooms[f["path"]],
+                        _bloom_positions_py(t, vrow["bloom_m"], vrow["bloom_k"]),
+                    )
+                ]
+            if hit:
+                cands.append(f["path"])
+        if not cands:
+            return self.store.spark.createDataFrame([], self.df.schema)
+        pruned = self.store.spark.read.option("mergeSchema", "true").parquet(*cands)
+        pruned = self.store._apply_tombstones(pruned, vrow)
+        return pruned.filter(residual)
+
     # ---------------------------------------------------------- MERGE INTO
     def merge_into(
         self,

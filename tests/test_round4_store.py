@@ -171,3 +171,26 @@ def test_sharded_delete_where_mor_and_cow(spark, tmp_base):
     # predicate matching nothing changes no shard
     assert sh.delete_where(F.col("k") > 1000, mor=True) == {}
     assert sh.delete_where(F.col("k") > 1000) == {}
+
+
+def test_read_points_equals_get_all_and_prunes(spark, tmp_base):
+    store, h = _mk(spark, tmp_base, n=60, rpp=10)  # 6 files
+    store.build_blooms()
+    head = store.latest()
+    probes = [3, 17, 17, 44, 999]
+    got = sorted(r.k for r in head.read_points(probes).select("k").collect())
+    want = sorted(r.k for r in head.get_all(probes).select("k").collect())
+    assert got == want == [3, 17, 44]
+    n_files = len(store._version_row(head.version)["files"])
+    assert 0 < len(head.read_points(probes).inputFiles()) < n_files
+    # all-absent probe: zero files in the plan
+    assert len(head.read_points([100000, 200000]).inputFiles()) == 0
+    assert head.read_points([]).count() == 0
+
+
+def test_read_points_respects_tombstones(spark, tmp_base):
+    store, h = _mk(spark, tmp_base, n=30, rpp=10)
+    h2 = h.delete_where_mor(F.col("k") == 5)
+    store.build_blooms(version=h2.version)
+    head = store.at_version(h2.version)
+    assert sorted(r.k for r in head.read_points([4, 5, 6]).select("k").collect()) == [4, 6]
