@@ -49,12 +49,23 @@ def _now_ns(prev: int) -> int:
     return max(prev + 1, time.time_ns())
 
 
+def _from_file_uri(p: str) -> str:
+    """input_file_name() returns a percent-encoded file URI; invert BOTH
+    steps (scheme strip + URL decoding) or a base path containing a space
+    would be recorded as '%20' and never match the real file again —
+    breaking read()/vacuum and, worst, letting erase_keys silently skip
+    the bytes it promised to destroy."""
+    from urllib.parse import unquote
+
+    return os.path.abspath(unquote(p.replace("file://", "")))
+
+
 def stat_row_to_file(r, key: Sequence[str]) -> dict:
     """Manifest file-stat entry from a grouped-by-input_file_name stats row
     (single producer of the {path,min,max,n_rows} shape — keep path
     normalization here)."""
     return {
-        "path": os.path.abspath(r.p.replace("file://", "")),
+        "path": _from_file_uri(r.p),
         "min": [r[f"min_{c}"] for c in key],
         "max": [r[f"max_{c}"] for c in key],
         "n_rows": r.n,
@@ -192,6 +203,12 @@ class SnapshotStore:
         }
         self._write_manifest(m)
         if df is not None:
+            # the key-uniqueness invariant every later mutation enforces
+            # must hold at birth too — a dup-keyed version 0 silently
+            # corrupts every join-based validation downstream
+            dups = VersionedIndex._dup_keys_in_batch(df, list(key))
+            if dups:
+                raise DuplicatedKeysError(dups)
             if VERSION_COL not in df.columns:
                 df = df.withColumn(VERSION_COL, F.lit(str(uuid.uuid4())))
             # initial load: one count of the raw input (no staged joins to
@@ -477,11 +494,12 @@ class SnapshotStore:
             )
         m = self._read_manifest()
         key = m["key"]
-        row = next(
-            r
-            for r in m["versions"]
-            if r["version"] == (version if version is not None else m["versions"][-1]["version"])
-        )
+        if not m["versions"]:
+            raise IndexNotFoundError("no committed version to bloom")
+        want = version if version is not None else m["versions"][-1]["version"]
+        row = next((r for r in m["versions"] if r["version"] == want), None)
+        if row is None:
+            raise IndexNotFoundError(f"version {want}")
         files = row.get("files")
         if not files:
             raise ValueError("build_blooms requires a stats-bearing (file-listed) version")
@@ -505,8 +523,7 @@ class SnapshotStore:
             .collect()
         )
         blooms = {
-            os.path.abspath(r.p.replace("file://", "")): _bloom_encode(r.ps, m_bits)
-            for r in got
+            _from_file_uri(r.p): _bloom_encode(r.ps, m_bits) for r in got
         }
         row["blooms"] = blooms
         row["bloom_m"] = m_bits
@@ -620,7 +637,11 @@ class SnapshotStore:
                     "previous commit; version strings are per-transaction ids"
                 )
             used.append(writer_version)
-        base = next(r for r in m["versions"] if r["version"] == base_version)
+        base = next(
+            (r for r in m["versions"] if r["version"] == base_version), None
+        )
+        if base is None:
+            raise IndexNotFoundError(f"version {base_version}")
         version = m["versions"][-1]["version"] + 1
         prev_ts = m["versions"][-1]["ts"]
         m["versions"].append(
@@ -1264,7 +1285,9 @@ class VersionedIndex(SortedIndex):
 
         touched = [f["path"] for f in files if overlaps(f)]
         if not touched:
-            empty = self.df.filter(F.lit(False))
+            # empty LOCAL relation: self.df.filter(False) would still list
+            # every file of the version in the plan
+            empty = self.store.spark.createDataFrame([], self.df.schema)
             return SortedIndex(empty, self.key).range(
                 frm, to, from_inclusive, to_inclusive, reverse, limit
             )
@@ -1276,8 +1299,30 @@ class VersionedIndex(SortedIndex):
         # merge-on-read base: the ``== self.range()`` invariant requires the
         # pruned scan to subtract tombstoned keys exactly like read() does
         pruned = self.store._apply_tombstones(pruned, vrow)
+        pruned = self._align_to_head_schema(pruned)
         return SortedIndex(pruned, self.key).range(
             frm, to, from_inclusive, to_inclusive, reverse, limit
+        )
+
+    def _align_to_head_schema(self, pruned: DataFrame) -> DataFrame:
+        """A pruned file SUBSET can predate schema evolution: if no
+        touched file carries an added column, mergeSchema has nothing to
+        merge and the column vanishes — breaking the documented
+        'pruned read == full read' invariant (select('new_col') would
+        raise on one path only). Re-align to the head's schema, NULL for
+        columns the subset lacks (exactly what the full read returns for
+        those rows)."""
+        want = self.df.schema
+        if [f.name for f in want.fields] == pruned.columns:
+            return pruned
+        have = set(pruned.columns)
+        return pruned.select(
+            *[
+                F.col(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in want.fields
+            ]
         )
 
     def read_point(self, k: Any) -> DataFrame:
@@ -1326,7 +1371,7 @@ class VersionedIndex(SortedIndex):
             *[f["path"] for f in cands]
         )
         pruned = self.store._apply_tombstones(pruned, vrow)
-        return pruned.filter(key_eq(self.key, vals))
+        return self._align_to_head_schema(pruned).filter(key_eq(self.key, vals))
 
     def read_points(self, keys: Sequence[Any]) -> DataFrame:
         """Bloom/zone-map-pruned MULTI-get: the driver-side union of every
@@ -1343,13 +1388,13 @@ class VersionedIndex(SortedIndex):
 
         from index_spark.keys import as_tuple, key_eq
 
+        if self._empty or self.version is None:
+            raise ValueError("read_points on an empty index (no committed version)")
         tuples = [as_tuple(k) for k in keys]
         if not tuples:
             return self.store.spark.createDataFrame([], self.df.schema)
         for t in tuples:
             assert len(t) == len(self.key), "read_points requires full keys"
-        if self._empty or self.version is None:
-            raise ValueError("read_points on an empty index (no committed version)")
         vrow = self.store._version_row(self.version)
         files = vrow.get("files")
         residual = (
@@ -1385,7 +1430,7 @@ class VersionedIndex(SortedIndex):
             return self.store.spark.createDataFrame([], self.df.schema)
         pruned = self.store.spark.read.option("mergeSchema", "true").parquet(*cands)
         pruned = self.store._apply_tombstones(pruned, vrow)
-        return pruned.filter(residual)
+        return self._align_to_head_schema(pruned).filter(residual)
 
     # ---------------------------------------------------------- MERGE INTO
     def merge_into(
@@ -1543,6 +1588,8 @@ class VersionedIndex(SortedIndex):
         self, cur: Optional[DataFrame], rows: list[dict[str, Any]], upsert: bool, version: str
     ) -> DataFrame:
         key = self.key
+        if isinstance(rows, list) and not rows:
+            return cur  # empty batch: no-op (the documented contract)
         # intra-batch duplicate keys → DUPLICATED_KEYS (Index.scala:283-288);
         # driver-side (no job) when the batch is a local list
         dups = self._dup_keys(rows)
@@ -1593,6 +1640,8 @@ class VersionedIndex(SortedIndex):
 
     def _staged_update(self, cur: Optional[DataFrame], rows, version: str) -> Optional[DataFrame]:
         key = self.key
+        if isinstance(rows, list) and not rows:
+            return cur  # empty batch: no-op (the documented contract)
         dups = self._dup_keys(rows)
         if dups:
             raise DuplicatedKeysError(dups)
@@ -1625,6 +1674,8 @@ class VersionedIndex(SortedIndex):
 
     def _staged_remove(self, cur: Optional[DataFrame], keys) -> Optional[DataFrame]:
         key = self.key
+        if isinstance(keys, list) and not keys:
+            return cur  # empty batch: no-op (the documented contract)
         dups = self._dup_keys(keys)
         if dups:
             raise DuplicatedKeysError(dups)
@@ -1714,6 +1765,30 @@ class VersionedIndex(SortedIndex):
                         )
                 staged = self._staged_insert(staged, cmd.rows, cmd.upsert, version)
             elif isinstance(cmd, Update):
+                # same misspelled-column protection as the Insert gate:
+                # _staged_update's full-row replacement selects the head's
+                # columns, so an unknown batch column would be DROPPED
+                # silently. Updates never evolve schema — evolution goes
+                # through insert(..., allow_new_columns=True).
+                if not self._empty:
+                    head_cols = set(self.df.columns)
+                    batch_cols = (
+                        cmd.rows.columns
+                        if isinstance(cmd.rows, DataFrame)
+                        else {k for r in cmd.rows for k in r}
+                    )
+                    unknown = sorted(
+                        c
+                        for c in batch_cols
+                        if c not in head_cols and not c.startswith("__")
+                    )
+                    if unknown:
+                        raise ValueError(
+                            "update batch has columns not in the snapshot "
+                            f"schema: {unknown}; updates cannot add columns "
+                            "(use insert(..., allow_new_columns=True) to "
+                            "evolve the schema)"
+                        )
                 staged = self._staged_update(staged, cmd.rows, version)
             elif isinstance(cmd, Remove):
                 staged = self._staged_remove(staged, cmd.keys)
@@ -1789,7 +1864,10 @@ class VersionedIndex(SortedIndex):
             except (KeyError, TypeError):
                 return None  # key-incomplete rows → let the full path report
         if not batch_keys and not bounds:
-            return None
+            # every batch was provably empty (empty lists / empty
+            # DataFrames): nothing is touched — carry every file into a
+            # metadata-only commit instead of rewriting the whole table
+            return [], files
         try:
             los = [b[0] for b in bounds] + ([min(batch_keys)] if batch_keys else [])
             his = [b[1] for b in bounds] + ([max(batch_keys)] if batch_keys else [])
@@ -1832,10 +1910,17 @@ class VersionedIndex(SortedIndex):
             return self
         target = target_rows or self.rows_per_partition
         threshold = max(1, target // 2)
+        vrow0 = self.store._version_row(self.version)
         small = [f for f in files if f["n_rows"] < threshold]
         if len(small) < 2:
-            return self
-        full = [f for f in files if f["n_rows"] >= threshold]
+            if not vrow0.get("tombstones"):
+                return self
+            # MOR base with nothing to bin-pack: compaction is still the
+            # documented way to FOLD the tombstones (erase_keys prescribes
+            # it), so rewrite everything once rather than dead-ending
+            small, full = list(files), []
+        else:
+            full = [f for f in files if f["n_rows"] >= threshold]
         staged = self.store.spark.read.option("mergeSchema", "true").parquet(
             *[f["path"] for f in small]
         )
@@ -1843,7 +1928,7 @@ class VersionedIndex(SortedIndex):
         # rows for good; carried full files still need the sidecar, so the
         # tombstone list rides into the new version (extra tombstone keys
         # pointing at rewritten files anti-join against nothing — harmless)
-        vrow = self.store._version_row(self.version)
+        vrow = vrow0
         staged = self.store._apply_tombstones(staged, vrow)
         n_rows = sum(f["n_rows"] for f in small)
         n_parts = max(1, -(-n_rows // target))
@@ -1851,8 +1936,12 @@ class VersionedIndex(SortedIndex):
             staged, self.key, self.rows_per_partition,
             n_partitions=n_parts, carry_files=full,
             expected_stamp=self._base_stamp,
-            tombstones=vrow.get("tombstones"),
-            n_rows_override=vrow["n_rows"] if vrow.get("tombstones") else None,
+            # tombstones ride along only while carried files still need
+            # them; a full rewrite (no carried files) folds them for good
+            tombstones=vrow.get("tombstones") if full else None,
+            n_rows_override=(
+                vrow["n_rows"] if (vrow.get("tombstones") and full) else None
+            ),
         )
         self._used = True
         return self.store.at_version(new_version)

@@ -7,6 +7,7 @@ BM25 empty-terms guard."""
 import pytest
 from pyspark.sql import functions as F
 
+from index_spark.errors import DuplicatedKeysError
 from index_spark.snapshots import SnapshotStore
 
 
@@ -153,3 +154,125 @@ def test_read_range_prefix_bounds_random(spark, tmp_path_factory, lo, width, inc
         (r.attr, r.k) for r in h.range((lo,), (hi,), **args).select("attr", "k").collect()
     )
     assert got == want
+
+
+# ---------------- round-4 deep-review findings (store layer, high effort)
+def test_empty_list_batches_are_noops(spark, tmp_base):
+    store = SnapshotStore(spark, tmp_base + "/e0")
+    h = store.create(
+        ["k"], df=spark.createDataFrame([(1, 1.0)], "k long, v double")
+    )
+    v0 = h.version
+    h2 = h.insert([])
+    h3 = store.latest().update([])
+    h4 = store.latest().remove([])
+    assert store.latest().df.count() == 1
+    # no data was rewritten for any of the empty batches
+    assert all(
+        store._version_row(v).get("files") == store._version_row(v0).get("files")
+        or store._version_row(v)["n_rows"] == 1
+        for v in range(v0, store.latest_version() + 1)
+    )
+
+
+def test_empty_dataframe_delete_does_not_rewrite_table(spark, tmp_base):
+    store = SnapshotStore(spark, tmp_base + "/e1")
+    h = store.create(
+        ["k"],
+        df=spark.createDataFrame([(i, float(i)) for i in range(30)], "k long, v double"),
+        rows_per_partition=10,
+    )
+    base_files = sorted(f["path"] for f in store._version_row(0)["files"])
+    h2 = h.delete_where(F.col("k") > 10_000)  # matches nothing
+    new_files = sorted(
+        f["path"] for f in store._version_row(h2.version)["files"]
+    )
+    # metadata-only commit: every file carried by reference, none rewritten
+    assert new_files == base_files
+    assert h2.count() == 30
+
+
+def test_pruned_reads_present_evolved_schema(spark, tmp_base):
+    store = SnapshotStore(spark, tmp_base + "/e2")
+    h = store.create(
+        ["k"],
+        df=spark.createDataFrame([(i, float(i)) for i in range(40)], "k long, v double"),
+        rows_per_partition=10,
+    )
+    # evolution lands only in the file holding k=35
+    h2 = h.insert(
+        spark.createDataFrame([(35, 1.0, "x")], "k long, v double, flag string"),
+        upsert=True,
+        version="ev",
+        allow_new_columns=True,
+    )
+    # a range that touches only PRE-evolution files must still expose the
+    # evolved column (as NULL), same as the unpruned read
+    got = h2.read_range(2, 6).select("k", "flag").collect()
+    assert sorted(r.k for r in got) == [2, 3, 4, 5, 6]
+    assert all(r.flag is None for r in got)
+    assert h2.read_point(3).select("flag").first().flag is None
+    assert h2.read_points([3, 35]).select("k", "flag").count() == 2
+    # column ORDER matches the full read too
+    assert h2.read_range(2, 6).columns == h2.range(2, 6).columns
+
+
+def test_update_rejects_unknown_columns(spark, tmp_base):
+    store = SnapshotStore(spark, tmp_base + "/e3")
+    h = store.create(
+        ["k"], df=spark.createDataFrame([(1, 1.0)], "k long, v double")
+    )
+    with pytest.raises(ValueError, match="update batch has columns"):
+        h.update([{"k": 1, "v": 2.0, "vv": 3.0}])
+    # __expected_version stays exempt from the gate
+    cur_ver = h.df.select("__version").first()[0]
+    h2 = h.update([{"k": 1, "v": 2.0, "__expected_version": cur_ver}])
+    assert h2.df.first().v == 2.0
+
+
+def test_create_rejects_duplicate_keys(spark, tmp_base):
+    store = SnapshotStore(spark, tmp_base + "/e4")
+    with pytest.raises(DuplicatedKeysError):
+        store.create(
+            ["k"],
+            df=spark.createDataFrame([(7, 1.0), (7, 2.0)], "k long, v double"),
+        )
+
+
+def test_compact_folds_tombstones_even_without_small_files(spark, tmp_base):
+    store = SnapshotStore(spark, tmp_base + "/e5")
+    h = store.create(
+        ["k"],
+        df=spark.createDataFrame([(i, float(i)) for i in range(20)], "k long, v double"),
+        rows_per_partition=10,  # 2 full-size files, nothing to bin-pack
+    )
+    h2 = h.delete_where_mor(F.col("k") < 5)
+    h3 = h2.compact()
+    assert h3 is not h2
+    assert not store._version_row(h3.version).get("tombstones")
+    assert sorted(r.k for r in h3.df.select("k").collect()) == list(range(5, 20))
+    assert h3.count() == 15
+    # the full erase recipe now completes
+    store.vacuum(keep_last=1)
+    assert store.erase_keys([{"k": 7}])["rows_erased"] >= 1
+
+
+def test_build_blooms_typed_errors(spark, tmp_base):
+    from index_spark.errors import IndexNotFoundError
+
+    store = SnapshotStore(spark, tmp_base + "/e6")
+    store.create(["k"], df=spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    with pytest.raises(IndexNotFoundError):
+        store.build_blooms(version=99)
+
+
+def test_read_range_zero_candidates_lists_no_files(spark, tmp_base):
+    store = SnapshotStore(spark, tmp_base + "/e7")
+    h = store.create(
+        ["k"],
+        df=spark.createDataFrame([(i, float(i)) for i in range(20)], "k long, v double"),
+        rows_per_partition=5,
+    )
+    out = h.read_range(10_000, 20_000)
+    assert out.count() == 0
+    assert len(out.inputFiles()) == 0
