@@ -143,6 +143,13 @@ class ShardedIndex:
             for p in _glob_mod.glob(os.path.join(base_path, "shard_*")):
                 _shutil.rmtree(p, ignore_errors=True)
         key = list(key)
+        # key uniqueness must hold at birth on the BULK path too — the
+        # single-store create(df=...) gate is bypassed by file adoption
+        dups = VersionedIndex._dup_keys_in_batch(df, key)
+        if dups:
+            from index_spark.errors import DuplicatedKeysError
+
+            raise DuplicatedKeysError(dups)
         n = df.count()
         frac = min(1.0, sample_size / max(n, 1))
         sample = sorted(tuple(r) for r in df.select(*key).sample(fraction=frac, seed=42).collect())
@@ -285,8 +292,11 @@ class ShardedIndex:
         if not dfs:
             return None
         out = dfs[0]
+        # allowMissingColumns: a schema-evolving insert may have touched
+        # only SOME shards; un-evolved shards read NULL in the added
+        # columns instead of making every multi-shard read throw
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            out = out.unionByName(d, allowMissingColumns=True)
         return out
 
     # --------------------------------------------------------------- reads
@@ -315,7 +325,6 @@ class ShardedIndex:
         keys per leaf the same way); KEY_NOT_FOUND aggregates cross-shard."""
         cat = self._read_catalog()
         by_shard: dict[int, list[Any]] = {}
-        order = {s["id"]: i for i, s in enumerate(cat["shards"])}
         for k in keys:
             sid = self._owner(cat["shards"], as_tuple(k))["id"]
             by_shard.setdefault(sid, []).append(k)
@@ -341,7 +350,7 @@ class ShardedIndex:
             return self._empty_like(cat)
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            out = out.unionByName(p, allowMissingColumns=True)
         return out.orderBy(*sort_cols(cat["key"]))
 
     def in_order(self, reverse: bool = False, limit: Optional[int] = None) -> DataFrame:
@@ -399,10 +408,22 @@ class ShardedIndex:
         """
         cat = self._read_catalog()
         key = cat["key"]
-        version = version or str(uuid.uuid4())
+        # Only a CALLER-supplied version string is treated as an explicit
+        # transaction id (recorded + reuse-rejected per shard). Auto-minted
+        # ids stay unrecorded, like the single-store path — otherwise every
+        # routine batch would grow each shard's writer_versions list, and
+        # the string is never visible to the caller anyway.
 
         per_shard: dict[int, list] = {}
         for cmd in commands:
+            payload = cmd.rows if isinstance(cmd, (Insert, Update)) else getattr(cmd, "keys", None)
+            if isinstance(payload, DataFrame):
+                raise TypeError(
+                    "sharded batches are driver-side row lists (routing "
+                    "compares each row against the catalog); for DataFrame "
+                    "bulk loads use ShardedIndex.create, or commit to a "
+                    "single shard store directly"
+                )
             if isinstance(cmd, Insert):
                 rows, mk = cmd.rows, lambda rs, c=cmd: Insert(
                     rs, c.upsert, getattr(c, "allow_new_columns", False)
@@ -624,8 +645,14 @@ class ShardedIndex:
         for shards in shard_lists:
             for s in shards:
                 live_dirs.add(os.path.abspath(s["path"]))  # empty shards too
+                # null-version shards get an (empty) pin entry so their
+                # STORE is still vacuumed: a failed cross-shard batch can
+                # leave committed-but-unpublished versions in a shard the
+                # catalog says is empty — exactly the orphans the module
+                # docstring promises vacuum reclaims
+                pin = pins.setdefault(os.path.abspath(s["path"]), set())
                 if s["version"] is not None:
-                    pins.setdefault(os.path.abspath(s["path"]), set()).add(s["version"])
+                    pin.add(s["version"])
         removed_versions: dict[str, list[int]] = {}
         for path, pin in pins.items():
             store = SnapshotStore(self.spark, path)
@@ -668,13 +695,43 @@ class ShardedIndex:
 
     # --------------------------------------------------------- split/merge
     def _auto_split(self, cat: dict) -> None:
-        for s in list(cat["shards"]):
-            if s["version"] is None:
-                continue
-            n = SnapshotStore(self.spark, s["path"]).n_rows(s["version"])
-            if n >= cat["shard_capacity"]:
-                self.split_shard(s["id"])
-                cat.update(self._read_catalog())
+        # fixpoint, not single pass: one big batch can leave a shard at
+        # many multiples of capacity, and the two halves of a split may
+        # each still exceed it. Bounded: each round halves an over-full
+        # shard, and unsplittable shards (all-equal keys) return False
+        # and are not retried within a call.
+        refused: set[int] = set()
+        for _ in range(32):
+            split_any = False
+            for s in list(cat["shards"]):
+                if s["version"] is None or s["id"] in refused:
+                    continue
+                n = SnapshotStore(self.spark, s["path"]).n_rows(s["version"])
+                if n >= cat["shard_capacity"]:
+                    if self.split_shard(s["id"]):
+                        split_any = True
+                    else:
+                        refused.add(s["id"])
+                    cat.update(self._read_catalog())
+            if not split_any:
+                return
+
+    def _clear_orphan_child(self, cat: dict, path: str) -> None:
+        """Delete a child-store dir left by a split/merge that died before
+        its catalog swap. Safe ONLY because the path is provably
+        unreferenced: child paths derive from next_shard_id, which is
+        advanced by the same catalog write that would have referenced
+        them — if the catalog (current shards + every history pin) does
+        not know the path, nothing can read it."""
+        import shutil as _shutil
+
+        if not os.path.isdir(path):
+            return
+        known = {os.path.abspath(s["path"]) for s in cat["shards"]}
+        for hpin in cat.get("history", []):
+            known |= {os.path.abspath(s["path"]) for s in hpin["shards"]}
+        if os.path.abspath(path) not in known:
+            _shutil.rmtree(path, ignore_errors=True)
 
     def split_shard(self, shard_id: int) -> bool:
         """Replace one shard with two at a sampled-median boundary
@@ -694,6 +751,12 @@ class ShardedIndex:
         rpath = os.path.join(self.base_path, f"shard_{rid:04d}")
         if left_sorted.df.isEmpty() or right_sorted.df.isEmpty():
             return False
+        # a previous attempt may have died between child creation and the
+        # catalog swap; next_shard_id was never advanced, so the retry
+        # recomputes the same paths — clear the unreferenced orphans or
+        # create() would raise INDEX_ALREADY_EXISTS forever
+        self._clear_orphan_child(cat, lpath)
+        self._clear_orphan_child(cat, rpath)
         lh = SnapshotStore(self.spark, lpath).create(
             cat["key"], df=left_sorted.df, rows_per_partition=cat["rows_per_partition"],
             max_n_items=cat["shard_capacity"],
@@ -732,6 +795,7 @@ class ShardedIndex:
         merged = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         mid = cat["next_shard_id"]
         mpath = os.path.join(self.base_path, f"shard_{mid:04d}")
+        self._clear_orphan_child(cat, mpath)  # crashed-retry orphan (see split_shard)
         mh = SnapshotStore(self.spark, mpath).create(
             cat["key"], df=merged, rows_per_partition=cat["rows_per_partition"],
             max_n_items=cat["shard_capacity"],
@@ -764,6 +828,23 @@ class _AsOfShardedView(ShardedIndex):
     def execute(self, commands: list, version: Optional[str] = None) -> "ShardedIndex":
         raise IndexError_("as-of view is read-only")
 
+    def _clear_orphan_child(self, cat: dict, path: str) -> None:
+        """Delete a child-store dir left by a split/merge that died before
+        its catalog swap. Safe ONLY because the path is provably
+        unreferenced: child paths derive from next_shard_id, which is
+        advanced by the same catalog write that would have referenced
+        them — if the catalog (current shards + every history pin) does
+        not know the path, nothing can read it."""
+        import shutil as _shutil
+
+        if not os.path.isdir(path):
+            return
+        known = {os.path.abspath(s["path"]) for s in cat["shards"]}
+        for hpin in cat.get("history", []):
+            known |= {os.path.abspath(s["path"]) for s in hpin["shards"]}
+        if os.path.abspath(path) not in known:
+            _shutil.rmtree(path, ignore_errors=True)
+
     def split_shard(self, shard_id: int) -> bool:
         raise IndexError_("as-of view is read-only")
 
@@ -780,4 +861,7 @@ class _AsOfShardedView(ShardedIndex):
         raise IndexError_("as-of view is read-only")
 
     def delete_where(self, condition, mor: bool = False) -> dict[int, int]:
+        raise IndexError_("as-of view is read-only")
+
+    def compact(self, target_rows: Optional[int] = None) -> dict[int, int]:
         raise IndexError_("as-of view is read-only")

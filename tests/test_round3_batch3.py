@@ -334,7 +334,12 @@ def test_read_range_composite_key_is_conservative_and_exact(spark, tmp_base, lin
     result exactly equal to the unpruned range."""
     from index_spark.snapshots import SnapshotStore
 
-    data = lineitem.select("l_orderkey", "l_linenumber", "l_quantity")
+    # the synthetic lineitem carries duplicate (orderkey, linenumber)
+    # pairs; the store enforces key uniqueness at birth (round 4), so
+    # dedup first — the test's subject is composite-key zone-map pruning
+    data = lineitem.select("l_orderkey", "l_linenumber", "l_quantity").dropDuplicates(
+        ["l_orderkey", "l_linenumber"]
+    )
     store = SnapshotStore(spark, tmp_base + "/zmc")
     h = store.create(["l_orderkey", "l_linenumber"], df=data, rows_per_partition=500)
     lo, hi = (100, 2), (400, 3)

@@ -230,3 +230,90 @@ def test_exact_quantiles_rejects_empty_qs(spark):
     df = spark.createDataFrame([(1, 1)], "v long, k long")
     with pytest.raises(ValueError, match="at least one q"):
         exact_quantiles(df, "v", "k", [])
+
+
+# ------------------------------ sharded deep-review (high effort) fixes
+def _mk_sharded(spark, base, n=20, shards=2, cap=None):
+    from index_spark.sharded import ShardedIndex
+
+    return ShardedIndex.create(
+        spark,
+        base,
+        ["k"],
+        spark.createDataFrame([(i, float(i)) for i in range(n)], "k long, v double"),
+        n_shards=shards,
+        rows_per_partition=10,
+        shard_capacity=cap,
+    )
+
+
+def test_sharded_reads_survive_partial_schema_evolution(spark, tmp_base):
+    sh = _mk_sharded(spark, tmp_base + "/sh")
+    # evolve only the shard owning small keys
+    sh.insert([{"k": 0, "v": 0.5, "flag": "x"}], upsert=True, allow_new_columns=True)
+    rows = {r.k: r.flag for r in sh.in_order().select("k", "flag").collect()}
+    assert rows[0] == "x" and rows[19] is None and len(rows) == 20
+    got = sh.get_all([0, 19]).select("k", "flag").collect()
+    assert {r.k for r in got} == {0, 19}
+
+
+def test_sharded_create_rejects_duplicate_keys(spark, tmp_base):
+    from index_spark.errors import DuplicatedKeysError
+    from index_spark.sharded import ShardedIndex
+
+    with pytest.raises(DuplicatedKeysError):
+        ShardedIndex.create(
+            spark,
+            tmp_base + "/dup",
+            ["k"],
+            spark.createDataFrame([(7, 1.0), (7, 2.0)], "k long, v double"),
+            n_shards=2,
+        )
+
+
+def test_asof_view_refuses_compact(spark, tmp_base):
+    from index_spark.errors import IndexError_
+
+    sh = _mk_sharded(spark, tmp_base + "/sh2")
+    t = sh.snapshot()
+    with pytest.raises(IndexError_):
+        sh.as_of(t).compact()
+
+
+def test_sharded_execute_rejects_dataframe_batches(spark, tmp_base):
+    from index_spark.commands import Insert
+
+    sh = _mk_sharded(spark, tmp_base + "/sh3")
+    with pytest.raises(TypeError, match="driver-side row lists"):
+        sh.execute([Insert(spark.createDataFrame([(99, 9.0)], "k long, v double"))])
+
+
+def test_auto_split_converges_on_big_batch(spark, tmp_base):
+    sh = _mk_sharded(spark, tmp_base + "/sh4", n=10, shards=1, cap=12)
+    # one batch quadruples the shard: both halves still exceed capacity;
+    # auto-split must keep going until every shard is under it
+    sh.insert([{"k": 100 + i, "v": float(i)} for i in range(40)])
+    cat = sh._read_catalog()
+    from index_spark.snapshots import SnapshotStore
+
+    for s in cat["shards"]:
+        if s["version"] is not None:
+            assert SnapshotStore(spark, s["path"]).n_rows(s["version"]) < 12 * 2
+    assert sh.count() == 50
+    assert sh.n_shards() >= 4
+
+
+def test_sharded_vacuum_reclaims_null_version_orphans(spark, tmp_base):
+    from index_spark.snapshots import SnapshotStore
+
+    sh = _mk_sharded(spark, tmp_base + "/sh5")
+    cat = sh._read_catalog()
+    # simulate a failed cross-shard batch: a committed-but-unpublished
+    # version in a store the catalog pins at an OLDER version
+    s0 = cat["shards"][0]
+    store = SnapshotStore(spark, s0["path"])
+    store.latest().insert([{"k": 500, "v": 5.0}], upsert=True)  # orphan commit
+    assert store.latest_version() > s0["version"]
+    sh.vacuum()
+    assert store.latest_version() == s0["version"]  # orphan reclaimed
+    assert sh.count() == 20
