@@ -40,10 +40,8 @@ from typing import Iterator, Optional
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from index_spark.sources import load_table
 from index_spark.sources.tables import canonical_events
 
 
@@ -57,14 +55,25 @@ def read_events_stream(
     # require an explicit schema); the canonicalizer then branches on
     # whatever dtype `ts` actually is (long for NANOS fixtures read with
     # nanosAsLong, timestamp_ntz for timestamp[us] fixtures).
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # file streams require a *directory* source; glob-filter down to the
-    # events file(s) inside the scale-factor dir.
-    reader = spark.readStream.schema(raw_schema).option("pathGlobFilter", "events.parquet")
+    events_path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(raw_schema)
+    if os.path.isdir(events_path):
+        # Spark-style dataset directory: stream the directory itself (its
+        # leaves are part-*.parquet, which a name glob on "events.parquet"
+        # would silently miss, draining zero rows).
+        source = events_path
+    else:
+        # single file: file streams need a directory source, so stream the
+        # scale-factor dir glob-filtered down to this file by leaf name
+        reader = reader.option("pathGlobFilter", "events.parquet")
+        source = sf_dir
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return canonical_events(reader.parquet(sf_dir))
+    return canonical_events(reader.parquet(source))
 
 
 def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -145,9 +154,12 @@ def user_running_state(events: DataFrame, timeout_ms: Optional[int] = 60_000) ->
     availableNow drain never terminates while processing-time timeouts are
     pending, so batch-equivalence checks use the no-timeout variant; the
     eviction path is exercised by the long-running streaming tests."""
+    # 0 and None both mean "no idle eviction": selecting ProcessingTimeTimeout
+    # without ever arming a timer (the 0 case) would be a third, undocumented
+    # behavior — state never evicted yet the timeout conf carried.
     conf = (
         GroupStateTimeout.NoTimeout
-        if timeout_ms is None
+        if not timeout_ms
         else GroupStateTimeout.ProcessingTimeTimeout
     )
     return (
@@ -276,6 +288,10 @@ def run_available_now(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    import time
+
+    q = None
+    complete = False
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -284,12 +300,32 @@ def run_available_now(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        complete = q.awaitTermination(timeout_s)
+        if not complete:
+            # Deadline hit. Two distinct cases: (a) the source is exhausted
+            # and the query only spins on the pending processing-time state
+            # timers (applyInPandasWithState) — the result IS complete; an
+            # availableNow drain never self-terminates with timers armed,
+            # it loops on 'No new data but cleaning up state' triggers;
+            # (b) data is still flowing — stopping now would hand the
+            # caller silently truncated aggregates. q.status tells them
+            # apart; poll briefly to avoid racing a between-triggers gap.
+            for _ in range(10):
+                s = q.status
+                if not s.get("isDataAvailable") and (
+                    not s.get("isTriggerActive")
+                    or "cleaning up state" in str(s.get("message", ""))
+                ):
+                    complete = True
+                    break
+                time.sleep(0.5)
     finally:
-        if q.isActive:  # drain deadline hit (e.g. pending state timeouts)
+        if q is not None and q.isActive:
             q.stop()
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if not complete:
+        raise TimeoutError(f"{query_name} did not drain within {timeout_s}s")
     return spark.table(query_name)
 
 
@@ -297,10 +333,23 @@ def stream_into_snapshots(
     events: DataFrame, store, key: list[str], timeout_s: int = 120
 ) -> int:
     """CDC sink: each micro-batch upserts into a SnapshotStore as one COW
-    commit (version N+1), giving time travel over the live feed. Returns the
-    number of committed micro-batches."""
+    commit (version N+1), giving time travel over the live feed. ``key``
+    must equal the store's creation-time upsert key (validated — the store
+    decides the merge key, this parameter documents the caller's intent).
+    Returns the number of committed micro-batches."""
     from index_spark.commands import Insert
 
+    store_key = list(store.latest().key)
+    if list(key) != store_key:
+        raise ValueError(
+            f"stream_into_snapshots key {list(key)} != store key {store_key}; "
+            "the store's creation-time key is the upsert key"
+        )
+    # writer-version strings are per-transaction ids the store rejects on
+    # reuse; checkpoint-less availableNow runs restart batch_id at 0, so a
+    # second feed into the same store must salt per run (stream_merge_into
+    # does the same)
+    run_id = uuid.uuid4().hex[:8]
     n_batches = {"n": 0}
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -310,12 +359,18 @@ def stream_into_snapshots(
         if batch_df.isEmpty():
             return
         handle = store.latest()
-        handle.execute([Insert(batch_df, upsert=True)], version=f"stream-batch-{batch_id}")
+        handle.execute(
+            [Insert(batch_df, upsert=True)], version=f"stream-batch-{run_id}-{batch_id}"
+        )
         store.record_snapshot()
         n_batches["n"] += 1
 
     q = events.writeStream.foreachBatch(commit_batch).trigger(availableNow=True).start()
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # returning a partial count while commits keep landing in the
+        # background would race every subsequent store.latest()/history()
+        q.stop()
+        raise TimeoutError(f"stream_into_snapshots did not drain within {timeout_s}s")
     return n_batches["n"]
 
 
@@ -423,7 +478,7 @@ def stream_merge_into(events: DataFrame, store, timeout_s: int = 120) -> int:
             )
         )
         head = store.latest()
-        cur = None if head._empty else head.df
+        cur = head._current()
         if cur is not None:
             stored = cur.select(
                 "user_id",

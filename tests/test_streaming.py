@@ -297,3 +297,45 @@ def test_funnel_state_fn_sorts_across_chunks():
     st = _FakeState()
     out = list(fn((1,), iter([chunk1, chunk2]), st))
     assert st.value == (5, 8, 9) and out[0].iloc[0]["stage"] == 3
+
+
+def test_stream_into_snapshots_second_run_same_store(spark, sf_dir, tmp_base, events_batch):
+    """Checkpoint-less availableNow runs restart batch_id at 0; a second CDC
+    feed into the same store must not collide on writer-version strings."""
+    few = events_batch.select("event_id", "user_id", "ts_us").filter(F.col("user_id") < 3)
+    store = SnapshotStore(spark, tmp_base + "/ev_idx2")
+    store.create(["event_id"], df=few.limit(0), rows_per_partition=100_000)
+
+    def feed():
+        stream = read_events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "ts_us"
+        ).filter(F.col("user_id") < 3)
+        return stream_into_snapshots(stream, store, key=["event_id"])
+
+    n1 = feed()
+    n2 = feed()  # upserts the same rows again; must commit, not CommitError
+    assert n1 >= 1 and n2 >= 1
+    assert len(store.history()) == n1 + n2
+    assert store.latest().count() == few.count()
+
+
+def test_stream_into_snapshots_rejects_wrong_key(spark, sf_dir, tmp_base, events_batch):
+    few = events_batch.select("event_id", "user_id", "ts_us").limit(0)
+    store = SnapshotStore(spark, tmp_base + "/ev_idx3")
+    store.create(["event_id"], df=few, rows_per_partition=100_000)
+    stream = read_events_stream(spark, sf_dir).select("event_id", "user_id", "ts_us")
+    with pytest.raises(ValueError, match="store key"):
+        stream_into_snapshots(stream, store, key=["user_id"])
+
+
+def test_run_available_now_start_failure_restores_conf(spark, sf_dir):
+    """If start() itself throws (unwatermarked agg in append mode), the
+    original error must surface — not an UnboundLocalError from the finally
+    block — and the shuffle-partitions override must be rolled back."""
+    from pyspark.errors import AnalysisException
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    bad = read_events_stream(spark, sf_dir).groupBy("event_type").count()
+    with pytest.raises(AnalysisException):
+        run_available_now(bad, _name(), output_mode="append", shuffle_partitions=4)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
