@@ -53,13 +53,23 @@ def latest_stamp(base_path: str, name: str) -> Optional[int]:
 def read_latest(base_path: str, name: str) -> Optional[tuple[dict, int]]:
     """(object, stamp) of the newest committed catalog, or None. Falls back
     to a legacy unstamped ``<name>.json`` (pre-CAS layout) as stamp 0."""
-    stamp = latest_stamp(base_path, name)
-    if stamp is None:
-        legacy = os.path.join(base_path, f"{name}.json")
-        if os.path.exists(legacy):
-            with open(legacy) as f:
-                return json.load(f), 0
-        return None
+    # list-then-open races with prune(): the stamp we resolved can be
+    # deleted before the open when aggressive retention (keep_latest=1)
+    # runs concurrently — re-list and retry instead of surfacing a
+    # FileNotFoundError for a catalog that is perfectly healthy.
+    for _ in range(8):
+        stamp = latest_stamp(base_path, name)
+        if stamp is None:
+            legacy = os.path.join(base_path, f"{name}.json")
+            if os.path.exists(legacy):
+                with open(legacy) as f:
+                    return json.load(f), 0
+            return None
+        try:
+            with open(os.path.join(base_path, f"{name}.v{stamp}.json")) as f:
+                return json.load(f), stamp
+        except FileNotFoundError:
+            continue
     with open(os.path.join(base_path, f"{name}.v{stamp}.json")) as f:
         return json.load(f), stamp
 
@@ -105,20 +115,39 @@ def commit(base_path: str, name: str, obj: dict, expected_stamp: Optional[int]) 
     :class:`CommitConflictError` and leave the winner untouched.
     """
     os.makedirs(base_path, exist_ok=True)
+    # The put-if-absent alone is not enough once prune() has deleted old
+    # stamps: a stale writer whose expected_stamp fell below the pruned
+    # range would "successfully" create a gap-filling low stamp that no
+    # reader (they resolve max) ever sees — a silently lost commit. Verify
+    # the writer is commiting against the CURRENT head first; the racing
+    # window left between this check and the link is then covered by the
+    # EEXIST conflict, because the target stamp is above the retained head.
+    cur = latest_stamp(base_path, name)
+    if cur is not None and (expected_stamp is None or cur > expected_stamp):
+        raise CommitConflictError(
+            f"catalog {name} advanced to v{cur} past expected v{expected_stamp} — "
+            "reread and retry the transaction"
+        )
     nxt = 1 if expected_stamp is None else expected_stamp + 1
     final = os.path.join(base_path, f"{name}.v{nxt}.json")
     tmp = os.path.join(base_path, f".{name}.{uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as f:
-        json.dump(obj, f)
-        f.flush()
-        os.fsync(f.fileno())
     try:
-        os.link(tmp, final)  # put-if-absent: publishes all-or-nothing
-    except FileExistsError:
-        raise CommitConflictError(
-            f"catalog {name} advanced past v{expected_stamp} — "
-            "reread and retry the transaction"
-        ) from None
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)  # put-if-absent: publishes all-or-nothing
+        except FileExistsError:
+            raise CommitConflictError(
+                f"catalog {name} advanced past v{expected_stamp} — "
+                "reread and retry the transaction"
+            ) from None
     finally:
-        os.unlink(tmp)
+        # also reached when json.dump/fsync fails: never leave orphaned
+        # .tmp files behind (prune()'s regex would skip them forever)
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
     return nxt

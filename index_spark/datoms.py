@@ -74,6 +74,11 @@ def datoms_from_table(
         v = F.concat(F.lit(target_ns + ":"), F.col(c).cast("string"))
         parts.append(mk(c, v, F.lit(None).cast("double"), REF))
 
+    if not parts:
+        raise ValueError(
+            "datoms_from_table: no attributes declared — pass at least one of "
+            "text_attrs / num_attrs / ref_attrs"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -103,9 +108,14 @@ class DatomStore:
 
     # -- DatomsSpec access pattern 1 (DatomsSpec.scala:85-91): AVET point get
     def entities_by_attr_value(self, a: str, v, is_num: bool = False) -> DataFrame:
-        """attribute+value → entities, via the AVET order (prefix on (a, v))."""
+        """attribute+value → entities, via the AVET order (prefix on (a, v)).
+
+        The numeric path re-keys over the AVET dataset (``self.avet.df``,
+        not ``self.datoms``): after :meth:`materialize` those are different
+        physical layouts, and the attribute-clustered copy is the one whose
+        leading ``a`` prunes partitions — the win materialize() exists for."""
         if is_num:
-            idx = SortedIndex(self.datoms, ["a", "v_num", "e", "t"])
+            idx = SortedIndex(self.avet.df, ["a", "v_num", "e", "t"])
             return idx.prefix((a, float(v))).select("e")
         return self.avet.prefix((a, str(v))).select("e")
 

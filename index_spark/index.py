@@ -94,6 +94,10 @@ class SortedIndex:
         the requested keys.
         """
         tuples = [as_tuple(k) for k in keys]
+        if not tuples:
+            # empty request: nothing found, nothing missing (the composite
+            # branch's createDataFrame cannot infer types from no rows)
+            return self.df.limit(0)
         if len(self.key) == 1 and len(tuples) <= self.GET_ALL_BROADCAST_LIMIT:
             flat = [t[0] for t in tuples]
             out = self.df.filter(F.col(self.key[0]).isin(flat))
@@ -114,7 +118,11 @@ class SortedIndex:
                 found = self.df.select(*self.key).join(
                     keys_df, on=self.key, how="left_semi"
                 ).distinct()
-                missing = keys_df.join(found, on=self.key, how="left_anti").limit(20).collect()
+                # cap the collected evidence at the broadcast limit (the
+                # missing set can be as large as the request); callers that
+                # repair from .keys can detect the cap by its exact size
+                cap = self.GET_ALL_BROADCAST_LIMIT
+                missing = keys_df.join(found, on=self.key, how="left_anti").limit(cap).collect()
                 if missing:
                     raise KeyNotFoundError([tuple(r) for r in missing])
             return self._ordered(out, reverse=False, limit=None)
@@ -301,7 +309,12 @@ class SortedIndex:
         sample = self.df.select(*self.key).sample(fraction=frac, seed=42).collect()
         if not sample:
             sample = self.df.select(*self.key).limit(sample_size).collect()
-        keys_sorted = sorted(tuple(r) for r in sample)
+        # NULL-aware sort key (None is not orderable against str/float in
+        # Python): NULL sorts first, matching the engine's key order
+        keys_sorted = sorted(
+            (tuple(r) for r in sample),
+            key=lambda t: tuple((v is not None, v) for v in t),
+        )
         boundary = keys_sorted[len(keys_sorted) // 2]
         left = self.df.filter(key_lt(self.key, boundary))
         right = self.df.filter(key_gt(self.key, boundary, inclusive=True))
