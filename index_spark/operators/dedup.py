@@ -134,6 +134,18 @@ def minhash_signature(col: Column, num_hashes: int = 16, shingle_k: int = 3) -> 
     )
 
 
+def _lsh_rows(num_hashes: int, bands: int) -> int:
+    """Rows-per-band, validated: bands must divide num_hashes exactly.
+    Silent truncation would change the effective similarity threshold,
+    and bands > num_hashes would give rows=0 — every band hash becomes
+    md5('') and the in-bucket self-join degenerates to all-pairs."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must be a positive divisor of num_hashes={num_hashes}"
+        )
+    return num_hashes // bands
+
+
 def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
     """Band the signature: band_j = md5('|'-join of its r member values).
     Returns array<struct<band:int, h:string>> for exploding into buckets.
@@ -214,7 +226,7 @@ def minhash_candidates(
     recovers the full duplicate group), trading some direct-pair recall
     for a hard bound on join fan-out. Default None preserves exact
     all-pairs semantics (the hash-gated oracle shape)."""
-    rows = num_hashes // bands
+    rows = _lsh_rows(num_hashes, bands)
     # Two steps on purpose: the signature must be a materialized attribute
     # BEFORE the explode. Inlining it into the generator expression makes
     # Spark re-evaluate the whole shingle+md5 pipeline per emitted band —
@@ -271,13 +283,24 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard.
 
-    Broadcast-joins shingle sets onto the (small) candidate set — the
-    classic candidate-then-verify LSH shape. Shingles come from the
-    vectorized UDF (same values as :func:`word_shingles`, ~30× faster);
-    the set ops stay JVM-side."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingle_minhash_udf(1, shingle_k)(F.col(text_col))["sh"].alias("sh"),
+    The classic candidate-then-verify LSH shape: the corpus is first
+    semi-join-pruned to ids that appear in some candidate pair, and only
+    the pruned side is shingled — verify cost follows the candidate count,
+    not the corpus size. Shingles come from the vectorized UDF (same
+    values as :func:`word_shingles`, ~30× faster); the set ops stay
+    JVM-side."""
+    wanted = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .join(wanted, "id", "left_semi")
+        .select(
+            "id",
+            shingle_minhash_udf(1, shingle_k)(F.col(text_col))["sh"].alias("sh"),
+        )
     )
     out = (
         pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -309,7 +332,7 @@ def minhash_near_dup_pairs(
     stages are composed independently. The cache entry lives with the
     returned plan (Spark LRU-evicts under pressure); at 100 TB you'd
     materialize the projection to storage instead (same shape)."""
-    rows = num_hashes // bands
+    rows = _lsh_rows(num_hashes, bands)
     enriched = (
         df.select(
             F.col(id_col).alias("id"),
@@ -348,11 +371,16 @@ def minhash_dedup(
     threshold: float = 0.8,
     num_hashes: int = 16,
     bands: int = 8,
+    shingle_k: int = 3,
 ) -> DataFrame:
     """End-to-end near-dup removal: LSH candidates → Jaccard ≥ threshold →
-    drop the larger id of each confirmed pair (greedy min-id survivor)."""
-    cands = minhash_candidates(df, text_col, id_col, num_hashes, bands)
-    confirmed = jaccard_pairs(df, cands, text_col, id_col).filter(F.col("jaccard") >= threshold)
+    drop the larger id of each confirmed pair (greedy min-id survivor).
+    Built on :func:`minhash_near_dup_pairs`, so the (shingles, signature)
+    projection is computed in ONE UDF pass and reused by both candidate
+    generation and verification — not re-derived per stage."""
+    confirmed = minhash_near_dup_pairs(
+        df, text_col, id_col, threshold, num_hashes, bands, shingle_k
+    )
     losers = confirmed.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
@@ -366,8 +394,13 @@ def simhash_candidates(
 ) -> DataFrame:
     """Candidate pairs sharing a 16-bit SimHash block (Manku-style blocking:
     near signatures agree on at least one of the 4 blocks). Returns pairs
-    with their Hamming distance for thresholding by the caller."""
-    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    with their Hamming distance for thresholding by the caller.
+
+    The (id, simhash) projection is persisted: both sides of the in-block
+    self-join read it from cache, so the simhash64 expression pipeline runs
+    once over the corpus instead of twice (same discipline as
+    :func:`minhash_near_dup_pairs`)."""
+    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")).persist()
     blocks = F.array(
         *[
             F.struct(
@@ -448,7 +481,7 @@ def incremental_near_dups(
     iff some corpus candidate's exact shingle Jaccard ≥ ``threshold``;
     documents with no band collision report (0, null, false).
     """
-    rows = num_hashes // bands
+    rows = _lsh_rows(num_hashes, bands)
 
     def banded(df: DataFrame) -> DataFrame:
         with_sig = df.select(
@@ -512,7 +545,7 @@ def build_lsh_index(
     bands it actually collides on and NEVER re-shingles the corpus — the
     persisted artifact :func:`incremental_near_dups` assumes at scale.
     Returns the re-read (partition-pruned-capable) DataFrame."""
-    rows = num_hashes // bands
+    rows = _lsh_rows(num_hashes, bands)
     with_sig = df.select(
         F.col(id_col).alias("id"),
         shingle_minhash_udf(num_hashes, shingle_k)(F.col(text_col))["sig"].alias("sig"),
@@ -539,7 +572,7 @@ def incremental_near_dups_indexed(
     (:func:`build_lsh_index` output): only the new batch is shingled and
     signed; the corpus is touched just to fetch candidate shingle sets
     (an id semi-join — at scale, point lookups into the document store)."""
-    rows = num_hashes // bands
+    rows = _lsh_rows(num_hashes, bands)
     with_sig = batch.select(
         F.col(id_col).alias("id"),
         shingle_minhash_udf(num_hashes, shingle_k)(F.col(text_col))["sig"].alias("sig"),

@@ -132,11 +132,24 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     """
     frac = md5_frac(F.col(col))
     kmin = df.select(frac.alias("frac")).distinct().orderBy("frac").limit(k)
-    return kmin.agg(
-        F.round((F.count(F.lit(1)) - 1) / F.max("frac")).cast("long").alias("est_distinct"),
-        F.round(F.max("frac"), 9).alias("kth_frac"),
-        F.count(F.lit(1)).alias("k"),
+    return kmin.agg(*_kmv_est_cols(k))
+
+
+def _kmv_est_cols(k: int) -> list:
+    """Aggregate columns for the KMV estimate with the underfill guard:
+    fewer than k distinct hashes means the sketch holds EVERY value — the
+    exact count, not an estimate (kmv_by_group applies the same rule).
+    Without the guard a 5-distinct column estimated via (count-1)/max_frac
+    returns the luck of 5 uniform draws instead of 5."""
+    cnt = F.count(F.lit(1))
+    est = F.when(cnt < k, cnt).otherwise(
+        F.round((cnt - 1) / F.max("frac"))
     )
+    return [
+        est.cast("long").alias("est_distinct"),
+        F.round(F.max("frac"), 9).alias("kth_frac"),
+        cnt.alias("k"),
+    ]
 
 
 def kmv_sketch(df: DataFrame, col: str, k: int = 64) -> DataFrame:
@@ -148,22 +161,30 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     return df.select(frac.alias("frac")).distinct().orderBy("frac").limit(k)
 
 
-def kmv_merge_estimate(sketches: list[DataFrame], k: int = 64) -> DataFrame:
+def kmv_merge_estimate(
+    sketches: list[DataFrame], k: int = 64, build_ks: "list[int] | None" = None
+) -> DataFrame:
     """Distinct-count estimate of the UNION of the sketched sets: union
     the sketch rows, dedupe (same value hashes identically in every
     sketch), keep the k smallest — exactly the sketch the union's raw
     data would have produced (KMV's merge property). Input and output
     are k-row objects; merge cost is independent of the data the
-    sketches summarize."""
+    sketches summarize.
+
+    The merge property only holds for ``k <= min(build k)``: a saturated
+    k=32 sketch cannot supply a 64th-smallest hash, and pretending it can
+    severely underestimates the union. Pass ``build_ks`` (the k each input
+    sketch was built with) to have that invariant enforced."""
+    if build_ks is not None and k > min(build_ks):
+        raise ValueError(
+            f"merge k={k} exceeds min build k={min(build_ks)}: a merged KMV "
+            "estimate is only valid at or below the smallest input sketch size"
+        )
     u = sketches[0]
     for s in sketches[1:]:
         u = u.unionByName(s)
     kmin = u.distinct().orderBy("frac").limit(k)
-    return kmin.agg(
-        F.round((F.count(F.lit(1)) - 1) / F.max("frac")).cast("long").alias("est_distinct"),
-        F.round(F.max("frac"), 9).alias("kth_frac"),
-        F.count(F.lit(1)).alias("k"),
-    )
+    return kmin.agg(*_kmv_est_cols(k))
 
 
 # --------------------------------------------------------- count-min sketch

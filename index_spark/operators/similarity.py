@@ -41,6 +41,8 @@ def brute_force_topk(
     """Exact top-k by cosine (or dot). Deterministic tie-break on id.
     Compiles to scan → project → TakeOrderedAndProject: at any scale this
     is one pass over the vectors with a k-row reduction per partition."""
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"unknown metric {metric!r}: expected 'cosine' or 'dot'")
     q = _query_lit(qvec)
     score = cosine(F.col(vec_col), q) if metric == "cosine" else dot(F.col(vec_col), q)
     return (
@@ -231,14 +233,20 @@ def lsh_topk(
     multiprobe_hamming: int = 1,
 ) -> DataFrame:
     """ANN top-k within the query's bucket (± multiprobe neighbors at
-    Hamming ≤ d over bucket bits — recall knob)."""
+    Hamming ≤ ``multiprobe_hamming`` over bucket bits — recall knob)."""
+    from itertools import combinations
+
     planes = _hyperplanes(dim, n_planes, seed)
     # fold-dot (not np.dot): the query's bucket must be bit-identical to
     # the bucket the engine-side fold would assign the same vector
     qbits = int(sum((1 << j) for j, p in enumerate(planes) if _fold_dot(qvec, p) >= 0))
     probes = {qbits}
-    if multiprobe_hamming >= 1:
-        probes |= {qbits ^ (1 << j) for j in range(n_planes)}
+    for d in range(1, multiprobe_hamming + 1):
+        for flip in combinations(range(n_planes), d):
+            mask = 0
+            for j in flip:
+                mask |= 1 << j
+            probes.add(qbits ^ mask)
     q = _query_lit(qvec)
     return (
         bucketed.filter(F.col("bucket").isin(list(probes)))

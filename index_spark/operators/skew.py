@@ -7,8 +7,12 @@ These helpers cover the cases AQE does not:
 - ``salted_join`` — fact⋈dimension where a handful of hot keys dominate.
   The fact side gets a salt in [0, salt); the dimension side is replicated
   ``salt`` times; both shuffle on (key, salt), spreading each hot key over
-  ``salt`` reducers. Join *results* are identical for any salt assignment,
-  so the salt source only needs uniformity, not determinism.
+  ``salt`` reducers. The salt is a deterministic hash of the whole row —
+  NOT ``rand()``: a shuffle-fetch-failure retry recomputes map tasks, and a
+  nondeterministic salt would re-assign rows across already-fetched reducer
+  inputs, duplicating or losing them. Content-hashing spreads hot keys just
+  as uniformly (identical duplicate rows share a bucket, which is harmless)
+  while staying stable under recomputation.
 - ``two_phase_agg`` — skewed groupBy: partial-aggregate on (key, salt),
   then final-aggregate on key. Each phase's shuffle is bounded by
   ``salt × |keys|`` and no single reducer sees a whole hot key. Only legal
@@ -30,6 +34,12 @@ from pyspark.sql import functions as F
 SALT = "__salt"
 
 
+def _row_salt(df: DataFrame, salt: int) -> Column:
+    """Deterministic salt in [0, salt): hash of every column, so retried
+    map tasks re-derive the identical assignment (rand() would not)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)).cast("int")
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -45,7 +55,7 @@ def salted_join(
     than the fact. Supported ``how``: inner / left (semantics preserved:
     every fact row keeps exactly its one salt)."""
     assert how in ("inner", "left"), "salted_join preserves semantics for inner/left only"
-    f = fact.withColumn(SALT, F.floor(F.rand(seed=42) * salt).cast("int"))
+    f = fact.withColumn(SALT, _row_salt(fact, salt))
     d = dim.withColumn(SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     return f.join(d, [*on, SALT], how).drop(SALT)
 
@@ -69,6 +79,6 @@ def two_phase_agg(
             final=lambda: [F.sum("n").cast("long").alias("n"), F.sum("s").alias("s")],
         )
     """
-    salted = df.withColumn(SALT, F.floor(F.rand(seed=42) * salt).cast("int"))
+    salted = df.withColumn(SALT, _row_salt(df, salt))
     part = salted.groupBy(*keys, SALT).agg(*partial())
     return part.groupBy(*keys).agg(*final())

@@ -2352,8 +2352,14 @@ def q_kmv_union(spark, sf_dir):
     }
 
     def est(s, name):
+        # same underfill guard as sampling._kmv_est_cols: < 64 distinct
+        # hashes means the sketch is exhaustive — exact count, no estimate
+        cnt = F.count(F.lit(1))
         return s.agg(
-            F.round((F.count(F.lit(1)) - 1) / F.max("frac")).cast("long").alias(name)
+            F.when(cnt < 64, cnt)
+            .otherwise(F.round((cnt - 1) / F.max("frac")))
+            .cast("long")
+            .alias(name)
         )
 
     out = (
@@ -4539,9 +4545,9 @@ def build_oracles() -> dict[str, str]:
             "sb AS (SELECT frac FROM (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) / 1152921504606846976.0 AS frac FROM customer) ORDER BY frac LIMIT 64), "
             "mu AS (SELECT frac FROM (SELECT DISTINCT frac FROM (SELECT frac FROM sa UNION ALL SELECT frac FROM sb)) ORDER BY frac LIMIT 64) "
             "SELECT "
-            "(SELECT CAST(round((count(*) - 1) / max(frac)) AS BIGINT) FROM sa) AS est_orders, "
-            "(SELECT CAST(round((count(*) - 1) / max(frac)) AS BIGINT) FROM sb) AS est_customers, "
-            "(SELECT CAST(round((count(*) - 1) / max(frac)) AS BIGINT) FROM mu) AS est_union, "
+            "(SELECT CAST(CASE WHEN count(*) < 64 THEN count(*) ELSE round((count(*) - 1) / max(frac)) END AS BIGINT) FROM sa) AS est_orders, "
+            "(SELECT CAST(CASE WHEN count(*) < 64 THEN count(*) ELSE round((count(*) - 1) / max(frac)) END AS BIGINT) FROM sb) AS est_customers, "
+            "(SELECT CAST(CASE WHEN count(*) < 64 THEN count(*) ELSE round((count(*) - 1) / max(frac)) END AS BIGINT) FROM mu) AS est_union, "
             "(SELECT round(max(frac), 9) FROM mu) AS kth_frac, "
             "(SELECT CAST(count(*) AS BIGINT) FROM mu) AS k"
         ),
@@ -5320,7 +5326,8 @@ def build_oracles() -> dict[str, str]:
             "  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)"
             "         / 1152921504606846976.0 AS frac FROM orders"
             "), kmin AS (SELECT frac FROM fr ORDER BY frac LIMIT 64) "
-            "SELECT CAST(round((count(*) - 1) / max(frac)) AS BIGINT) AS est_distinct, "
+            "SELECT CAST(CASE WHEN count(*) < 64 THEN count(*) "
+            "  ELSE round((count(*) - 1) / max(frac)) END AS BIGINT) AS est_distinct, "
             "round(max(frac), 9) AS kth_frac, CAST(count(*) AS BIGINT) AS k FROM kmin"
         ),
         "window_count_join": (
