@@ -30,13 +30,15 @@ def _shingle_hashes(df: DataFrame, k: int, id_col: str, text_col: str) -> DataFr
     hashed md5-prefix → 28-bit int (the MinHash hash convention).
 
     Documents with fewer than ``k`` tokens contribute NO shingles: the
-    contract is "shares a long word n-gram", and ``word_shingles``'
-    whole-text fallback for short docs would otherwise let a 1-2 word (or
-    empty) benchmark row flag unrelated short corpus docs as contaminated
-    via the degenerate full-string (or empty-string) shingle."""
-    long_enough = F.size(TX.tokens(TX.normalize_text(F.col(text_col)))) >= k
-    sh = df.filter(long_enough).select(
-        F.col(id_col), F.explode(TX.word_shingles(F.col(text_col), k)).alias("s")
+    contract is "shares a long word n-gram" — ``word_ngrams_all`` already
+    yields the empty array for short docs (no degenerate whole-text or
+    empty-string shingle), and ``array_distinct`` of it produces the same
+    shingle set as ``word_shingles`` in ONE tokenization pass instead of
+    tokenizing once for a length filter and again for the shingles
+    (``\\S+`` extraction makes lower vs normalize_text token-identical)."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(TX.word_ngrams_all(F.col(text_col), k))).alias("s"),
     )
     return sh.select(id_col, TX.md5_prefix28(F.col("s")).alias("h"))
 

@@ -35,15 +35,25 @@ def window_count_join(
     b = build.select(
         F.col(key).alias("__k"), F.col(ts).alias("__ts")
     )
-    cond = (
-        (probe[key] == b["__k"])
-        & (b["__ts"] >= probe[ts] - lookback)
-        & (b["__ts"] < probe[ts])
+    # Duplicate probe rows must each keep their own output row and count: a
+    # plain groupBy over all probe columns would merge identical rows and
+    # SUM their window counts. Pre-aggregate the multiplicity, count
+    # matches once per distinct row, then re-expand.
+    pc = probe.groupBy(*[F.col(c) for c in probe.columns]).agg(
+        F.count(F.lit(1)).alias("__dup")
     )
-    joined = probe.join(b, cond)
+    cond = (
+        (pc[key] == b["__k"])
+        & (b["__ts"] >= pc[ts] - lookback)
+        & (b["__ts"] < pc[ts])
+    )
+    joined = pc.join(b, cond)
+    counts = joined.groupBy(*[pc[c] for c in probe.columns], pc["__dup"]).agg(
+        F.count(F.lit(1)).alias("n_window")
+    )
     return (
-        joined.groupBy(*[probe[c] for c in probe.columns])
-        .agg(F.count(F.lit(1)).alias("n_window"))
+        counts.withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__dup"))))
+        .drop("__dup", "__i")
     )
 
 

@@ -141,14 +141,17 @@ def repetition_filter(
     corpus is avoided: the stats carry the id, so callers semi-join on it
     when they want the surviving text."""
     stats = repetition_stats(df, k=k, id_col=id_col, text_col=text_col)
+    # `passes` is derived from the ROUNDED fractions so the emitted row is
+    # self-consistent: a consumer re-checking the thresholds against the
+    # emitted columns must reach the same verdict
+    top_r = F.round("top_frac", 6)
+    dup_r = F.round("dup_frac", 6)
     return stats.select(
         id_col,
         "n_grams",
-        F.round("top_frac", 6).alias("top_frac"),
-        F.round("dup_frac", 6).alias("dup_frac"),
-        ((F.col("top_frac") <= max_top_frac) & (F.col("dup_frac") <= max_dup_frac)).alias(
-            "passes"
-        ),
+        top_r.alias("top_frac"),
+        dup_r.alias("dup_frac"),
+        ((top_r <= max_top_frac) & (dup_r <= max_dup_frac)).alias("passes"),
     )
 
 

@@ -103,7 +103,12 @@ def sql_bm25_topk(
     if not terms:
         raise ValueError("sql_bm25_topk requires at least one query term")
     tf_defs = ", ".join(
-        f"len(list_filter(toks, t -> t = '{term}')) AS tf_{i}"
+        # double embedded single quotes: a term like "o'brien" must become
+        # a valid SQL literal, not a parser error (the Spark twin takes the
+        # term through F.lit and needs no escaping)
+        "len(list_filter(toks, t -> t = '{0}')) AS tf_{1}".format(
+            term.replace("'", "''"), i
+        )
         for i, term in enumerate(terms)
     )
     df_defs = ", ".join(

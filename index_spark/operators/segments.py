@@ -50,11 +50,7 @@ def segment_hashes(df: DataFrame, width: int = 8, id_col: str = "doc_id", text_c
     return df.select(
         F.col(id_col),
         F.posexplode(token_blocks(F.col(text_col), width)).alias("pos", "__seg"),
-    ).select(
-        id_col,
-        "pos",
-        F.conv(F.substring(F.md5(F.col("__seg")), 1, 7), 16, 10).cast("long").alias("h"),
-    )
+    ).select(id_col, "pos", TX.md5_prefix28(F.col("__seg")).alias("h"))
 
 
 def dedup_segments(

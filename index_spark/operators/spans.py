@@ -35,10 +35,7 @@ def span_hashes(df: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str
     return df.select(
         F.col(id_col),
         F.explode(TX.word_ngrams_all(F.col(text_col), k)).alias("__g"),
-    ).select(
-        id_col,
-        F.conv(F.substring(F.md5(F.col("__g")), 1, 7), 16, 10).cast("long").alias("h"),
-    )
+    ).select(id_col, TX.md5_prefix28(F.col("__g")).alias("h"))
 
 
 def duplicate_span_stats(
@@ -105,13 +102,7 @@ def trim_duplicate_spans(
         F.posexplode(TX.word_ngrams_all(F.lower(F.col(text_col)), k)).alias(
             "i", "__g"
         ),
-    ).select(
-        id_col,
-        "i",
-        F.conv(F.substring(F.md5(F.col("__g")), 1, 7), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
+    ).select(id_col, "i", TX.md5_prefix28(F.col("__g")).alias("h"))
     dup = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("tot"))
@@ -124,7 +115,6 @@ def trim_duplicate_spans(
         .distinct()
     )
     kept = toks.join(covered, on=[id_col, "j"], how="left_anti")
-    removed = toks.join(covered, on=[id_col, "j"], how="left_semi")
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
             " ",
@@ -134,15 +124,16 @@ def trim_duplicate_spans(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    n_rm = removed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_removed"))
-    all_docs = toks.select(id_col).distinct()
+    # n_removed = n_tokens - n_kept: the per-doc token count rides the
+    # all-docs aggregate, so no second corpus-wide join over the exploded
+    # token table is needed (the SQL oracle derives it the same way)
+    all_docs = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_tok"))
     return (
         all_docs.join(rebuilt, on=id_col, how="left")
-        .join(n_rm, on=id_col, how="left")
         .select(
             id_col,
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            (F.col("__n_tok") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         )
     )

@@ -55,23 +55,30 @@ def split_leakage(
     ``(train_id, val_id, jaccard)``. Empty result = no leakage at this
     threshold. Candidate generation is the banded LSH join — the split
     filter applies AFTER banding so a pair is surfaced regardless of
-    which side each doc landed on."""
+    which side each doc landed on, but BEFORE the exact-Jaccard verify:
+    at train_frac=0.9 most candidates are same-split, and verifying them
+    only to drop them would multiply the expensive stage ~5x."""
     from index_spark.operators.dedup import jaccard_pairs, minhash_candidates
 
     tagged = hash_split(docs, id_col, train_frac)
     cand = minhash_candidates(tagged, text_col, id_col, num_hashes, bands, shingle_k)
-    verified = jaccard_pairs(tagged, cand, text_col, id_col, shingle_k).filter(
-        F.col("jaccard") >= F.lit(threshold)
-    )
     side = tagged.select(
         F.col(id_col).alias("__sid"), F.col("split").alias("__split")
     )
     a = side.withColumnRenamed("__sid", "id_a").withColumnRenamed("__split", "split_a")
     b = side.withColumnRenamed("__sid", "id_b").withColumnRenamed("__split", "split_b")
-    crossing = (
-        verified.join(a, on="id_a")
+    cross_cand = (
+        cand.join(a, on="id_a")
         .join(b, on="id_b")
         .filter(F.col("split_a") != F.col("split_b"))
+    )
+    crossing = (
+        jaccard_pairs(
+            tagged, cross_cand.select("id_a", "id_b"), text_col, id_col, shingle_k
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .join(a, on="id_a")
+        .join(b, on="id_b")
     )
     train_id = F.when(F.col("split_a") == "train", F.col("id_a")).otherwise(
         F.col("id_b")

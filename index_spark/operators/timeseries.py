@@ -57,12 +57,14 @@ def gapfill_forward(events: DataFrame, key: str = "user_id", ts_us: str = "ts_us
     forward-filled with the last observed hourly value.
 
     Returns ``(key, h, v_fill, observed)`` — ``h`` is the BIGINT hour index
-    (epoch µs div 3.6e9), ``v_fill`` the carried value (never NULL: the
-    grid starts at an observed hour), ``observed`` 1 if the hour had an
-    event. Plan: one shuffle on ``key`` (grid agg), the buckets join and
+    (epoch µs div 3.6e9), ``v_fill`` the carried value (NULL only until the
+    key's first non-null observation), ``observed`` 1 if the hour had an
+    event — judged by the join hit, not by ``v_obs`` being non-null, so an
+    hour whose latest event carries a NULL value still counts as observed.
+    Plan: one shuffle on ``key`` (grid agg), the buckets join and
     the forward-fill window reuse that partitioning.
     """
-    obs = hourly_buckets(events, key=key, ts_us=ts_us)
+    obs = hourly_buckets(events, key=key, ts_us=ts_us).withColumn("__hit", F.lit(1))
     grid = (
         obs.groupBy(key)
         .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
@@ -79,7 +81,7 @@ def gapfill_forward(events: DataFrame, key: str = "user_id", ts_us: str = "ts_us
             key,
             "h",
             F.last("v_obs", ignorenulls=True).over(w).alias("v_fill"),
-            F.when(F.col("v_obs").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("observed"),
+            F.coalesce(F.col("__hit"), F.lit(0)).alias("observed"),
         )
     )
 
@@ -102,12 +104,12 @@ def ewma_by_key(
     a = float(alpha)
     srt = F.array_sort(F.collect_list(F.struct(ts_us, "event_id", value)))
     vals = F.transform(srt, lambda s: s[value].cast("double"))
-    folded = F.when(F.size(vals) == 1, F.element_at(vals, 1)).otherwise(
-        F.aggregate(
-            F.slice(vals, F.lit(2), F.size(vals) - 1),
-            F.element_at(vals, 1),
-            lambda acc, x: acc * F.lit(1.0 - a) + x * F.lit(a),
-        )
+    # no single-element special case needed: F.aggregate over the empty
+    # slice returns the init value (= the sole element) already
+    folded = F.aggregate(
+        F.slice(vals, F.lit(2), F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1.0 - a) + x * F.lit(a),
     )
     return events.groupBy(key).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -172,8 +174,6 @@ def ohlc_hourly(
     reuses that partitioning, so ranking and aggregation share a single
     exchange."""
     h = (F.col(ts_us) / F.lit(US_PER_HOUR)).cast("long")
-    from pyspark.sql import Window
-
     wa = Window.partitionBy(series, "h").orderBy(ts_us, tie)
     wd = Window.partitionBy(series, "h").orderBy(
         F.col(ts_us).desc(), F.col(tie).desc()

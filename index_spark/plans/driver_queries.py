@@ -5177,7 +5177,7 @@ def build_oracles() -> dict[str, str]:
             "FROM pg GROUP BY 1) "
             "SELECT doc_id, n_grams, round(top_frac, 6) AS top_frac, "
             "round(dup_frac, 6) AS dup_frac, "
-            "top_frac <= 0.18 AND dup_frac <= 0.60 AS passes FROM st"
+            "round(top_frac, 6) <= 0.18 AND round(dup_frac, 6) <= 0.60 AS passes FROM st"
         ),
         # the len(...)>=3 guard mirrors _shingle_hashes: docs shorter than
         # k tokens contribute no shingles (no degenerate whole-text /
@@ -5404,7 +5404,7 @@ def build_oracles() -> dict[str, str]:
             "SELECT g.user_id, g.h, round(last_value(o.v_obs IGNORE NULLS) OVER "
             "  (PARTITION BY g.user_id ORDER BY g.h "
             "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_fill, "
-            "CASE WHEN o.v_obs IS NOT NULL THEN 1 ELSE 0 END AS observed "
+            "CASE WHEN o.user_id IS NOT NULL THEN 1 ELSE 0 END AS observed "
             "FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h"
         ),
         "ewma_users": (
