@@ -106,8 +106,10 @@ def lang_scores(col: Column) -> dict[str, Column]:
 def lang_id(col: Column) -> Column:
     """Argmax language by marker hits ('und' if nothing matched).
     CJK scripts have no space-separated stopwords — a character-class check
-    routes them to 'zh' first. Deterministic tie-break: language name
-    ascending (struct compare: score first, then lang)."""
+    routes them to 'zh' first. Deterministic tie-break: on equal scores the
+    lexicographically GREATEST language name wins (array_max over
+    (score, lang) structs — the SQL oracle's reverse-order CASE encodes the
+    same rule, so the engines agree)."""
     scores = lang_scores(col)
     pairs = F.array(
         *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in sorted(scores.items())]

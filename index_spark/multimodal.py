@@ -104,10 +104,13 @@ def frame_sample(df: DataFrame, every_n: int = 24) -> DataFrame:
     index — pure column ops (sequence + explode); the per-frame decode would
     slot into ``extract_features`` downstream."""
     return (
-        df.filter(F.col("media_type") == "video")
+        # n_frames <= 0 must emit ZERO rows: greatest(n_frames-1, 0) would
+        # turn an empty video into sequence(0,0) = [0] — a phantom frame 0
+        # a downstream decoder would fail (or fabricate data) on
+        df.filter((F.col("media_type") == "video") & (F.col("n_frames") > 0))
         .withColumn(
             "frame_idx",
-            F.explode(F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))),
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))),
         )
         .select("doc_id", "frame_idx", "payload")
     )

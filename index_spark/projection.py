@@ -14,9 +14,11 @@ Scale contract:
   only), written range-partitioned on (attr, key) — lookups by attribute
   value are then manifest zone-map + parquet min/max prunes.
 - **refresh** is O(changed keys), not O(base): the diff lists changed
-  keys; old mappings to retire come from the *previous* base version
-  (time travel — no tombstone bookkeeping), new mappings from the new
-  version, both via key semi-joins; one transactional commit applies
+  keys; mappings to retire are the PROJECTION'S OWN current rows for
+  those keys (a projection-sized semi-join — no time-traveled base scan,
+  and correct even if a previous refresh crashed mid-apply and the base
+  advanced since), new mappings come from the new base version through a
+  bounds-pruned ``read_range``; one transactional commit applies
   Remove+Insert together, so readers never see a half-applied sync.
 - the applied base version rides in a CAS-committed catalog entry next
   to the projection's own manifest, so refresh is idempotent and
@@ -92,28 +94,38 @@ class ProjectionIndex:
             return 0
         base_key = self.base._read_manifest()["key"]
         d = self.base.diff(v0, v1).select(*base_key, "change")
-        retired_keys = d.filter(F.col("change").isin("update", "delete")).select(*base_key)
+        changed_keys = d.select(*base_key).distinct()
         added_keys = d.filter(F.col("change").isin("insert", "update")).select(*base_key)
-        proj_key = [self.attr] + list(base_key)
-        old_maps = (
-            self.base.read(v0)
-            .join(retired_keys, on=list(base_key), how="left_semi")
-            .select(self.attr, *base_key)
-        )
-        new_maps = (
-            self.base.read(v1)
-            .join(added_keys, on=list(base_key), how="left_semi")
-            .select(self.attr, *base_key)
-        )
-        # idempotent apply: a crash AFTER the store commit but BEFORE the
-        # state commit leaves the projection already advanced; re-running
-        # the same diff must then be a no-op, not a KEY_NOT_FOUND /
-        # DUPLICATED_KEYS storm. Removing only mappings still present and
-        # inserting with upsert makes the (Remove, Insert) pair a pure
-        # function of the target state.
+        # Retire the projection's OWN current mappings for every changed
+        # base key — NOT the time-traveled base-v0 rows. Matching on the
+        # full (attr, key) from v0 breaks when a previous refresh crashed
+        # after its store commit and the base advanced since: the mapping
+        # actually present came from the partially-applied sync, not v0,
+        # and would never be retired (a permanent stale lookup hit). The
+        # current-state semi-join retires whatever is there, making the
+        # (Remove, Insert) pair a true pure function of the target state —
+        # idempotent under replay AND under crash-then-advance. It also
+        # drops the full base-v0 scan: this join is projection-sized.
         h = self.store.latest()
-        cur_keys = h.df.select(*proj_key)
-        old_present = old_maps.join(cur_keys, on=proj_key, how="left_semi")
+        old_present = (
+            h.df.select(self.attr, *base_key)
+            .join(changed_keys, on=list(base_key), how="left_semi")
+        )
+        # New mappings from the new base version, zone-map-pruned to the
+        # files that can contain the changed keys (O(changed keys) reads,
+        # not O(base) — the same bounds trick as lookup_rows).
+        hb = self.base.at_version(v1)
+        b = added_keys.agg(
+            F.min(F.struct(*base_key)).alias("lo"), F.max(F.struct(*base_key)).alias("hi")
+        ).first()
+        if b["lo"] is None:
+            new_maps = hb.df.select(self.attr, *base_key).limit(0)
+        else:
+            new_maps = (
+                hb.read_range(tuple(b["lo"]), tuple(b["hi"]))
+                .join(added_keys, on=list(base_key), how="left_semi")
+                .select(self.attr, *base_key)
+            )
         h.execute([Remove(old_present), Insert(new_maps, upsert=True)])
         self._commit_state(v1)
         return v1 - v0
@@ -140,15 +152,20 @@ class ProjectionIndex:
         base read opens a fraction of its files; worst case it degrades
         to the plain head scan, never worse."""
         base_key = self.base._read_manifest()["key"]
-        keys = self.lookup(value)
+        # persist the matched key set: the bounds agg below is an action
+        # over the index range scan, and without caching the semi-join
+        # probe would re-run that whole scan a second time
+        keys = self.lookup(value).persist()
         h = self.base.latest()
         b = keys.agg(
             F.min(F.struct(*base_key)).alias("lo"), F.max(F.struct(*base_key)).alias("hi")
         ).first()
         if b["lo"] is None:
-            return h.df.filter(F.lit(False))
-        pruned = h.read_range(tuple(b["lo"]), tuple(b["hi"]))
-        return pruned.join(keys, on=list(base_key), how="left_semi")
+            out = h.df.filter(F.lit(False))
+        else:
+            pruned = h.read_range(tuple(b["lo"]), tuple(b["hi"]))
+            out = pruned.join(keys, on=list(base_key), how="left_semi")
+        return out.drop("__version")
 
     def lookup_range(self, lo, hi, lo_inclusive: bool = True, hi_inclusive: bool = True) -> DataFrame:
         """Base keys whose ``attr`` lies in [lo, hi] — a zone-map-pruned

@@ -34,7 +34,10 @@ def get_spark(
     # driver process runs outside the repo (PYTHONPATH propagates to the
     # worker daemon via the JVM environment — must be set pre-launch).
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    if repo_root not in os.environ.get("PYTHONPATH", ""):
+    # entry-wise compare, not substring: PYTHONPATH=/root/repo-tools must
+    # not be mistaken for containing /root/repo
+    entries = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if repo_root not in entries:
         os.environ["PYTHONPATH"] = repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))

@@ -52,18 +52,24 @@ def canonical_events(df: DataFrame) -> DataFrame:
       matches DuckDB's ``epoch_us`` on the same file.
     """
     ts_type = df.schema["ts"].dataType
+    other = [c for c in df.columns if c != "ts"]
     if isinstance(ts_type, T.LongType):
-        return (
+        out = (
             df.withColumnRenamed("ts", "ts_ns")
             .withColumn("ts_us", F.expr("ts_ns div 1000"))
             .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
         )
-    ts = F.col("ts").cast("timestamp")
-    return (
-        df.withColumn("ts", ts)
-        .withColumn("ts_us", F.unix_micros(ts))
-        .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
-    )
+    else:
+        ts = F.col("ts").cast("timestamp")
+        out = (
+            df.withColumn("ts", ts)
+            .withColumn("ts_us", F.unix_micros(ts))
+            .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
+        )
+    # one fixed column order for BOTH branches: positional consumers
+    # (union, tuple-indexed collects, byte-compared rewrites) must not see
+    # a different layout depending on which fixture generation loaded
+    return out.select(*other, "ts", "ts_us", "ts_ns")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -71,8 +77,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Tolerate TIMESTAMP(NANOS) fixtures (read as long); a timestamp[us]
         # file is unaffected by this conf and loads as timestamp_ntz.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return canonical_events(spark.read.parquet(path))
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        df = spark.read.parquet(path)
+        if not isinstance(df.schema["ts"].dataType, T.LongType):
+            # current-generation micros file: the conf played no role, so
+            # restore it — leaving it flipped session-wide would silently
+            # change the schema of every later NANOS parquet read. (For a
+            # genuine NANOS fixture the conf must stay on: executors
+            # consult it again when building the scan.)
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+        return canonical_events(df)
     return spark.read.parquet(path)
 
 

@@ -112,3 +112,87 @@ def test_decontam_short_docs_contribute_nothing(spark):
     hits = ngram_contamination(docs, bench, k=5)
     got = {r.doc_id: r.n_hits for r in hits.collect()}
     assert 1 in got and 2 not in got  # short docs never collide
+
+
+def test_projection_crash_then_base_advance_no_stale_mapping(spark, tmp_base):
+    """The CONFIRMED review repro: refresh applies v1, crashes before the
+    state commit, base advances to v2; the next refresh must retire the
+    partially-applied v1 mapping, not leave it as a permanent stale hit."""
+    from index_spark.projection import ProjectionIndex
+    from index_spark.snapshots import SnapshotStore
+
+    store = SnapshotStore(spark, tmp_base + "/pa/base")
+    h = store.create(
+        ["k"],
+        df=spark.createDataFrame([(i, "a", 0.0) for i in range(6)], "k long, seg string, v double"),
+        rows_per_partition=5,
+    )
+    proj = ProjectionIndex(spark, store, tmp_base + "/pa/idx", "seg").build(rows_per_partition=5)
+    v0 = proj.applied_version()
+
+    h.insert([{"k": 2, "seg": "b", "v": 1.0}], upsert=True)  # v1: k=2 -> b
+    proj.refresh()
+    proj._commit_state(v0)  # crash: store applied, state reverted
+
+    store.latest().insert([{"k": 2, "seg": "c", "v": 2.0}], upsert=True)  # v2: k=2 -> c
+    assert proj.refresh() >= 1
+
+    assert {r.k for r in proj.lookup("c").collect()} == {2}
+    assert proj.lookup("b").count() == 0  # the stale ('b', 2) must be gone
+    assert {r.k for r in proj.lookup("a").collect()} == {0, 1, 3, 4, 5}
+
+
+def test_frame_sample_skips_empty_videos(spark):
+    from index_spark.multimodal import frame_sample
+
+    rows = [
+        (1, "video", bytearray(b"x"), 49),
+        (2, "video", bytearray(b"y"), 0),
+        (3, "image", bytearray(b"z"), 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary, n_frames int")
+    got = {(r.doc_id, r.frame_idx) for r in frame_sample(df, every_n=24).collect()}
+    assert got == {(1, 0), (1, 24), (1, 48)}  # no phantom frame for doc 2
+
+
+def test_canonical_events_column_order_stable(spark):
+    from index_spark.sources.tables import canonical_events
+
+    micros = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "event_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    nanos = spark.createDataFrame([(1, 1_700_000_000_000_000_000)], "event_id long, ts long")
+    assert canonical_events(micros).columns == canonical_events(nanos).columns
+
+
+def test_load_table_restores_nanos_conf(spark, sf_dir):
+    from index_spark.sources.tables import load_table
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    try:
+        spark.conf.unset(key)
+        load_table(spark, sf_dir, "events")  # micros fixture: conf restored
+        assert spark.conf.get(key, None) in (None, "false")
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+
+
+def test_lookup_rows_drops_internal_version_column(spark, tmp_base):
+    from index_spark.projection import ProjectionIndex
+    from index_spark.snapshots import SnapshotStore
+
+    store = SnapshotStore(spark, tmp_base + "/lr/base")
+    store.create(
+        ["k"],
+        df=spark.createDataFrame([(i, "a", float(i)) for i in range(10)], "k long, seg string, v double"),
+        rows_per_partition=5,
+    )
+    proj = ProjectionIndex(spark, store, tmp_base + "/lr/idx", "seg").build(rows_per_partition=5)
+    out = proj.lookup_rows("a")
+    assert "__version" not in out.columns
+    assert out.count() == 10
