@@ -54,10 +54,20 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on and c != right_ts]
     carried = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
+    clash = [c for c in carried if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join output columns {clash} collide with existing left "
+            f"columns; pass a different suffix"
+        )
 
     lhs = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    # a right row with NULL ts can never satisfy the as-of predicate — and
+    # under nulls-first ordering it would sit at the partition head and be
+    # carried into EVERY left row as a spurious match
     rhs = (
-        right.select(
+        right.filter(F.col(right_ts).isNotNull())
+        .select(
             *on,
             F.col(right_ts).alias(f"{right_ts}{suffix}"),
             *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
@@ -65,16 +75,22 @@ def asof_join(
         .withColumn("__side", F.lit(0))
         .withColumn("__ts", F.col(f"{right_ts}{suffix}"))
     )
-    lhs_aligned = lhs
-    for c in carried:
-        lhs_aligned = lhs_aligned.withColumn(c, F.lit(None))
-    rhs_aligned = rhs
+    # Carry the right payload as ONE struct, not per-column: independent
+    # last(ignorenulls) per column would splice values of DIFFERENT right
+    # rows into one output row whenever a payload cell is NULL (and, with
+    # tolerance, could surface a value whose own right row lies outside
+    # the window). The struct is non-null exactly for right rows, so the
+    # whole row is carried or none of it — pandas merge_asof semantics.
+    rhs2 = rhs.select(*on, "__side", "__ts", F.struct(*carried).alias("__payload"))
+    payload_t = rhs2.schema["__payload"].dataType
+    lhs2 = lhs.select(
+        *left.columns, "__side", "__ts", F.lit(None).cast(payload_t).alias("__payload")
+    )
+    rhs_aligned = rhs2
     for c in left.columns:
         if c not in rhs_aligned.columns:
             rhs_aligned = rhs_aligned.withColumn(c, F.lit(None))
-    both = lhs_aligned.select(*left.columns, "__side", "__ts", *carried).unionByName(
-        rhs_aligned.select(*left.columns, "__side", "__ts", *carried)
-    )
+    both = lhs2.unionByName(rhs_aligned.select(*left.columns, "__side", "__ts", "__payload"))
 
     ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
@@ -86,22 +102,19 @@ def asof_join(
         *left.columns,
         "__side",
         "__ts",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        F.last("__payload", ignorenulls=True).over(w).alias("__payload"),
     )
     out = filled.filter(F.col("__side") == 1)
     if tolerance is not None:
-        rts = F.col(f"{right_ts}{suffix}")
+        rts = F.col("__payload")[f"{right_ts}{suffix}"]
         dist = (F.col("__ts") - rts) if direction == "backward" else (rts - F.col("__ts"))
-        out = out.select(
-            *left.columns,
-            "__side",
-            "__ts",
-            *[
-                F.when(dist <= F.lit(tolerance), F.col(c)).alias(c)
-                for c in carried
-            ],
+        out = out.withColumn(
+            "__payload",
+            F.when(dist <= F.lit(tolerance), F.col("__payload")),
         )
-    return out.drop("__side", "__ts")
+    return out.select(
+        *left.columns, *[F.col("__payload")[c].alias(c) for c in carried]
+    )
 
 
 def asof_join_cogroup(

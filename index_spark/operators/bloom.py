@@ -48,7 +48,10 @@ def build_bloom(df: DataFrame, key_col: str, m: int = 1 << 16, k: int = BLOOM_K)
     """One-row DataFrame ``(bits: array<long>)`` — the packed Bloom bitset
     over ``df``'s keys, ``m/64`` words. Dense (zero-filled) so the probe
     side can test membership with one O(1) ``element_at``."""
-    pos = df.select(
+    # NULL keys can never match a semi-join probe; hashing them would
+    # propagate a NULL word index into map_from_entries ("Cannot use null
+    # as map key") and kill the build
+    pos = df.filter(F.col(key_col).isNotNull()).select(
         F.explode(probe_positions(F.col(key_col), m, k)).alias("pos")
     ).select(
         F.shiftright("pos", 6).alias("w"),

@@ -50,9 +50,13 @@ def funnel_counts(
     frontiers = [frontier]
     for step in steps[1:]:
         prev = frontiers[-1].withColumnRenamed("__t", "__prev_t")
+        # no forced broadcast: the frontier is user-count-sized (every user
+        # who completed the previous step) — at scale that exceeds the
+        # broadcast limit and driver memory. AQE picks broadcast on its own
+        # when the frontier measures small at runtime.
         frontier = (
             events.where(F.col(type_col) == step)
-            .join(F.broadcast(prev), on=user_col)
+            .join(prev, on=user_col)
             .where(F.col(ts_col) > F.col("__prev_t"))
             .groupBy(user_col)
             .agg(F.min(ts_col).alias("__t"))

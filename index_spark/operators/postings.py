@@ -47,23 +47,33 @@ def build_postings(
 ) -> DataFrame:
     """Posting lists: per term, document frequency ``df``, total term
     count ``tf_total``, and the first ``max_postings`` doc_ids ascending
-    (bounded payload; counts stay exact)."""
-    from pyspark.sql import Window
+    (bounded payload; counts stay exact).
+
+    Skew shape: a plain ``row_number() OVER (PARTITION BY term)`` would
+    funnel a stop-word's every (term, doc) row through ONE task's sort —
+    the wall :mod:`.quota` documents. The exact df/tf counts come from a
+    plain partial-aggregated groupBy (no skew exposure), and the bounded
+    posting payload from the salted two-phase top-N
+    (:func:`~index_spark.operators.quota.cap_per_group`), so no task ever
+    sorts more than ``rows/salts`` of the hottest term."""
+    from index_spark.operators.quota import cap_per_group
 
     td = term_doc_freqs(docs, text_col, id_col)
-    # the posting payload must be bounded BEFORE aggregation: a bare
-    # collect_list would buffer a stop-word's 10⁹ doc_ids in one task.
-    # The rank filter inside the conditional collect keeps the aggregation
-    # buffer at max_postings entries; df/tf stay exact over all rows.
-    w = Window.partitionBy("term").orderBy("doc_id")
-    ranked = td.withColumn("__rn", F.row_number().over(w))
-    return ranked.groupBy("term").agg(
+    stats = td.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("tf_total"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("__rn") <= max_postings, F.col("doc_id")))
-        ).alias("postings"),
     )
+    head = cap_per_group(
+        td.select("term", "doc_id"),
+        ["term"],
+        max_postings,
+        [F.col("doc_id").asc()],
+        id_col="doc_id",
+    )
+    lists = head.groupBy("term").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("postings")
+    )
+    return stats.join(lists, on="term")
 
 
 def conjunctive_query(

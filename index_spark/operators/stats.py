@@ -31,11 +31,17 @@ def grouped_percentile_disc(
     """Per-group exact discrete percentiles: for each p in ``ps``, the
     smallest ``value_col`` whose within-group rank ≥ ⌈p·n⌉, returned as a
     ``p<percent>`` column. Ties in the value produce deterministic output
-    (equal values are interchangeable at equal ranks)."""
+    (equal values are interchangeable at equal ranks). NULL values are
+    ignored (``percentile_disc`` semantics — they neither rank nor count);
+    a group whose values are ALL NULL still appears, with NULL percentiles.
+    """
     group_cols = list(group_cols)
+    aliases = [_pct_alias(p) for p in ps]
+    if len(set(aliases)) != len(aliases):
+        raise ValueError(f"percentile labels collide: {aliases}")
     w_rank = Window.partitionBy(*group_cols).orderBy(value_col)
     w_all = Window.partitionBy(*group_cols)
-    ranked = df.select(
+    ranked = df.filter(F.col(value_col).isNotNull()).select(
         *group_cols,
         F.col(value_col),
         F.row_number().over(w_rank).alias("__rn"),
@@ -48,10 +54,20 @@ def grouped_percentile_disc(
             F.when(
                 F.col("__rn") >= F.ceil(F.lit(float(p)) * F.col("__n")), F.col(value_col)
             )
-        ).alias(f"p{round(p * 100):02d}")
-        for p in ps
+        ).alias(a)
+        for p, a in zip(ps, aliases)
     ]
-    return ranked.groupBy(*group_cols).agg(*aggs)
+    got = ranked.groupBy(*group_cols).agg(*aggs)
+    return df.select(*group_cols).distinct().join(got, on=group_cols, how="left")
+
+
+def _pct_alias(p: float) -> str:
+    """Column label for percentile p: p50 for integral percents, p50_5 for
+    fractional ones — round()ing alone collides 0.5 with 0.501."""
+    pct = float(p) * 100
+    if abs(pct - round(pct)) < 1e-9:
+        return f"p{round(pct):02d}"
+    return "p" + repr(pct).replace(".", "_")
 
 
 def profile_columns(df: DataFrame, cols: Sequence[tuple[str, "F.Column"]]) -> DataFrame:
@@ -99,15 +115,15 @@ def fixed_histogram(
     buckets (profiling convention). Returns (bucket, lo_edge, n)."""
     assert hi > lo and nbuckets > 0, "need hi > lo and a positive bucket count"
     span = hi - lo
-    b = F.greatest(
-        F.lit(0).cast("long"),
-        F.least(
-            F.lit(nbuckets - 1).cast("long"),
-            F.expr(f"((__v - {lo}L) * {nbuckets}L) div {span}L"),
-        ),
-    )
+    # clamp the VALUE before the multiply: clamping the bucket after
+    # ((v - lo) * nbuckets) lets an extreme outlier overflow long first —
+    # ArithmeticException under ANSI, or a silent wrap that lands a high
+    # outlier in the LOWEST bucket without it. Same result in-range.
+    clamped = F.greatest(F.lit(lo).cast("long"), F.least(F.lit(hi - 1).cast("long"), F.col("__v")))
+    b = F.expr(f"((__c - {lo}L) * {nbuckets}L) div {span}L")
     return (
         df.select(value.cast("long").alias("__v"))
+        .select(clamped.alias("__c"))
         .select(b.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -186,7 +202,10 @@ def winsorized_stats(
     w_rank = Window.partitionBy(*group_cols).orderBy(value_col, tie_col)
     w_all = Window.partitionBy(*group_cols)
     cut = F.floor(F.lit(float(trim_frac)) * F.col("__n")).cast("long")
-    ranked = df.select(
+    # NULL values neither rank nor count (SQL aggregate semantics): under
+    # nulls-first they would consume the low-end trim cut instead of
+    # genuine outliers, and inflate the mean's denominator
+    ranked = df.filter(F.col(value_col).isNotNull()).select(
         *group_cols,
         F.col(value_col),
         F.row_number().over(w_rank).alias("__rn"),
@@ -261,13 +280,17 @@ def exact_quantiles(
 
     if not qs:
         raise ValueError("exact_quantiles needs at least one q")
-    n = df.count()
+    # percentile_disc ignores NULLs: they must neither count toward n nor
+    # occupy the nulls-first ranks (a NULL-bucket hit would also silently
+    # drop its q from the output — the NULL bucket key joins nothing)
+    src = df.filter(F.col(value_col).isNotNull())
+    n = src.count()
     if n == 0:
-        raise ValueError("exact_quantiles of an empty DataFrame")
+        raise ValueError("exact_quantiles of an empty (or all-NULL) column")
     rank_of = {float(q): max(1, math.ceil(float(q) * n)) for q in qs}
     targets = sorted(set(rank_of.values()))
     b = F.floor(F.col(value_col) / F.lit(int(bucket_width))).cast("long")
-    keyed = df.select(F.col(value_col), F.col(tie_col), b.alias("__b"))
+    keyed = src.select(F.col(value_col), F.col(tie_col), b.alias("__b"))
     counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
     wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     cum = counts.withColumn("__before", F.coalesce(F.sum("__c").over(wb), F.lit(0)))
