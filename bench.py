@@ -4,11 +4,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (count + a cheap write-free sink via
-``toLocalIterator`` drain would be slower; we use ``df.count()`` after a
-``df.collect()``-free materialization: ``count()`` forces the full plan but
-avoids driver-side row transfer for wide results). Queries whose *result* is
-the payload (top-k, point gets) are tiny, so count() is equally fine there.
+Each query is executed to completion through a ``noop``-format write: every
+output column is computed and serialized executor-side with zero driver-side
+row transfer. (``count()`` is NOT enough: Catalyst prunes projection-only
+plans down to a bare row-count scan, so expression-heavy queries like the
+document fingerprints would be timed as parquet counts.)
 
 A warmup pass on sf0.001 primes the JVM/codegen so per-query numbers reflect
 steady-state execution, not first-query JIT.
@@ -35,6 +35,11 @@ def sf_of(path: str) -> float:
         return -1.0
 
 
+def _force(df) -> None:
+    """Materialize every output column executor-side (no driver transfer)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from index_spark.session import get_spark
@@ -48,16 +53,16 @@ def main() -> int:
     for wname in ("range_scan", "q5_nation_revenue", "doc_fingerprint", "minhash_lsh_pairs"):
         if wname in queries and os.path.isdir(WARMUP_DIR):
             try:
-                queries[wname](spark, WARMUP_DIR).count()
+                _force(queries[wname](spark, WARMUP_DIR))
             except Exception:
                 pass
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        t0 = time.time()
+        t0 = time.perf_counter()
         try:
-            fn(spark, SF_DIR).count()
-            timings[name] = round(time.time() - t0, 3)
+            _force(fn(spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:
             print(f"# bench error in {name}: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -73,7 +78,9 @@ def main() -> int:
         "n_errors": len(timings) - len(ok),
     }
     print(json.dumps(out))
-    return 0
+    # a crashing query must not read as a speedup (it vanishes from the
+    # wall total otherwise) — surface it through the exit status
+    return 1 if out["n_errors"] else 0
 
 
 if __name__ == "__main__":

@@ -37,13 +37,19 @@ def canon_cell(v):
     if v is None or v != v:  # None / NaN
         return "NULL"
     if isinstance(v, float):
-        return repr(round(v, 9))
+        # + 0.0 collapses -0.0 to 0.0: engine noise below the rounding
+        # tolerance must not flip the sign of a rounded zero
+        return repr(round(v, 9) + 0.0)
     if hasattr(v, "isoformat"):
+        # a DATE column arrives as datetime.date from Spark but as a
+        # midnight Timestamp from DuckDB's fetchdf — compare as the date
+        if getattr(v, "hour", 0) == 0 and getattr(v, "minute", 0) == 0 and \
+                getattr(v, "second", 0) == 0 and getattr(v, "microsecond", 0) == 0 \
+                and hasattr(v, "date") and callable(getattr(v, "date")):
+            return v.date().isoformat()
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_cell(x) for x in v) + "]"
     return repr(v)
 
 
@@ -55,6 +61,13 @@ def canon_df(pdf: pd.DataFrame) -> list[tuple]:
 
 def main() -> int:
     only = set(sys.argv[1:])
+    known = set(entrymod.queries())
+    unknown = only - known
+    if unknown:
+        # a typo'd / renamed query must not read as a green gate with zero
+        # checks run
+        print(f"ERROR: unknown queries: {sorted(unknown)}", file=sys.stderr)
+        return 2
     spark = get_spark(app_name="check_oracles")
     con = duckdb.connect()
     for t in TABLES:
