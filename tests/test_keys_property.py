@@ -74,3 +74,80 @@ def test_range_matches_tuple_compare(keyspace, lo, hi, n, lo_inc, hi_inc):
     got = sorted(map(tuple, df.filter(cond).collect()))
     want = sorted(r for r in rows if keep(r))
     assert got == want
+
+
+# ---- null-bearing keyspace: the comparators define ONE total order with
+# NULL smallest (matching asc-nulls-first), and pagination over it must be
+# a partition of the rows (datom-shaped indexes carry NULLs in every key)
+
+NDOM_INT = [None, 0, 1, 2]
+NDOM_STR = [None, "p", "q"]
+
+
+def _null_rank(v):
+    return (v is not None, v)
+
+
+def _py_null_cmp_tuple(t):
+    return tuple(_null_rank(v) for v in t)
+
+
+@pytest.fixture(scope="module")
+def null_keyspace(spark):
+    rows = [(a, b) for a in NDOM_INT for b in NDOM_STR]
+    df = spark.createDataFrame(rows, "a int, b string")
+    return df, rows
+
+
+nterm_st = st.tuples(
+    st.sampled_from(NDOM_INT + [3]),
+    st.sampled_from(NDOM_STR + ["z"]),
+).map(tuple)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(term=nterm_st, n=st.integers(min_value=1, max_value=2),
+       inclusive=st.booleans(), op=st.sampled_from(["gt", "lt", "eq"]))
+def test_null_safe_comparators_match_python_total_order(
+    null_keyspace, term, n, inclusive, op
+):
+    df, rows = null_keyspace
+    t = term[:n]
+    cols = ["a", "b"][:len(t)]
+    if op == "eq":
+        pred = key_eq(["a", "b"], t)
+        want = {r for r in rows if tuple(_null_rank(v) for v in r[:n]) == _py_null_cmp_tuple(t)}
+    elif op == "gt":
+        pred = key_gt(["a", "b"], t, inclusive)
+        want = {
+            r for r in rows
+            if (_py_null_cmp_tuple(r[:n]) > _py_null_cmp_tuple(t))
+            or (inclusive and _py_null_cmp_tuple(r[:n]) == _py_null_cmp_tuple(t))
+        }
+    else:
+        pred = key_lt(["a", "b"], t, inclusive)
+        want = {
+            r for r in rows
+            if (_py_null_cmp_tuple(r[:n]) < _py_null_cmp_tuple(t))
+            or (inclusive and _py_null_cmp_tuple(r[:n]) == _py_null_cmp_tuple(t))
+        }
+    got = {tuple(r) for r in df.filter(pred).collect()}
+    assert got == want, (t, inclusive, op)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(page_size=st.integers(min_value=1, max_value=5), reverse=st.booleans())
+def test_pages_partition_null_keyspace(null_keyspace, page_size, reverse):
+    """Seek pagination over a NULL-bearing keyspace yields every row exactly
+    once, in the engine's total order."""
+    from index_spark.index import SortedIndex
+
+    df, rows = null_keyspace
+    idx = SortedIndex(df, ["a", "b"])
+    seen = []
+    for page in idx.pages(page_size, reverse=reverse):
+        seen.extend((r.a, r.b) for r in page)
+    assert len(seen) == len(rows)
+    assert set(seen) == set(rows)
+    ordered = sorted(seen, key=_py_null_cmp_tuple, reverse=reverse)
+    assert seen == ordered
