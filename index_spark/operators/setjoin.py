@@ -1,0 +1,133 @@
+"""Exact set-similarity join via prefix filtering (PPJoin-family).
+
+The LSH path (:mod:`.dedup`) is probabilistic: banding can miss a pair
+above the threshold. This operator is the EXACT counterpart used when
+recall must be 1.0 — the prefix-filtering principle of Chaudhuri et al.
+2006 ("A Primitive Operator for Similarity Joins") and Xiao et al. 2008
+(PPJoin): order every document's distinct tokens by one GLOBAL rarity
+order; then two sets with Jaccard ≥ t must share at least one token in
+each other's first ``p = n - ceil(t*n) + 1`` tokens. Candidates therefore
+come from an equi-join on PREFIX tokens only — rare tokens, tiny posting
+lists — never an all-pairs product, and the exact verify runs on the
+candidate pairs alone.
+
+Scale shape: one groupBy for token document-frequencies, one window-free
+sort inside ``array_sort`` per doc (token rank rides a broadcast-joined
+rank table), explode of ~(1-t)·n prefix tokens per doc, an equi-join on
+the (rare) prefix token, then array_intersect verification on the pruned
+pairs. The shuffled payload is (token_rank, id) pairs; full token arrays
+re-attach by id for candidates only — the same candidates-then-verify
+discipline as the LSH pipeline. Every step is deterministic and replays
+in ANSI SQL (the oracle twin re-derives prefixes with the same
+(df, token) rank), so the driver hash-checks the whole join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from index_spark.functions.text import tokens
+
+
+def _token_sets(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, tok) distinct edges over lowercase whitespace tokens."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok"),
+    ).distinct()
+
+
+def jaccard_join_exact(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs (id_a < id_b) with token-set Jaccard ≥ ``threshold`` —
+    EXACT (recall 1.0), no LSH randomness. Returns
+    ``(id_a, id_b, jaccard)`` with jaccard rounded to 6 decimals.
+
+    Prefix principle: under one global token order, a pair with
+    ``|X ∩ Y| / |X ∪ Y| ≥ t`` must share a token within the first
+    ``|X| - ceil(t·|X|) + 1`` tokens of X (and likewise Y) — otherwise
+    too few tokens remain to reach the required overlap. The global order
+    is (document frequency ASC, token ASC): rare-first, so prefix posting
+    lists are the SHORTEST ones, and deterministic (the tie-break makes
+    the oracle's rank identical).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = float(threshold)
+    edges = _token_sets(docs, text_col, id_col)
+    # global rarity rank; broadcast-sized (vocabulary, not corpus)
+    ranks = (
+        edges.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select("tok", F.row_number().over(Window.orderBy("df", "tok")).cast("long").alias("rk"))
+    )
+    ranked = edges.join(F.broadcast(ranks), "tok").select("id", "rk")
+    # per-doc sorted rank vector + size + prefix length
+    per_doc = ranked.groupBy("id").agg(
+        F.array_sort(F.collect_list("rk")).alias("rks"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    prefix_len = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
+    pre = per_doc.select(
+        "id", "n", F.explode(F.slice("rks", 1, prefix_len)).alias("rk")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    # candidates: shared prefix token + id order + the length filter
+    # (|Y| >= t*|X| is necessary for J >= t when |X| <= |Y|)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.rk") == F.col("b.rk"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.n") >= F.ceil(F.lit(t) * F.col("a.n")))
+            & (F.col("a.n") >= F.ceil(F.lit(t) * F.col("b.n"))),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = per_doc.select("id", "rks")
+    joined = (
+        cand.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("rks", "ra"), "id_a")
+        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("rks", "rb"), "id_b")
+    )
+    inter = F.size(F.array_intersect("ra", "rb"))
+    union = F.size("ra") + F.size("rb") - inter
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
+    )
+
+
+def jaccard_join_bruteforce(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """O(n²) reference implementation for recall testing ONLY (tests at
+    fixture scale assert jaccard_join_exact ≡ this on every input)."""
+    s = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("s"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    inter = F.size(F.array_intersect("a.s", "b.s"))
+    union = F.size("a.s") + F.size("b.s") - inter
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+    )

@@ -312,3 +312,55 @@ def exact_quantiles(
         [(p, r) for p, r in rank_of.items()], "p double, __rank long"
     )
     return want.join(F.broadcast(at_rank), "__rank").select("p", "value")
+
+
+def ks_drift(
+    a: DataFrame, b: DataFrame, value_col: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between ``a`` and ``b`` on
+    ``value_col`` — the standard drift check between two snapshots of a
+    table (did the distribution of prices/lengths/scores move?).
+
+    D = max over observed values of |F_a(x) - F_b(x)| with F the empirical
+    CDF. Computed relationally: per-value counts per side, full-outer
+    merge on the value, running cumulative counts, max absolute CDF gap.
+    One shuffle per side for the value counts plus one global window over
+    the DISTINCT value domain (domain-sized, not row-sized; for an
+    unbounded domain pre-bucket the column as :func:`fixed_histogram`
+    does). Integer value columns make the CDF fractions exact-input
+    divisions, so the statistic replays bit-identically in SQL.
+
+    NULLs are ignored on both sides (they have no place on the real
+    line). Returns one row: (n_a, n_b, d_stat rounded to 6)."""
+    ca = (
+        a.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    cb = (
+        b.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    merged = ca.join(cb, "v", "full_outer").select(
+        "v",
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+    )
+    totals = merged.agg(
+        F.sum("na").cast("long").alias("n_a"), F.sum("nb").cast("long").alias("n_b")
+    )
+    gaps = cum.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("ca").cast("double") / F.col("n_a")
+            - F.col("cb").cast("double") / F.col("n_b")
+        ).alias("__g"),
+    )
+    return gaps.groupBy("n_a", "n_b").agg(F.round(F.max("__g"), 6).alias("d_stat"))

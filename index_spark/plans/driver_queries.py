@@ -4326,6 +4326,34 @@ def q_sharded_mor_delete(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_set_join_exact(spark, sf_dir):
+    """EXACT set-similarity join (prefix filtering, PPJoin family): all
+    document pairs with token-set Jaccard >= 0.5, recall 1.0 — the exact
+    counterpart of the LSH near-dup path for when banding's probabilistic
+    misses are unacceptable. Candidates come only from shared RARE-prefix
+    tokens under one global (df, token) order; the oracle recomputes every
+    pair brute-force, so any prefix-filter miss would hash-mismatch."""
+    from index_spark.operators.setjoin import jaccard_join_exact
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return jaccard_join_exact(docs, threshold=0.5)
+
+
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic between early and
+    late order cohorts on total price (integer cents): the standard
+    distribution-shift check between two snapshots of a table. CDF gaps
+    are exact-input double divisions, so D replays bit-identically."""
+    from index_spark.operators.stats import ks_drift
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        _cents(F.col("o_totalprice")).alias("cents"), "o_orderdate"
+    )
+    early = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    late = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"))
+    return ks_drift(early, late, "cents")
+
+
 def build_oracles() -> dict[str, str]:
     rev_cents = f"{_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')})"
     dup_docs = (
@@ -5942,6 +5970,32 @@ def build_oracles() -> dict[str, str]:
         "  ELSE round((count(*) - 1) / max(frac)) END AS BIGINT) AS est_distinct, "
         "CAST(count(*) AS BIGINT) AS k_used FROM r WHERE rn <= 32 GROUP BY 1"
     )
+    out["set_join_exact"] = (
+        "WITH d AS (SELECT doc_id, list_sort(list_distinct("
+        "  regexp_extract_all(lower(text), '\\S+'))) AS s "
+        "  FROM documents WHERE doc_id % 3 = 0) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+        "  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard "
+        "FROM d a JOIN d b ON a.doc_id < b.doc_id "
+        "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+        "  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5"
+    )
+    out["ks_drift"] = (
+        f"WITH o AS (SELECT {_sql_cents('o_totalprice')} AS cents, o_orderdate FROM orders), "
+        "a AS (SELECT cents AS v, CAST(count(*) AS BIGINT) AS na FROM o "
+        "  WHERE o_orderdate < DATE '1998-01-01' GROUP BY 1), "
+        "b AS (SELECT cents AS v, CAST(count(*) AS BIGINT) AS nb FROM o "
+        "  WHERE o_orderdate >= DATE '1998-01-01' GROUP BY 1), "
+        "m AS (SELECT coalesce(a.v, b.v) AS v, coalesce(na, 0) AS na, "
+        "  coalesce(nb, 0) AS nb FROM a FULL JOIN b ON a.v = b.v), "
+        "c AS (SELECT sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING "
+        "  AND CURRENT ROW) AS ca, sum(nb) OVER (ORDER BY v ROWS BETWEEN "
+        "  UNBOUNDED PRECEDING AND CURRENT ROW) AS cb FROM m), "
+        "t AS (SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b FROM m) "
+        "SELECT n_a, n_b, round(max(abs(CAST(ca AS DOUBLE) / n_a "
+        "  - CAST(cb AS DOUBLE) / n_b)), 6) AS d_stat FROM c, t GROUP BY 1, 2"
+    )
     return out
 
 
@@ -6017,6 +6071,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_hourly": q_ohlc_hourly,
         "span_trim": q_span_trim,
         "sharded_mor_delete": q_sharded_mor_delete,
+        # --- (b2) post-gate round-4 additions (round-5 front-load) ---
+        "set_join_exact": q_set_join_exact,
+        "ks_drift": q_ks_drift,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,
         "simhash_block_pairs": q_simhash_block_pairs,

@@ -1,0 +1,76 @@
+"""Exact set-similarity join (prefix filtering) and KS drift tests."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from index_spark.operators.setjoin import jaccard_join_bruteforce, jaccard_join_exact
+from index_spark.operators.stats import ks_drift
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b, r.jaccard) for r in df.collect()}
+
+
+def test_exact_join_equals_bruteforce_on_documents(spark, documents):
+    docs = documents.limit(150)
+    for t in (0.3, 0.5, 0.8):
+        assert _pairs(jaccard_join_exact(docs, t)) == _pairs(
+            jaccard_join_bruteforce(docs, t)
+        ), t
+
+
+words = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+doc_st = st.lists(words, min_size=1, max_size=6).map(lambda ws: " ".join(ws))
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(doc_st, min_size=2, max_size=12),
+       t=st.sampled_from([0.34, 0.5, 0.75, 1.0]))
+def test_exact_join_recall_one_randomized(spark, texts, t):
+    """Prefix filtering must never miss a pair the brute-force join finds
+    (recall 1.0 is the operator's whole contract)."""
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    assert _pairs(jaccard_join_exact(docs, t)) == _pairs(
+        jaccard_join_bruteforce(docs, t)
+    )
+
+
+def test_exact_join_threshold_validation(spark, documents):
+    with pytest.raises(ValueError):
+        jaccard_join_exact(documents, 0.0)
+    with pytest.raises(ValueError):
+        jaccard_join_exact(documents, 1.5)
+
+
+def test_ks_drift_identical_distributions(spark):
+    df = spark.createDataFrame([(i % 10,) for i in range(100)], "v int")
+    row = ks_drift(df, df, "v").collect()[0]
+    assert row.d_stat == 0.0 and row.n_a == 100 and row.n_b == 100
+
+
+def test_ks_drift_disjoint_distributions(spark):
+    a = spark.createDataFrame([(i,) for i in range(50)], "v int")
+    b = spark.createDataFrame([(100 + i,) for i in range(70)], "v int")
+    row = ks_drift(a, b, "v").collect()[0]
+    assert row.d_stat == 1.0 and row.n_a == 50 and row.n_b == 70
+
+
+def test_ks_drift_ignores_nulls_and_matches_scipy_style_reference(spark):
+    import itertools
+
+    a_vals = [1, 1, 2, 3, 5, 8, None]
+    b_vals = [2, 3, 3, 4, 9, None, None]
+    a = spark.createDataFrame([(v,) for v in a_vals], "v int")
+    b = spark.createDataFrame([(v,) for v in b_vals], "v int")
+    row = ks_drift(a, b, "v").collect()[0]
+    av = sorted(v for v in a_vals if v is not None)
+    bv = sorted(v for v in b_vals if v is not None)
+    grid = sorted(set(av) | set(bv))
+    d = max(
+        abs(sum(x <= g for x in av) / len(av) - sum(x <= g for x in bv) / len(bv))
+        for g in grid
+    )
+    assert row.n_a == len(av) and row.n_b == len(bv)
+    assert row.d_stat == round(d, 6)
