@@ -4354,6 +4354,37 @@ def q_ks_drift(spark, sf_dir):
     return ks_drift(early, late, "cents")
 
 
+def q_interval_overlap(spark, sf_dir):
+    """Pure interval overlap join (no equi-key): per-user click activity
+    spans x per-user purchase activity spans, ALL cross-user overlapping
+    pairs. Scalable bin-replication shape — explode each interval to the
+    time bins it touches, equi-join on the bin, residual overlap check,
+    first-shared-bin dedup (PBSM grid trick) — where the naive plan is a
+    broadcast nested loop. The oracle recomputes every pair brute-force."""
+    from index_spark.operators.interval import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def spans(et, mod):
+        return (
+            ev.filter((F.col("event_type") == et) & (F.col("user_id") % mod == 0))
+            .groupBy("user_id")
+            .agg(F.min("ts_us").alias("s"), (F.max("ts_us") + 1).alias("e"))
+        )
+
+    out = interval_overlap_join(
+        spans("click", 10), spans("purchase", 7), bin_width=7 * 24 * 3_600_000_000
+    )
+    return out.select(
+        F.col("a_user_id").alias("a_user"),
+        "a_s",
+        "a_e",
+        F.col("b_user_id").alias("b_user"),
+        "b_s",
+        "b_e",
+    )
+
+
 def build_oracles() -> dict[str, str]:
     rev_cents = f"{_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')})"
     dup_docs = (
@@ -5981,6 +6012,16 @@ def build_oracles() -> dict[str, str]:
         "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
         "  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5"
     )
+    out["interval_overlap"] = (
+        "WITH a AS (SELECT user_id AS a_user, min(epoch_us(ts)) AS a_s, "
+        "  max(epoch_us(ts)) + 1 AS a_e FROM events "
+        "  WHERE event_type = 'click' AND user_id % 10 = 0 GROUP BY 1), "
+        "b AS (SELECT user_id AS b_user, min(epoch_us(ts)) AS b_s, "
+        "  max(epoch_us(ts)) + 1 AS b_e FROM events "
+        "  WHERE event_type = 'purchase' AND user_id % 7 = 0 GROUP BY 1) "
+        "SELECT a_user, a_s, a_e, b_user, b_s, b_e FROM a JOIN b "
+        "ON a_s < b_e AND b_s < a_e"
+    )
     out["ks_drift"] = (
         f"WITH o AS (SELECT {_sql_cents('o_totalprice')} AS cents, o_orderdate FROM orders), "
         "a AS (SELECT cents AS v, CAST(count(*) AS BIGINT) AS na FROM o "
@@ -6074,6 +6115,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (b2) post-gate round-4 additions (round-5 front-load) ---
         "set_join_exact": q_set_join_exact,
         "ks_drift": q_ks_drift,
+        "interval_overlap": q_interval_overlap,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,
         "simhash_block_pairs": q_simhash_block_pairs,

@@ -74,3 +74,56 @@ def test_ks_drift_ignores_nulls_and_matches_scipy_style_reference(spark):
     )
     assert row.n_a == len(av) and row.n_b == len(bv)
     assert row.d_stat == round(d, 6)
+
+
+# ---- interval overlap join ----
+
+
+def _bf_overlaps(a_rows, b_rows):
+    return {
+        (x[0], y[0])
+        for x in a_rows
+        for y in b_rows
+        if x[1] < y[2] and y[1] < x[2]
+    }
+
+
+def test_interval_overlap_matches_bruteforce(spark):
+    from index_spark.operators.interval import interval_overlap_join
+
+    a_rows = [(1, 0, 10), (2, 5, 6), (3, 100, 200), (4, 199, 300)]
+    b_rows = [(10, 9, 12), (11, 6, 7), (12, 150, 160), (13, 300, 310), (14, 0, 1000)]
+    a = spark.createDataFrame(a_rows, "id long, s long, e long")
+    b = spark.createDataFrame(b_rows, "id long, s long, e long")
+    for w in (1, 3, 50, 1000):
+        out = interval_overlap_join(a, b, bin_width=w)
+        got = {(r.a_id, r.b_id) for r in out.collect()}
+        assert got == _bf_overlaps(a_rows, b_rows), w
+        assert out.count() == len(got)  # no duplicate pair from bin fanout
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a_iv=st.lists(st.tuples(st.integers(0, 60), st.integers(1, 25)), min_size=1, max_size=8),
+    b_iv=st.lists(st.tuples(st.integers(0, 60), st.integers(1, 25)), min_size=1, max_size=8),
+    w=st.sampled_from([1, 4, 16, 100]),
+)
+def test_interval_overlap_randomized(spark, a_iv, b_iv, w):
+    from index_spark.operators.interval import interval_overlap_join
+
+    a_rows = [(i, s, s + d) for i, (s, d) in enumerate(a_iv)]
+    b_rows = [(i, s, s + d) for i, (s, d) in enumerate(b_iv)]
+    a = spark.createDataFrame(a_rows, "id long, s long, e long")
+    b = spark.createDataFrame(b_rows, "id long, s long, e long")
+    out = interval_overlap_join(a, b, bin_width=w)
+    pairs = [(r.a_id, r.b_id) for r in out.collect()]
+    assert sorted(pairs) == sorted(_bf_overlaps(a_rows, b_rows))
+
+
+def test_interval_overlap_ignores_null_and_empty(spark):
+    from index_spark.operators.interval import interval_overlap_join
+
+    a = spark.createDataFrame([(1, None, 10), (2, 5, 5), (3, 0, 4)], "id long, s long, e long")
+    b = spark.createDataFrame([(9, 2, 3)], "id long, s long, e long")
+    out = interval_overlap_join(a, b, bin_width=2)
+    assert [(r.a_id, r.b_id) for r in out.collect()] == [(3, 9)]
