@@ -4385,6 +4385,22 @@ def q_interval_overlap(spark, sf_dir):
     )
 
 
+def q_skyline_parts(spark, sf_dir):
+    """Pareto frontier of the part table minimizing (retail price cents,
+    size): the multi-objective "best tradeoffs" query (Borzsonyi 2001),
+    as one shuffle + a distinct-x-sized prefix-min table — no self-join,
+    no block-nested loop. The oracle re-derives dominance with the same
+    two-minima decomposition in SQL."""
+    from index_spark.operators.skyline import skyline2d
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        _cents(F.col("p_retailprice")).alias("price_c"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    return skyline2d(part, "price_c", "size").select("p_partkey", "price_c", "size")
+
+
 def build_oracles() -> dict[str, str]:
     rev_cents = f"{_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')})"
     dup_docs = (
@@ -6012,6 +6028,17 @@ def build_oracles() -> dict[str, str]:
         "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
         "  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5"
     )
+    out["skyline_parts"] = (
+        f"WITH src AS (SELECT p_partkey, {_sql_cents('p_retailprice')} AS price_c, "
+        "  CAST(p_size AS BIGINT) AS size FROM part), "
+        "m AS (SELECT price_c, min(size) AS my FROM src GROUP BY 1), "
+        "t AS (SELECT price_c, my, min(my) OVER (ORDER BY price_c "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS my_before FROM m) "
+        "SELECT s.p_partkey, s.price_c, s.size FROM src s JOIN t "
+        "ON s.price_c = t.price_c "
+        "WHERE NOT ((t.my_before IS NOT NULL AND t.my_before <= s.size) "
+        "  OR t.my < s.size)"
+    )
     out["interval_overlap"] = (
         "WITH a AS (SELECT user_id AS a_user, min(epoch_us(ts)) AS a_s, "
         "  max(epoch_us(ts)) + 1 AS a_e FROM events "
@@ -6116,6 +6143,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_join_exact": q_set_join_exact,
         "ks_drift": q_ks_drift,
         "interval_overlap": q_interval_overlap,
+        "skyline_parts": q_skyline_parts,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,
         "simhash_block_pairs": q_simhash_block_pairs,

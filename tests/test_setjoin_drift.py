@@ -127,3 +127,44 @@ def test_interval_overlap_ignores_null_and_empty(spark):
     b = spark.createDataFrame([(9, 2, 3)], "id long, s long, e long")
     out = interval_overlap_join(a, b, bin_width=2)
     assert [(r.a_id, r.b_id) for r in out.collect()] == [(3, 9)]
+
+
+# ---- 2-D skyline ----
+
+
+def _bf_skyline(rows):
+    out = []
+    for r in rows:
+        if r[1] is None or r[2] is None:
+            continue
+        dominated = any(
+            o[1] is not None and o[2] is not None
+            and o[1] <= r[1] and o[2] <= r[2] and (o[1] < r[1] or o[2] < r[2])
+            for o in rows
+        )
+        if not dominated:
+            out.append(r)
+    return sorted(out)
+
+
+def test_skyline2d_matches_bruteforce(spark):
+    from index_spark.operators.skyline import skyline2d
+
+    rows = [
+        (1, 5, 5), (2, 3, 7), (3, 7, 3), (4, 3, 7),  # duplicate point survives
+        (5, 2, 9), (6, 9, 2), (7, 4, 4), (8, None, 1), (9, 1, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = sorted((r.id, r.x, r.y) for r in skyline2d(df, "x", "y").collect())
+    assert got == _bf_skyline(rows)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pts=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=20))
+def test_skyline2d_randomized(spark, pts):
+    from index_spark.operators.skyline import skyline2d
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = sorted((r.id, r.x, r.y) for r in skyline2d(df, "x", "y").collect())
+    assert got == _bf_skyline(rows)
