@@ -131,3 +131,93 @@ def jaccard_join_bruteforce(
         )
         .filter(F.col("jaccard") >= F.lit(float(threshold)))
     )
+
+
+def edit_distance_join(
+    df: DataFrame,
+    k: int = 1,
+    text_col: str = "name",
+    id_col: str = "id",
+    q: int = 2,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with Levenshtein distance ≤ ``k`` — exact,
+    via q-gram count filtering (Gravano et al. 2001, "Approximate String
+    Joins in a Database (Almost) for Free"):
+
+    - **length filter**: ``| |a| - |b| | <= k``;
+    - **count filter**: one edit destroys at most ``q`` q-grams, so a
+      pair within distance k shares at least
+      ``max(|a|, |b|) - q + 1 - k*q`` of them;
+    - **verify**: ``F.levenshtein`` on the surviving candidates only.
+
+    Candidates come from an equi-join on individual q-grams plus a
+    per-pair shared-gram count — the shuffled payload is (gram, id), and
+    the quadratic verify never sees pairs without a shared gram. Strings
+    short enough that the count bound collapses to zero (``n <= q - 1 +
+    k*q`` — where a within-distance pair may share NO gram) are compared
+    directly against every length-compatible string; that class is tiny
+    by construction. Returns (id_a, id_b, dist)."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.lower(F.col(text_col)).alias("t"),
+        F.length(F.lower(F.col(text_col))).alias("n"),
+    ).filter(F.col("t").isNotNull())
+    # below this length the count filter cannot guarantee a shared gram
+    t_short = q - 1 + k * q
+    long_s = s.filter(F.col("n") > t_short)
+    grams = long_s.select(
+        "id",
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - (q - 1)),
+                lambda i: F.col("t").substr(i, F.lit(q)),
+            )
+        ).alias("g"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.col("a.n") - F.col("b.n")) <= k),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    need = F.greatest(F.col("na"), F.col("nb")) - F.lit(q - 1) - F.lit(k * q)
+    cand = shared.filter(F.col("__shared") >= need).select("id_a", "id_b")
+    texts = s.select("id", "t")
+    verified = (
+        cand.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "ta"), "id_a")
+        .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "tb"), "id_b")
+        .select("id_a", "id_b", F.levenshtein("ta", "tb").alias("dist"))
+        .filter(F.col("dist") <= k)
+    )
+    # short class x everything within the length filter (covers
+    # short-short and short-long pairs the gram path cannot claim)
+    sa = s.filter(F.col("n") <= t_short).select(
+        F.col("id").alias("id_s"), F.col("t").alias("ts"), F.col("n").alias("ns")
+    )
+    extra = (
+        sa.join(
+            s,
+            (F.col("id_s") != F.col("id")) & (F.abs(F.col("ns") - F.col("n")) <= k),
+        )
+        .select(
+            F.least("id_s", "id").alias("id_a"),
+            F.greatest("id_s", "id").alias("id_b"),
+            F.levenshtein("ts", "t").alias("dist"),
+        )
+        .filter(F.col("dist") <= k)
+        .distinct()
+    )
+    return verified.unionByName(extra).distinct()

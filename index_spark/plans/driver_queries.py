@@ -4401,6 +4401,17 @@ def q_skyline_parts(spark, sf_dir):
     return skyline2d(part, "price_c", "size").select("p_partkey", "price_c", "size")
 
 
+def q_edit_distance_join(spark, sf_dir):
+    """Exact Levenshtein<=1 self-join over customer names via q-gram
+    count filtering (Gravano 2001): candidates only from shared 2-grams
+    within the length filter, never an all-pairs scan; the oracle
+    recomputes every pair brute-force with DuckDB's levenshtein()."""
+    from index_spark.operators.setjoin import edit_distance_join
+
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 0)
+    return edit_distance_join(cust, k=1, text_col="c_name", id_col="c_custkey")
+
+
 def build_oracles() -> dict[str, str]:
     rev_cents = f"{_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')})"
     dup_docs = (
@@ -6028,6 +6039,14 @@ def build_oracles() -> dict[str, str]:
         "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
         "  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5"
     )
+    out["edit_distance_join"] = (
+        "WITH c AS (SELECT c_custkey, lower(c_name) AS t FROM customer "
+        "  WHERE c_custkey % 5 = 0) "
+        "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+        "CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist "
+        "FROM c a JOIN c b ON a.c_custkey < b.c_custkey "
+        "WHERE levenshtein(a.t, b.t) <= 1"
+    )
     out["skyline_parts"] = (
         f"WITH src AS (SELECT p_partkey, {_sql_cents('p_retailprice')} AS price_c, "
         "  CAST(p_size AS BIGINT) AS size FROM part), "
@@ -6144,6 +6163,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "interval_overlap": q_interval_overlap,
         "skyline_parts": q_skyline_parts,
+        "edit_distance_join": q_edit_distance_join,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,
         "simhash_block_pairs": q_simhash_block_pairs,

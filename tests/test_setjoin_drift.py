@@ -168,3 +168,55 @@ def test_skyline2d_randomized(spark, pts):
     df = spark.createDataFrame(rows, "id long, x long, y long")
     got = sorted((r.id, r.x, r.y) for r in skyline2d(df, "x", "y").collect())
     assert got == _bf_skyline(rows)
+
+
+# ---- edit-distance join ----
+
+
+def _bf_edits(rows, k):
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    out = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        d = lev(ta.lower(), tb.lower())
+        if d <= k:
+            out.add((min(ia, ib), max(ia, ib), d))
+    return out
+
+
+def test_edit_distance_join_basic(spark):
+    from index_spark.operators.setjoin import edit_distance_join
+
+    rows = [
+        (1, "kitten"), (2, "sitten"), (3, "mitten"), (4, "kittens"),
+        (5, "abc"), (6, "xyz"), (7, "ab"), (8, "a"), (9, "b"), (10, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    for k in (0, 1, 2):
+        got = {(r.id_a, r.id_b, r.dist) for r in edit_distance_join(df, k=k).collect()}
+        assert got == _bf_edits(rows, k), k
+
+
+alpha_st = st.text(alphabet="abc", min_size=0, max_size=6)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(alpha_st, min_size=2, max_size=10, unique=True),
+       k=st.sampled_from([0, 1, 2]))
+def test_edit_distance_join_randomized(spark, texts, k):
+    """q-gram count filtering must be exact: every within-distance pair
+    the brute-force reference finds, including zero-shared-gram shorts."""
+    from index_spark.operators.setjoin import edit_distance_join
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r.id_a, r.id_b, r.dist) for r in edit_distance_join(df, k=k).collect()}
+    assert got == _bf_edits(rows, k)
