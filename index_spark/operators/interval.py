@@ -156,12 +156,18 @@ def interval_overlap_join(
         raise ValueError("bin_width must be positive")
     w = F.lit(int(bin_width))
 
+    def fdiv(c: "F.Column") -> "F.Column":
+        # exact integer floor-division (pmod keeps it floor, not truncate,
+        # for negative bounds): F.floor(c / w) goes through an IEEE double
+        # quotient that can round across an integer for µs-scale epochs
+        return ((c - F.pmod(c, w)) / w).cast("long")
+
     def binned(df: DataFrame, s: str, e: str, prefix: str) -> DataFrame:
         cols = [F.col(c).alias(f"{prefix}{c}") for c in df.columns]
-        lo = F.floor(F.col(f"{prefix}{s}") / w)
+        lo = fdiv(F.col(f"{prefix}{s}"))
         # e is exclusive: an interval ending exactly on a bin edge does
         # not touch the next bin
-        hi = F.floor((F.col(f"{prefix}{e}") - 1) / w)
+        hi = fdiv(F.col(f"{prefix}{e}") - 1)
         return (
             df.filter(F.col(s).isNotNull() & F.col(e).isNotNull() & (F.col(e) > F.col(s)))
             .select(*cols)

@@ -59,6 +59,15 @@ def jaccard_join_exact(
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     t = float(threshold)
+    # exact ceil(t*n): the double product overshoots for thresholds whose
+    # binary repr exceeds the decimal (0.07*100 = 7.000000000000001 →
+    # ceil 8, silently dropping qualifying pairs); DECIMAL multiplication
+    # uses t's shortest decimal repr, so the ceiling is exact
+    t_dec = F.lit(t).cast("decimal(18,12)")
+
+    def ceil_tn(n: "F.Column") -> "F.Column":
+        return F.ceil(t_dec * n).cast("long")
+
     edges = _token_sets(docs, text_col, id_col)
     # global rarity rank; broadcast-sized (vocabulary, not corpus)
     ranks = (
@@ -72,7 +81,7 @@ def jaccard_join_exact(
         F.array_sort(F.collect_list("rk")).alias("rks"),
         F.count(F.lit(1)).alias("n"),
     )
-    prefix_len = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
+    prefix_len = (F.col("n") - ceil_tn(F.col("n")) + 1).cast("int")
     pre = per_doc.select(
         "id", "n", F.explode(F.slice("rks", 1, prefix_len)).alias("rk")
     )
@@ -84,8 +93,8 @@ def jaccard_join_exact(
             b,
             (F.col("a.rk") == F.col("b.rk"))
             & (F.col("a.id") < F.col("b.id"))
-            & (F.col("b.n") >= F.ceil(F.lit(t) * F.col("a.n")))
-            & (F.col("a.n") >= F.ceil(F.lit(t) * F.col("b.n"))),
+            & (F.col("b.n") >= ceil_tn(F.col("a.n")))
+            & (F.col("a.n") >= ceil_tn(F.col("b.n"))),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -97,13 +106,13 @@ def jaccard_join_exact(
     )
     inter = F.size(F.array_intersect("ra", "rb"))
     union = F.size("ra") + F.size("rb") - inter
+    # threshold on the UNROUNDED ratio (rounding first would admit pairs
+    # whose true Jaccard sits within half an ulp-of-6-decimals below t);
+    # round only the displayed value
+    ratio = inter.cast("double") / union
     return (
-        joined.select(
-            "id_a",
-            "id_b",
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= t)
+        joined.filter(ratio >= t)
+        .select("id_a", "id_b", F.round(ratio, 6).alias("jaccard"))
     )
 
 
@@ -122,14 +131,15 @@ def jaccard_join_bruteforce(
     a, b = s.alias("a"), s.alias("b")
     inter = F.size(F.array_intersect("a.s", "b.s"))
     union = F.size("a.s") + F.size("b.s") - inter
+    ratio = inter.cast("double") / union
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
+        .filter(ratio >= F.lit(float(threshold)))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            F.round(ratio, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= F.lit(float(threshold)))
     )
 
 

@@ -27,8 +27,18 @@ from pyspark.sql import functions as F
 
 
 def skyline2d(df: DataFrame, x: str, y: str) -> DataFrame:
-    """Rows on the Pareto frontier minimizing (``x``, ``y``)."""
-    src = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
+    """Rows on the Pareto frontier minimizing (``x``, ``y``). NULL and
+    (for float columns) NaN dimensions are incomparable and excluded —
+    Spark's total order would otherwise treat NaN as greater than every
+    number and silently mark NaN rows dominated."""
+
+    def comparable(c: str) -> "F.Column":
+        cond = F.col(c).isNotNull()
+        if dict(df.dtypes).get(c) in ("double", "float"):
+            cond = cond & ~F.isnan(F.col(c))
+        return cond
+
+    src = df.filter(comparable(x) & comparable(y))
     mins = src.groupBy(F.col(x).alias("__x")).agg(F.min(F.col(y)).alias("__my"))
     w = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, -1)
     table = mins.select(

@@ -331,7 +331,10 @@ def ks_drift(
     divisions, so the statistic replays bit-identically in SQL.
 
     NULLs are ignored on both sides (they have no place on the real
-    line). Returns one row: (n_a, n_b, d_stat rounded to 6)."""
+    line). Returns one row: (n_a, n_b, d_stat rounded to 6). A side with
+    ZERO non-null values makes D undefined — under ANSI mode (this
+    engine's default) the division fails loudly; with both sides empty
+    the result is an empty DataFrame, not a fabricated statistic."""
     ca = (
         a.filter(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("v"))
@@ -347,15 +350,20 @@ def ks_drift(
         F.coalesce("na", F.lit(0)).alias("na"),
         F.coalesce("nb", F.lit(0)).alias("nb"),
     )
+    # totals ride the SAME window sort as the running sums (a separate
+    # totals aggregate would re-run both groupBys and the full-outer join
+    # a second time — the whole upstream plan twice)
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = merged.select(
         F.sum("na").over(w).alias("ca"),
         F.sum("nb").over(w).alias("cb"),
+        F.sum("na").over(w_all).cast("long").alias("n_a"),
+        F.sum("nb").over(w_all).cast("long").alias("n_b"),
     )
-    totals = merged.agg(
-        F.sum("na").cast("long").alias("n_a"), F.sum("nb").cast("long").alias("n_b")
-    )
-    gaps = cum.crossJoin(F.broadcast(totals)).select(
+    gaps = cum.select(
         "n_a",
         "n_b",
         F.abs(

@@ -220,3 +220,28 @@ def test_edit_distance_join_randomized(spark, texts, k):
     df = spark.createDataFrame(rows, "id long, name string")
     got = {(r.id_a, r.id_b, r.dist) for r in edit_distance_join(df, k=k).collect()}
     assert got == _bf_edits(rows, k)
+
+
+def test_exact_join_float_ceil_threshold(spark):
+    """t=0.07 on a 100-token superset: double ceil(0.07*100) = 8 would
+    drop the qualifying 7-token subset pair; decimal arithmetic keeps it."""
+    from index_spark.operators.setjoin import (
+        jaccard_join_bruteforce,
+        jaccard_join_exact,
+    )
+
+    big = " ".join(f"w{i:03d}" for i in range(100))
+    small = " ".join(f"w{i:03d}" for i in range(7))  # J = 7/100 = 0.07
+    docs = spark.createDataFrame([(1, small), (2, big)], "doc_id long, text string")
+    got = _pairs(jaccard_join_exact(docs, 0.07))
+    assert got == _pairs(jaccard_join_bruteforce(docs, 0.07))
+    assert got == {(1, 2, 0.07)}
+
+
+def test_skyline2d_nan_rows_excluded_not_dominated(spark):
+    from index_spark.operators.skyline import skyline2d
+
+    rows = [(1, 1.0, 1.0), (2, 2.0, float("nan")), (3, float("nan"), 0.5)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = [r.id for r in skyline2d(df, "x", "y").collect()]
+    assert got == [1]
