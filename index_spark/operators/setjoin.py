@@ -151,22 +151,24 @@ def edit_distance_join(
     q: int = 2,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with Levenshtein distance ≤ ``k`` — exact,
-    via q-gram count filtering (Gravano et al. 2001, "Approximate String
-    Joins in a Database (Almost) for Free"):
+    via rare-prefix q-gram filtering (Ed-Join, Xiao et al. 2008; count
+    bound from Gravano et al. 2001):
 
-    - **length filter**: ``| |a| - |b| | <= k``;
-    - **count filter**: one edit destroys at most ``q`` q-grams, so a
-      pair within distance k shares at least
-      ``max(|a|, |b|) - q + 1 - k*q`` of them;
-    - **verify**: ``F.levenshtein`` on the surviving candidates only.
+    - one edit destroys at most ``q`` gram occurrences, so two strings
+      within distance k share all but ``k·q`` of the shorter bag — by the
+      prefix-filter lemma they must then share an occurrence among the
+      ``k·q + 1`` RAREST gram occurrences of EACH side (rarity = global
+      gram document frequency, one total order on (df, gram, occurrence));
+    - candidates therefore come from an equi-join of those tiny rare
+      prefixes (NOT all grams: on uniform corpora — fixed-format names,
+      URLs — every pair shares most common grams and an all-gram join is
+      quadratic), plus the ``| |a|-|b| | <= k`` length filter;
+    - verify: ``F.levenshtein`` on the candidates only.
 
-    Candidates come from an equi-join on individual q-grams plus a
-    per-pair shared-gram count — the shuffled payload is (gram, id), and
-    the quadratic verify never sees pairs without a shared gram. Strings
-    short enough that the count bound collapses to zero (``n <= q - 1 +
-    k*q`` — where a within-distance pair may share NO gram) are compared
-    directly against every length-compatible string; that class is tiny
-    by construction. Returns (id_a, id_b, dist)."""
+    Strings short enough that the bound collapses (``n <= q - 1 + k·q`` —
+    a within-distance pair may share NO gram occurrence) are compared
+    directly against every length-compatible string; that class is tiny.
+    Returns (id_a, id_b, dist)."""
     if k < 0:
         raise ValueError("k must be >= 0")
     s = df.select(
@@ -174,37 +176,54 @@ def edit_distance_join(
         F.lower(F.col(text_col)).alias("t"),
         F.length(F.lower(F.col(text_col))).alias("n"),
     ).filter(F.col("t").isNotNull())
-    # below this length the count filter cannot guarantee a shared gram
+    # below this length the prefix filter cannot guarantee a shared gram
     t_short = q - 1 + k * q
     long_s = s.filter(F.col("n") > t_short)
     grams = long_s.select(
         "id",
         "n",
-        F.explode(
+        F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.col("n") - (q - 1)),
                 lambda i: F.col("t").substr(i, F.lit(q)),
             )
-        ).alias("g"),
+        ).alias("pos", "g"),
     )
-    a, b = grams.alias("a"), grams.alias("b")
-    shared = (
+    # global rarity rank per gram (vocabulary-sized, broadcast) and an
+    # occurrence index per (string, gram) — duplicate occurrences are
+    # distinct bag elements under the prefix-filter lemma
+    rarity = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
+    ranked_g = rarity.select(
+        "g", F.row_number().over(Window.orderBy("gdf", "g")).cast("long").alias("grk")
+    )
+    occ_w = Window.partitionBy("id", "g").orderBy("pos")
+    occd = (
+        grams.join(F.broadcast(ranked_g), "g")
+        .withColumn("occ", F.row_number().over(occ_w).cast("long"))
+        .select("id", "n", "grk", "occ")
+    )
+    # per string: the k*q+1 rarest occurrences under the (grk, occ) order
+    plen = k * q + 1
+    pre = (
+        occd.groupBy("id", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("grk", "occ"))).alias("all_o"))
+        .select(
+            "id", "n", F.explode(F.slice("all_o", 1, plen)).alias("o")
+        )
+        .select("id", "n", F.col("o.grk").alias("grk"), F.col("o.occ").alias("occ"))
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.g") == F.col("b.g"))
+            (F.col("a.grk") == F.col("b.grk"))
+            & (F.col("a.occ") == F.col("b.occ"))
             & (F.col("a.id") < F.col("b.id"))
             & (F.abs(F.col("a.n") - F.col("b.n")) <= k),
         )
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("__shared"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    need = F.greatest(F.col("na"), F.col("nb")) - F.lit(q - 1) - F.lit(k * q)
-    cand = shared.filter(F.col("__shared") >= need).select("id_a", "id_b")
     texts = s.select("id", "t")
     verified = (
         cand.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "ta"), "id_a")
