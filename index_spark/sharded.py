@@ -62,6 +62,13 @@ from index_spark.snapshots import (
 _CATALOG_NAME = "_catalog"
 
 
+def _nrank(t: tuple) -> tuple:
+    """NULL-aware total-order rank for a driver-side key tuple: NULL sorts
+    FIRST, matching the engine's comparator order (keys.py) — a plain
+    Python tuple compare raises TypeError on None vs str/float."""
+    return tuple((v is not None, v) for v in t)
+
+
 class ShardedIndex:
     """Logical ordered index over range-disjoint physical shards.
 
@@ -152,7 +159,10 @@ class ShardedIndex:
             raise DuplicatedKeysError(dups)
         n = df.count()
         frac = min(1.0, sample_size / max(n, 1))
-        sample = sorted(tuple(r) for r in df.select(*key).sample(fraction=frac, seed=42).collect())
+        sample = sorted(
+            (tuple(r) for r in df.select(*key).sample(fraction=frac, seed=42).collect()),
+            key=_nrank,  # NULL-bearing keys must not crash the boundary sort
+        )
         try:  # boundaries live in the JSON catalog and are compared against
             # raw row-key tuples — both need the key type to round-trip
             json.dumps([list(t) for t in sample[:1]])
@@ -250,7 +260,7 @@ class ShardedIndex:
     @staticmethod
     def _owner(shards: list[dict], kt: tuple) -> dict:
         for s in shards:
-            if s["upper"] is None or kt <= tuple(s["upper"]):
+            if s["upper"] is None or _nrank(kt) <= _nrank(tuple(s["upper"])):
                 return s
         return shards[-1]
 
@@ -275,10 +285,10 @@ class ShardedIndex:
         out = []
         for s, lower in zip(shards, self._lowers(shards)):
             if gt_term is not None and s["upper"] is not None:
-                if tuple(s["upper"])[: len(gt_term)] < gt_term:
+                if _nrank(tuple(s["upper"])[: len(gt_term)]) < _nrank(gt_term):
                     continue
             if lt_term is not None and lower is not None:
-                if lower[: len(lt_term)] > lt_term:
+                if _nrank(lower[: len(lt_term)]) > _nrank(lt_term):
                     continue
             out.append(s)
         return out
@@ -456,9 +466,29 @@ class ShardedIndex:
                     key, rows_per_partition=cat["rows_per_partition"],
                     max_n_items=cat["shard_capacity"],
                 )
-            return s["id"], h.execute(per_shard[s["id"]], version).version
+            try:
+                return s["id"], h.execute(per_shard[s["id"]], version).version
+            except ValueError as e:
+                if version is not None and "already used" in str(e):
+                    # an earlier FAILED cross-shard attempt committed this
+                    # writer id on this shard before the catalog swap; the
+                    # orphan is invisible (vacuum reclaims it) but the id is
+                    # burned — surface the documented retry contract instead
+                    # of a bare reuse error
+                    raise ValueError(
+                        f"writer version {version!r} was already used by "
+                        f"shard {s['id']} (orphan of a failed cross-shard "
+                        "attempt); retry the transaction with a FRESH "
+                        "version string (NOTES.md: a retried cross-shard "
+                        "transaction must mint a new id)"
+                    ) from e
+                raise
 
         touched = [s for s in cat["shards"] if per_shard.get(s["id"])]
+        if not touched:
+            # nothing routed anywhere (empty commands / all-empty batches):
+            # do not burn a catalog stamp or run the auto-split scan
+            return self
         new_versions: dict[int, int] = {}
         if len(touched) <= 1:
             new_versions.update(_commit_one(s) for s in touched)
@@ -792,7 +822,13 @@ class ShardedIndex:
         parts = [h.df for h in (lh, rh) if h is not None and not h._empty]
         if not parts:
             return False
-        merged = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        # allowMissingColumns: a schema-evolving insert may have touched
+        # only one of the two shards (same contract as _union)
+        merged = (
+            parts[0]
+            if len(parts) == 1
+            else parts[0].unionByName(parts[1], allowMissingColumns=True)
+        )
         mid = cat["next_shard_id"]
         mpath = os.path.join(self.base_path, f"shard_{mid:04d}")
         self._clear_orphan_child(cat, mpath)  # crashed-retry orphan (see split_shard)
@@ -827,23 +863,6 @@ class _AsOfShardedView(ShardedIndex):
 
     def execute(self, commands: list, version: Optional[str] = None) -> "ShardedIndex":
         raise IndexError_("as-of view is read-only")
-
-    def _clear_orphan_child(self, cat: dict, path: str) -> None:
-        """Delete a child-store dir left by a split/merge that died before
-        its catalog swap. Safe ONLY because the path is provably
-        unreferenced: child paths derive from next_shard_id, which is
-        advanced by the same catalog write that would have referenced
-        them — if the catalog (current shards + every history pin) does
-        not know the path, nothing can read it."""
-        import shutil as _shutil
-
-        if not os.path.isdir(path):
-            return
-        known = {os.path.abspath(s["path"]) for s in cat["shards"]}
-        for hpin in cat.get("history", []):
-            known |= {os.path.abspath(s["path"]) for s in hpin["shards"]}
-        if os.path.abspath(path) not in known:
-            _shutil.rmtree(path, ignore_errors=True)
 
     def split_shard(self, shard_id: int) -> bool:
         raise IndexError_("as-of view is read-only")

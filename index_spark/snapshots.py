@@ -1191,7 +1191,38 @@ class VersionedIndex(SortedIndex):
         # 3-5x slower end-to-end — it pins every evaluation of the staged
         # plan behind a single task and defeats AQE's broadcast re-planning
         # of the validation joins
-        batch = self.store.spark.createDataFrame(rows)  # type: ignore[arg-type]
+        try:
+            batch = self.store.spark.createDataFrame(rows)  # type: ignore[arg-type]
+        except Exception:
+            # a column that is None in EVERY row defeats type inference
+            # (CANNOT_DETERMINE_TYPE) — NULL key/value cells are legal, so
+            # type known columns from the head schema and fall back to a
+            # sampled non-None value for batch-only internals
+            from pyspark.sql import types as T
+
+            head = (
+                {}
+                if self._empty
+                else {f.name: f.dataType for f in self.df.schema.fields}
+            )
+            cols = sorted({k for r in rows for k in r})
+            fields = []
+            for c in cols:
+                if c in head:
+                    fields.append(T.StructField(c, head[c], True))
+                else:
+                    v = next((r[c] for r in rows if r.get(c) is not None), None)
+                    if isinstance(v, bool):
+                        dt: T.DataType = T.BooleanType()
+                    elif isinstance(v, int):
+                        dt = T.LongType()
+                    elif isinstance(v, float):
+                        dt = T.DoubleType()
+                    else:
+                        dt = T.StringType()
+                    fields.append(T.StructField(c, dt, True))
+            data = [tuple(r.get(c) for c in cols) for r in rows]
+            batch = self.store.spark.createDataFrame(data, T.StructType(fields))
         return self._align_types(batch)
 
     def _batch_df(self, rows) -> DataFrame:
@@ -1660,7 +1691,17 @@ class VersionedIndex(SortedIndex):
 
         batch = batch.withColumn(VERSION_COL, F.lit(version))
         kept = cur.join(self._maybe_broadcast(batch.select(*key), rows), on=key, how="left_anti")
-        return kept.unionByName(batch.select(*kept.columns))
+        # select(*kept.columns) enforces full-row replacement (a batch
+        # missing a staged column still errors), but on the partial-COW
+        # path the touched subset may PREDATE a schema evolution: batch
+        # columns that are valid head-schema columns absent from every
+        # touched file must survive the rewrite (kept rows read NULL
+        # there), not be silently dropped — the full-rewrite path keeps
+        # them, and the two paths must agree.
+        evolved = [c for c in batch.columns if c not in kept.columns]
+        return kept.unionByName(
+            batch.select(*kept.columns, *evolved), allowMissingColumns=True
+        )
 
     @staticmethod
     def _batch_empty(rows, batch: DataFrame) -> bool:
@@ -2053,7 +2094,8 @@ class VersionedIndex(SortedIndex):
         total = self.count() + right.count()
         if mx is not None and total > mx:
             raise ValueError(f"merge would exceed max_n_items: {total} > {mx}")
-        merged = self.df.unionByName(right.df)
+        # allowMissingColumns: either side may predate a schema evolution
+        merged = self.df.unionByName(right.df, allowMissingColumns=True)
         return SnapshotStore(self.store.spark, dest_path).create(
             self.key, df=merged, rows_per_partition=self.rows_per_partition, max_n_items=mx
         )
