@@ -328,7 +328,12 @@ class ShardedIndex:
         h = self._handle(s, cat)
         if h is None or h._empty:
             return self._empty_like(cat)
-        return h.get(k)
+        # manifest zone-map + bloom pruned point read: candidate files are
+        # decided driver-side from the shard's manifest stats, so a point
+        # get against a many-file shard opens a handful of files instead
+        # of scanning the whole shard (falls back to the pushdown get for
+        # stat-less versions)
+        return h.read_point(k)
 
     def get_all(self, keys: Sequence[Any], must_find_all: bool = False) -> DataFrame:
         """Multi-get routed per owning shard (Index.scala:820-867 batches
@@ -352,6 +357,10 @@ class ShardedIndex:
                     parts.append(h.get_all(ks, must_find_all=True))
                 except KeyNotFoundError as e:
                     missing += [as_tuple(x) for x in e.keys]
+            elif len(ks) <= 10_000:
+                # manifest-pruned multi-get (equals get_all; opens only
+                # files whose stats/blooms can match a probe)
+                parts.append(h.read_points(ks))
             else:
                 parts.append(h.get_all(ks))
         if must_find_all and missing:

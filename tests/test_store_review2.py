@@ -97,3 +97,22 @@ def test_sharded_retry_error_names_the_contract(spark, tmp_base):
     sh.update([{"k": 1, "v": 10.0}], version="tx1")
     with pytest.raises(ValueError, match="FRESH version"):
         sh.update([{"k": 2, "v": 20.0}], version="tx1")
+
+
+def test_sharded_point_get_prunes_files(spark, tmp_base):
+    """A sharded point get must open only the manifest-pruned candidate
+    files of the owning shard, not scan the whole shard."""
+    rows = [(i, float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    sh = ShardedIndex.create(spark, tmp_base + "/shp", ["k"], df, n_shards=2,
+                             rows_per_partition=10)  # many files per shard
+    got = sh.get(7)
+    assert [r.v for r in got.collect()] == [7.0]
+    cat = sh._read_catalog()
+    owner = sh._owner(cat["shards"], (7,))
+    total = len(sh._handle(owner, cat).store._version_row(owner["version"])["files"])
+    assert total >= 5
+    assert 0 < len(got.inputFiles()) < total
+
+    multi = sh.get_all([3, 7, 150])
+    assert {r.k for r in multi.collect()} == {3, 7, 150}
