@@ -116,3 +116,74 @@ def test_sharded_point_get_prunes_files(spark, tmp_base):
 
     multi = sh.get_all([3, 7, 150])
     assert {r.k for r in multi.collect()} == {3, 7, 150}
+
+
+# ---- randomized model check: mutation interleavings across schema evolution
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+op_st = st.lists(
+    st.tuples(
+        st.sampled_from(["insert_w", "update", "update_w", "remove", "upsert"]),
+        st.integers(min_value=0, max_value=24),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=op_st)
+def test_store_matches_dict_model_across_evolution(spark, tmp_base_factory, ops):
+    """Random mutation sequences where schema evolution (adding column w)
+    happens mid-stream: the store must agree with a plain dict model on
+    every surviving row, including w values written through partial-COW
+    updates of pre-evolution files."""
+    base = tmp_base_factory()
+    store = SnapshotStore(spark, base + "/s")
+    store.create(
+        ["k"],
+        df=spark.createDataFrame([(i, f"v{i}") for i in range(25)], "k long, v string"),
+        rows_per_partition=5,
+    )
+    model = {i: {"v": f"v{i}", "w": None} for i in range(25)}
+    evolved = False
+    for op, k in ops:
+        h = store.latest()
+        try:
+            if op == "insert_w":
+                h.insert([{"k": k, "v": f"n{k}", "w": f"W{k}"}], upsert=True,
+                         allow_new_columns=True)
+                model[k] = {"v": f"n{k}", "w": f"W{k}"}
+                evolved = True
+            elif op == "upsert":
+                h.insert([{"k": k, "v": f"u{k}"}], upsert=True)
+                model[k] = {"v": f"u{k}", "w": None}
+            elif op == "update":
+                h.update([{"k": k, "v": f"x{k}"}])
+                model[k]["v"] = f"x{k}"  # w untouched? full-row: w -> NULL
+                if evolved:
+                    model[k]["w"] = None  # full-row replacement semantics
+            elif op == "update_w":
+                if not evolved:
+                    continue  # unknown column would (correctly) raise
+                h.update([{"k": k, "v": f"y{k}", "w": f"Y{k}"}])
+                model[k] = {"v": f"y{k}", "w": f"Y{k}"}
+            elif op == "remove":
+                h.remove([{"k": k}])
+                del model[k]
+        except Exception as e:
+            # update/remove of an absent key is the expected error path
+            assert k not in model, (op, k, e)
+    got = {
+        r.k: {"v": r.v, "w": getattr(r, "w", None)}
+        for r in store.latest().df.collect()
+    }
+    want = model if evolved else {k: {"v": m["v"], "w": None} for k, m in model.items()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k]["v"] == want[k]["v"], k
+        if evolved:
+            assert got[k]["w"] == want[k]["w"], k
