@@ -15,7 +15,6 @@ schema, batching, partitioning, and UDF signatures are production-shaped.
 from __future__ import annotations
 
 import hashlib
-import zlib
 from typing import Iterator
 
 import numpy as np
@@ -53,15 +52,18 @@ def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """STUB: real decode requires PIL/ffmpeg (not in this container).
 
-    ``fake=True`` → deterministic pseudo-pixels seeded by the payload
-    checksum, shaped (8, 8, 3) — stable across runs and processes."""
+    ``fake=True`` → deterministic pseudo-pixels, shaped (8, 8, 3): the 16
+    md5 digest bytes of the payload tiled 12× (192 bytes = 8*8*3). Stable
+    across runs/processes AND exactly replayable in SQL — any engine with
+    md5() can recompute every derived feature (the gcd(3,16)=1 stride
+    means each channel sees all 16 digest bytes exactly 4 times, so
+    per-channel mean = sum(digest)/16, min/max = min/max(digest))."""
     if not fake:
         raise NotImplementedError(
             "image decode needs a codec library (PIL/opencv); not in this container"
         )
-    seed = zlib.crc32(payload) & 0xFFFFFFFF
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    digest = hashlib.md5(payload).digest()
+    return np.frombuffer(digest * 12, dtype=np.uint8).reshape(8, 8, 3).copy()
 
 
 def extract_features(df: DataFrame, batch_hint_rows: int = 1024) -> DataFrame:

@@ -399,7 +399,12 @@ def simhash_candidates(
     The (id, simhash) projection is persisted: both sides of the in-block
     self-join read it from cache, so the simhash64 expression pipeline runs
     once over the corpus instead of twice (same discipline as
-    :func:`minhash_near_dup_pairs`)."""
+    :func:`minhash_near_dup_pairs`). The cache entry deliberately lives
+    with the returned lazy plan — unpersisting here would force a
+    recompute per join side; Spark LRU-evicts it under storage pressure,
+    and a caller done with the result can drop it via
+    ``spark.catalog.clearCache()``. At 100 TB materialize the projection
+    to storage instead."""
     sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")).persist()
     blocks = F.array(
         *[

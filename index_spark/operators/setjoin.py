@@ -69,13 +69,16 @@ def jaccard_join_exact(
         return F.ceil(t_dec * n).cast("long")
 
     edges = _token_sets(docs, text_col, id_col)
-    # global rarity rank; broadcast-sized (vocabulary, not corpus)
-    ranks = (
-        edges.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .select("tok", F.row_number().over(Window.orderBy("df", "tok")).cast("long").alias("rk"))
+    # global rarity ORDER, not dense integers: the prefix lemma needs only
+    # a total order, so the (df, tok) struct itself is the rank value —
+    # struct comparison is lexicographic, identical to the
+    # row_number-over-(df, tok) order, WITHOUT funneling the whole
+    # vocabulary through one WindowExec task. Broadcast-sized
+    # (vocabulary, not corpus).
+    dfs = edges.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = edges.join(F.broadcast(dfs), "tok").select(
+        "id", F.struct(F.col("df"), F.col("tok")).alias("rk")
     )
-    ranked = edges.join(F.broadcast(ranks), "tok").select("id", "rk")
     # per-doc sorted rank vector + size + prefix length
     per_doc = ranked.groupBy("id").agg(
         F.array_sort(F.collect_list("rk")).alias("rks"),
@@ -189,18 +192,18 @@ def edit_distance_join(
             )
         ).alias("pos", "g"),
     )
-    # global rarity rank per gram (vocabulary-sized, broadcast) and an
+    # global rarity ORDER per gram (vocabulary-sized, broadcast) and an
     # occurrence index per (string, gram) — duplicate occurrences are
-    # distinct bag elements under the prefix-filter lemma
+    # distinct bag elements under the prefix-filter lemma. As in
+    # :func:`jaccard_join_exact`, the (gdf, g) struct IS the rank: the
+    # lemma needs a total order, not dense integers, so no global
+    # single-task row_number window over the gram vocabulary.
     rarity = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
-    ranked_g = rarity.select(
-        "g", F.row_number().over(Window.orderBy("gdf", "g")).cast("long").alias("grk")
-    )
     occ_w = Window.partitionBy("id", "g").orderBy("pos")
     occd = (
-        grams.join(F.broadcast(ranked_g), "g")
+        grams.join(F.broadcast(rarity), "g")
         .withColumn("occ", F.row_number().over(occ_w).cast("long"))
-        .select("id", "n", "grk", "occ")
+        .select("id", "n", F.struct(F.col("gdf"), F.col("g")).alias("grk"), "occ")
     )
     # per string: the k*q+1 rarest occurrences under the (grk, occ) order
     plen = k * q + 1

@@ -115,15 +115,19 @@ def fixed_histogram(
     buckets (profiling convention). Returns (bucket, lo_edge, n)."""
     assert hi > lo and nbuckets > 0, "need hi > lo and a positive bucket count"
     span = hi - lo
-    # clamp the VALUE before the multiply: clamping the bucket after
-    # ((v - lo) * nbuckets) lets an extreme outlier overflow long first —
-    # ArithmeticException under ANSI, or a silent wrap that lands a high
-    # outlier in the LOWEST bucket without it. Same result in-range.
-    clamped = F.greatest(F.lit(lo).cast("long"), F.least(F.lit(hi - 1).cast("long"), F.col("__v")))
-    b = F.expr(f"((__c - {lo}L) * {nbuckets}L) div {span}L")
+    # branch on range BEFORE the multiply: computing ((v - lo) * nbuckets)
+    # on an extreme outlier overflows long first — ArithmeticException
+    # under ANSI, or a silent wrap that lands a high outlier in the LOWEST
+    # bucket. Outliers go straight to the edge buckets (the documented
+    # clamp), which also keeps nbuckets > span configs honest: v >= hi
+    # lands in bucket nbuckets-1, not hi-1's interior bucket.
+    b = (
+        F.when(F.col("__v") >= F.lit(hi).cast("long"), F.lit(nbuckets - 1).cast("long"))
+        .when(F.col("__v") < F.lit(lo).cast("long"), F.lit(0).cast("long"))
+        .otherwise(F.expr(f"((__v - {lo}L) * {nbuckets}L) div {span}L"))
+    )
     return (
         df.select(value.cast("long").alias("__v"))
-        .select(clamped.alias("__c"))
         .select(b.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -228,20 +232,46 @@ def winsorized_stats(
 def equidepth_histogram(
     df: DataFrame, value_col: str, tie_col: str, bins: int = 10
 ) -> DataFrame:
-    """Equi-depth (equal-count) histogram: ``ntile(bins)`` over
-    ``(value, tie)`` → per-bin count, min, max — the bin boundaries a
-    range-partitioner or CBO would derive. ``tie_col`` unique ⇒ the bin
-    assignment is deterministic and engine-portable (ntile's row split is
+    """Equi-depth (equal-count) histogram with EXACT ``ntile`` semantics
+    over ``(value, tie)`` → per-bin count, min, max — the bin boundaries
+    a range-partitioner or CBO would derive. ``tie_col`` unique ⇒ the bin
+    assignment is deterministic and engine-portable (the row split is
     rank arithmetic, identical in Spark and ANSI SQL).
 
-    Scale note: a single global ntile funnels the sort through one task —
-    fine for the bounded inputs this profiling op targets; for a 100 TB
-    column use the two-level bucket-count plan (``q_split_median``) to
-    locate each boundary instead."""
-    w = Window.orderBy(value_col, tie_col)
-    binned = df.select(
-        F.col(value_col), F.ntile(bins).over(w).alias("bin")
+    TWO-LEVEL plan — no global single-task ntile sort: each row's exact
+    global rank comes from range-bucketing the value
+    (``floor(value / 4096)``), a tiny bucket-counts table whose
+    cumulative sum gives each bucket's rank offset, plus a per-bucket
+    ``row_number``. The bin is then pure rank arithmetic replicating
+    ntile's split (first ``n % bins`` bins get ``n div bins + 1`` rows,
+    the rest ``n div bins``). The only global window is over the bucket
+    table, so the plan survives a 100 TB column."""
+    n = df.count()
+    q, r = divmod(n, bins)
+    cut = r * (q + 1)
+    b = F.floor(F.col(value_col) / F.lit(4096)).cast("long")
+    keyed = df.select(F.col(value_col), F.col(tie_col), b.alias("__b"))
+    counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    pre = counts.select(
+        "__b", F.coalesce(F.sum("__c").over(wb), F.lit(0)).alias("__before")
     )
+    win = Window.partitionBy("__b").orderBy(value_col, tie_col)
+    ranked = keyed.join(F.broadcast(pre), "__b").select(
+        F.col(value_col),
+        (F.col("__before") + F.row_number().over(win)).alias("__rank"),
+    )
+    if q == 0:
+        # fewer rows than bins: ntile gives one row per bin, bin = rank
+        bin_expr = F.col("__rank").cast("int")
+    else:
+        # exact integer rank→bin arithmetic (ntile's split), no doubles
+        bin_expr = F.expr(
+            f"CASE WHEN __rank <= {cut}L "
+            f"THEN CAST((__rank - 1) div {q + 1}L AS INT) + 1 "
+            f"ELSE {r} + CAST((__rank - {cut}L - 1) div {q}L AS INT) + 1 END"
+        )
+    binned = ranked.select(F.col(value_col), bin_expr.alias("bin"))
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.min(value_col).alias("lo"),
@@ -315,53 +345,71 @@ def exact_quantiles(
 
 
 def ks_drift(
-    a: DataFrame, b: DataFrame, value_col: str
+    a: DataFrame, b: DataFrame, value_col: str, bucket_width: int = 4096
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic between ``a`` and ``b`` on
     ``value_col`` — the standard drift check between two snapshots of a
     table (did the distribution of prices/lengths/scores move?).
 
     D = max over observed values of |F_a(x) - F_b(x)| with F the empirical
-    CDF. Computed relationally: per-value counts per side, full-outer
-    merge on the value, running cumulative counts, max absolute CDF gap.
-    One shuffle per side for the value counts plus one global window over
-    the DISTINCT value domain (domain-sized, not row-sized; for an
-    unbounded domain pre-bucket the column as :func:`fixed_histogram`
-    does). Integer value columns make the CDF fractions exact-input
-    divisions, so the statistic replays bit-identically in SQL.
+    CDF. Computed relationally and TWO-LEVEL (no global single-task sort):
+    per-value counts per side, full-outer merge on the value, then the
+    running cumulative counts come from range-bucketing the distinct
+    values (``floor(v / bucket_width)``) — a tiny bucket-totals table
+    whose cumulative sum gives each bucket's offset, plus a per-bucket
+    window for the within-bucket running sums. The only global window is
+    over the bucket table (O(domain / bucket_width) rows), so the plan
+    survives an unbounded value domain. Integer value columns make the
+    CDF fractions exact-input divisions, so the statistic replays
+    bit-identically in SQL.
 
     NULLs are ignored on both sides (they have no place on the real
     line). Returns one row: (n_a, n_b, d_stat rounded to 6). A side with
-    ZERO non-null values makes D undefined — under ANSI mode (this
-    engine's default) the division fails loudly; with both sides empty
-    the result is an empty DataFrame, not a fabricated statistic."""
-    ca = (
-        a.filter(F.col(value_col).isNotNull())
-        .groupBy(F.col(value_col).alias("v"))
-        .agg(F.count(F.lit(1)).alias("na"))
-    )
-    cb = (
-        b.filter(F.col(value_col).isNotNull())
-        .groupBy(F.col(value_col).alias("v"))
-        .agg(F.count(F.lit(1)).alias("nb"))
-    )
+    ZERO non-null values makes D undefined — guarded EXPLICITLY with a
+    ValueError (IEEE double division would otherwise yield a silent NaN
+    d_stat, which Spark orders ABOVE all doubles: a `d_stat >= x` alert
+    would fire maximal drift instead of erroring)."""
+    fa = a.filter(F.col(value_col).isNotNull())
+    fb = b.filter(F.col(value_col).isNotNull())
+    if fa.limit(1).count() == 0:
+        raise ValueError("ks_drift: side 'a' is empty (no non-null values)")
+    if fb.limit(1).count() == 0:
+        raise ValueError("ks_drift: side 'b' is empty (no non-null values)")
+    ca = fa.groupBy(F.col(value_col).alias("v")).agg(F.count(F.lit(1)).alias("na"))
+    cb = fb.groupBy(F.col(value_col).alias("v")).agg(F.count(F.lit(1)).alias("nb"))
     merged = ca.join(cb, "v", "full_outer").select(
         "v",
         F.coalesce("na", F.lit(0)).alias("na"),
         F.coalesce("nb", F.lit(0)).alias("nb"),
     )
-    # totals ride the SAME window sort as the running sums (a separate
-    # totals aggregate would re-run both groupBys and the full-outer join
-    # a second time — the whole upstream plan twice)
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.orderBy("v").rowsBetween(
+    bucketed = merged.withColumn(
+        "__b", F.floor(F.col("v") / F.lit(int(bucket_width))).cast("long")
+    )
+    bt = bucketed.groupBy("__b").agg(
+        F.sum("na").alias("__ba"), F.sum("nb").alias("__bb")
+    )
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    wb_all = Window.orderBy("__b").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    cum = merged.select(
-        F.sum("na").over(w).alias("ca"),
-        F.sum("nb").over(w).alias("cb"),
-        F.sum("na").over(w_all).cast("long").alias("n_a"),
-        F.sum("nb").over(w_all).cast("long").alias("n_b"),
+    # totals ride the SAME tiny bucket table as the offsets (a separate
+    # totals aggregate would re-run both groupBys and the full-outer join
+    # a second time — the whole upstream plan twice)
+    pre = bt.select(
+        "__b",
+        F.coalesce(F.sum("__ba").over(wb), F.lit(0)).alias("__prev_a"),
+        F.coalesce(F.sum("__bb").over(wb), F.lit(0)).alias("__prev_b"),
+        F.sum("__ba").over(wb_all).cast("long").alias("n_a"),
+        F.sum("__bb").over(wb_all).cast("long").alias("n_b"),
+    )
+    win = Window.partitionBy("__b").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = bucketed.join(F.broadcast(pre), "__b").select(
+        (F.col("__prev_a") + F.sum("na").over(win)).alias("ca"),
+        (F.col("__prev_b") + F.sum("nb").over(win)).alias("cb"),
+        "n_a",
+        "n_b",
     )
     gaps = cum.select(
         "n_a",

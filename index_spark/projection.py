@@ -152,20 +152,40 @@ class ProjectionIndex:
         base read opens a fraction of its files; worst case it degrades
         to the plain head scan, never worse."""
         base_key = self.base._read_manifest()["key"]
-        # persist the matched key set: the bounds agg below is an action
-        # over the index range scan, and without caching the semi-join
-        # probe would re-run that whole scan a second time
+        # persist the matched key set only for the duration of this call:
+        # the bounds agg and the probe collect below are actions over the
+        # index range scan, and without caching the second would re-run
+        # the scan. The cache is ALWAYS released before returning (a
+        # leaked entry per lookup would accumulate executor storage for
+        # the session's lifetime), so the returned plan must not
+        # reference the persisted frame — the probe is either a
+        # collected local key set (common case, broadcast semi-join) or
+        # a fresh lazy rebuild of the scan (huge-match fallback: the
+        # scan runs twice, never worse than the unindexed path).
         keys = self.lookup(value).persist()
         h = self.base.latest()
-        b = keys.agg(
-            F.min(F.struct(*base_key)).alias("lo"), F.max(F.struct(*base_key)).alias("hi")
-        ).first()
-        if b["lo"] is None:
-            out = h.df.filter(F.lit(False))
-        else:
+        try:
+            b = keys.agg(
+                F.min(F.struct(*base_key)).alias("lo"), F.max(F.struct(*base_key)).alias("hi")
+            ).first()
+            if b["lo"] is None:
+                return h.df.filter(F.lit(False)).drop("__version")
             pruned = h.read_range(tuple(b["lo"]), tuple(b["hi"]))
-            out = pruned.join(keys, on=list(base_key), how="left_semi")
-        return out.drop("__version")
+            cap = 100_000
+            key_df = keys.select(*base_key)
+            sample = key_df.limit(cap + 1).collect()
+            if len(sample) <= cap:
+                probe = self.store.spark.createDataFrame(sample, key_df.schema)
+                out = pruned.join(
+                    F.broadcast(probe.distinct()), on=list(base_key), how="left_semi"
+                )
+            else:
+                out = pruned.join(
+                    self.lookup(value), on=list(base_key), how="left_semi"
+                )
+            return out.drop("__version")
+        finally:
+            keys.unpersist()
 
     def lookup_range(self, lo, hi, lo_inclusive: bool = True, hi_inclusive: bool = True) -> DataFrame:
         """Base keys whose ``attr`` lies in [lo, hi] — a zone-map-pruned

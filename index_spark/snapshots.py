@@ -201,14 +201,18 @@ class SnapshotStore:
             "versions": [],
             "history": [],
         }
-        self._write_manifest(m)
         if df is not None:
             # the key-uniqueness invariant every later mutation enforces
             # must hold at birth too — a dup-keyed version 0 silently
-            # corrupts every join-based validation downstream
+            # corrupts every join-based validation downstream. Gate BEFORE
+            # writing the manifest: a manifest committed ahead of a failed
+            # dup check would poison the path (every retry would hit
+            # IndexAlreadyExistsError until manually deleted).
             dups = VersionedIndex._dup_keys_in_batch(df, list(key))
             if dups:
                 raise DuplicatedKeysError(dups)
+        self._write_manifest(m)
+        if df is not None:
             if VERSION_COL not in df.columns:
                 df = df.withColumn(VERSION_COL, F.lit(str(uuid.uuid4())))
             # initial load: one count of the raw input (no staged joins to
@@ -1436,6 +1440,14 @@ class VersionedIndex(SortedIndex):
         if not files:
             return self.df.filter(residual)
         blooms = vrow.get("blooms")
+        # bloom positions depend only on the key tuple — precompute once
+        # per tuple, not per (file, tuple) pair (10⁴ keys × 10⁵ files
+        # would otherwise be billions of driver-side md5 calls)
+        positions = (
+            {t: _bloom_positions_py(t, vrow["bloom_m"], vrow["bloom_k"]) for t in tuples}
+            if blooms
+            else {}
+        )
         cands: list[str] = []
         for f in files:
             def may(t):
@@ -1450,10 +1462,7 @@ class VersionedIndex(SortedIndex):
                 hit = [
                     t
                     for t in hit
-                    if _bloom_contains(
-                        blooms[f["path"]],
-                        _bloom_positions_py(t, vrow["bloom_m"], vrow["bloom_k"]),
-                    )
+                    if _bloom_contains(blooms[f["path"]], positions[t])
                 ]
             if hit:
                 cands.append(f["path"])
@@ -1691,17 +1700,32 @@ class VersionedIndex(SortedIndex):
 
         batch = batch.withColumn(VERSION_COL, F.lit(version))
         kept = cur.join(self._maybe_broadcast(batch.select(*key), rows), on=key, how="left_anti")
-        # select(*kept.columns) enforces full-row replacement (a batch
-        # missing a staged column still errors), but on the partial-COW
-        # path the touched subset may PREDATE a schema evolution: batch
-        # columns that are valid head-schema columns absent from every
-        # touched file must survive the rewrite (kept rows read NULL
-        # there), not be silently dropped — the full-rewrite path keeps
-        # them, and the two paths must agree.
-        evolved = [c for c in batch.columns if c not in kept.columns]
-        return kept.unionByName(
-            batch.select(*kept.columns, *evolved), allowMissingColumns=True
-        )
+        # Full-row replacement must be LAYOUT-INVARIANT: kept.columns is
+        # the merged schema of whichever physical files the batch keys
+        # happened to land in, which may or may not carry columns added by
+        # a later schema evolution — projecting the batch against it made
+        # the same logical update raise UNRESOLVED_COLUMN or succeed
+        # depending on file layout. Project against the HEAD schema
+        # instead: a head column the batch omits gets a typed NULL
+        # (full-row replacement semantics — an update without an evolved
+        # column nulls it, matching the dict model in
+        # tests/test_store_review2.py), identical whatever files were
+        # touched. Unknown batch columns were already rejected by the
+        # execute() gate; batch columns beyond the pre-transaction head
+        # (possible only mid-transaction after an evolving Insert) are
+        # carried through unchanged.
+        head = cur.schema if self._empty else self.df.schema
+        head_fields = {f.name: f.dataType for f in head.fields}
+        if VERSION_COL not in head_fields:
+            head_fields[VERSION_COL] = batch.schema[VERSION_COL].dataType
+        batch_cols = set(batch.columns)
+        proj = [
+            F.col(name)
+            if name in batch_cols
+            else F.lit(None).cast(dtype).alias(name)
+            for name, dtype in head_fields.items()
+        ] + [F.col(c) for c in batch.columns if c not in head_fields]
+        return kept.unionByName(batch.select(*proj), allowMissingColumns=True)
 
     @staticmethod
     def _batch_empty(rows, batch: DataFrame) -> bool:

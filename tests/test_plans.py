@@ -169,15 +169,15 @@ def test_q22_anti_join_and_scalar_broadcast(plans):
 
 
 def test_catalog_integrity():
-    """Every oracle names a real query; the rows-only set (no SQL twin by
-    design: numpy-RNG fake media decode) is exactly the documented one —
-    any new query silently missing its oracle fails here instead of
+    """Every oracle names a real query and EVERY query has an exact SQL
+    twin — any new query silently missing its oracle fails here instead of
     weakening the driver gate unnoticed. (ivf_trained_topk and
     lsh_sign_topk gained exact oracles in round 3: deterministic replayable
-    k-means + embedded plane literals.)"""
+    k-means + embedded plane literals; multimodal_features gained one in
+    round 5 when the fake decode became md5-tiled instead of numpy RNG.)"""
     qs, oracles = em.queries(), em.oracle_sql()
     assert set(oracles) <= set(qs), set(oracles) - set(qs)
-    assert set(qs) - set(oracles) == {"multimodal_features"}
+    assert set(qs) - set(oracles) == set()
     assert len(qs) >= 104
 
 

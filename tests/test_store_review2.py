@@ -134,7 +134,8 @@ op_st = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
 @given(ops=op_st)
 def test_store_matches_dict_model_across_evolution(spark, tmp_base_factory, ops):
     """Random mutation sequences where schema evolution (adding column w)
