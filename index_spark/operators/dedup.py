@@ -391,21 +391,33 @@ def simhash_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     block_bits: int = 16,
+    materialize_path: str | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing a 16-bit SimHash block (Manku-style blocking:
     near signatures agree on at least one of the 4 blocks). Returns pairs
     with their Hamming distance for thresholding by the caller.
 
-    The (id, simhash) projection is persisted: both sides of the in-block
-    self-join read it from cache, so the simhash64 expression pipeline runs
-    once over the corpus instead of twice (same discipline as
-    :func:`minhash_near_dup_pairs`). The cache entry deliberately lives
-    with the returned lazy plan — unpersisting here would force a
-    recompute per join side; Spark LRU-evicts it under storage pressure,
-    and a caller done with the result can drop it via
-    ``spark.catalog.clearCache()``. At 100 TB materialize the projection
-    to storage instead."""
-    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")).persist()
+    The (id, simhash) projection is computed ONCE and reused by both sides
+    of the in-block self-join (same discipline as
+    :func:`minhash_near_dup_pairs`). Two reuse modes:
+
+    - default (``materialize_path=None``): the projection is persisted;
+      the cache entry deliberately lives with the returned lazy plan —
+      unpersisting here would force a recompute per join side; Spark
+      LRU-evicts it under storage pressure, and a caller done with the
+      result can drop it via ``spark.catalog.clearCache()``.
+    - ``materialize_path=...``: the 100 TB recipe — the projection is
+      written to parquet at that path and both join sides read it back,
+      so NO session-lifetime cache entry is created and the projection
+      survives for downstream reuse (a 100 TB corpus's simhash column
+      does not fit executor storage anyway).
+    """
+    proj = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    if materialize_path is not None:
+        proj.write.mode("overwrite").parquet(materialize_path)
+        sh = df.sparkSession.read.parquet(materialize_path)
+    else:
+        sh = proj.persist()
     blocks = F.array(
         *[
             F.struct(

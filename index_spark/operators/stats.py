@@ -229,6 +229,33 @@ def winsorized_stats(
     )
 
 
+def _adaptive_bucket_expr(
+    src: DataFrame, value_col: str, n_cuts: int, rel_err: float = 0.005
+) -> "F.Column":
+    """Data-adaptive range-bucket key for two-level exact-rank plans: cut
+    points are the ``n_cuts``-quantiles of ``value_col`` from ONE
+    distributed Greenwald-Khanna sketch pass (``approxQuantile``), and the
+    returned Column maps a value to the count of cut points ≤ it — a
+    monotone bucket ordinal in ``[0, n_cuts]``. Monotone-in-value +
+    equal-values-share-a-bucket is all downstream rank arithmetic needs;
+    cut-point PRECISION only affects bucket balance, never results.
+
+    This replaces the fixed ``floor(value / 4096)`` key, which degenerates
+    to ONE bucket (= the global single-task sort the two-level plan
+    exists to avoid) whenever the column's domain spans less than the
+    width — status codes, ratings, percentages, any double in [0, 1).
+    Residual caveat (shared with any value-keyed bucketing): a single
+    value holding ≫ 1/n_cuts of the rows concentrates its bucket —
+    pre-aggregate such columns to (value, weight) instead."""
+    probs = [i / n_cuts for i in range(1, n_cuts)]
+    cuts = sorted(set(src.stat.approxQuantile(value_col, probs, rel_err)))
+    if not cuts:
+        return F.lit(0).cast("long")
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    v = F.col(value_col).cast("double")
+    return F.size(F.filter(arr, lambda c: v >= c)).cast("long")
+
+
 def equidepth_histogram(
     df: DataFrame, value_col: str, tie_col: str, bins: int = 10
 ) -> DataFrame:
@@ -238,19 +265,28 @@ def equidepth_histogram(
     assignment is deterministic and engine-portable (the row split is
     rank arithmetic, identical in Spark and ANSI SQL).
 
+    NULL values are EXCLUDED: they neither count toward ``n`` nor occupy
+    a bin (``ntile`` over a non-null-filtered input). This differs from
+    raw SQL ``ntile`` with nulls-first ordering, which would bin NULLs
+    into bin 1 — filter-then-bin is the deterministic, engine-portable
+    contract (matches :func:`exact_quantiles` / :func:`winsorized_stats`).
+
     TWO-LEVEL plan — no global single-task ntile sort: each row's exact
-    global rank comes from range-bucketing the value
-    (``floor(value / 4096)``), a tiny bucket-counts table whose
-    cumulative sum gives each bucket's rank offset, plus a per-bucket
-    ``row_number``. The bin is then pure rank arithmetic replicating
-    ntile's split (first ``n % bins`` bins get ``n div bins + 1`` rows,
-    the rest ``n div bins``). The only global window is over the bucket
-    table, so the plan survives a 100 TB column."""
-    n = df.count()
+    global rank comes from range-bucketing the value on DATA-ADAPTIVE
+    sampled cut points (:func:`_adaptive_bucket_expr` — sketch-derived
+    quantile boundaries, so narrow domains like [0, 100) still spread
+    across all buckets), a tiny bucket-counts table whose cumulative sum
+    gives each bucket's rank offset, plus a per-bucket ``row_number``.
+    The bin is then pure rank arithmetic replicating ntile's split (first
+    ``n % bins`` bins get ``n div bins + 1`` rows, the rest
+    ``n div bins``). The only global window is over the bucket table, so
+    the plan survives a 100 TB column."""
+    src = df.filter(F.col(value_col).isNotNull())
+    n = src.count()
     q, r = divmod(n, bins)
     cut = r * (q + 1)
-    b = F.floor(F.col(value_col) / F.lit(4096)).cast("long")
-    keyed = df.select(F.col(value_col), F.col(tie_col), b.alias("__b"))
+    b = _adaptive_bucket_expr(src, value_col, n_cuts=max(bins * 8, 64))
+    keyed = src.select(F.col(value_col), F.col(tie_col), b.alias("__b"))
     counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
     wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     pre = counts.select(
@@ -284,25 +320,28 @@ def exact_quantiles(
     value_col: str,
     tie_col: str,
     qs: Sequence[float],
-    bucket_width: int = 4096,
+    n_cuts: int = 256,
 ) -> DataFrame:
     """Exact discrete quantiles of a huge column WITHOUT a global
     single-reducer sort — the multi-quantile generalization of the
     two-level split-median plan (``driver_queries.q_split_median``):
 
-    1. bucket values by ``floor(value / bucket_width)`` and aggregate
-       per-bucket counts — one partial-agg shuffle producing a tiny
-       table; its cumulative sum locates, for EVERY requested rank
+    1. bucket values on DATA-ADAPTIVE sampled cut points
+       (:func:`_adaptive_bucket_expr` with ``n_cuts`` quantile
+       boundaries — so narrow domains like [0, 100) still spread across
+       buckets instead of collapsing into one) and aggregate per-bucket
+       counts — one sketch pass + one partial-agg shuffle producing a
+       tiny table; its cumulative sum locates, for EVERY requested rank
        ``⌈q·n⌉`` at once, the one bucket containing it;
     2. rank only inside the hit buckets (``partitionBy(bucket)``, rows
-       bounded by the bucket width) and read the value at each rank.
+       bounded at roughly ``n / n_cuts``) and read the value at each rank.
 
     Nothing funnels the full table through one task; cost is one count,
-    one bucket-count shuffle, and one bounded per-bucket sort — at 100 TB
-    this is THE way to get exact percentiles (``percentile_disc``
-    semantics: value at rank ``⌈q·n⌉``). Caveat: the bound is in VALUE
-    units, so a column where one value dominates (90% identical rows)
-    concentrates its bucket regardless of width — pre-aggregate such a
+    one sketch pass, one bucket-count shuffle, and one bounded per-bucket
+    sort — at 100 TB this is THE way to get exact percentiles
+    (``percentile_disc`` semantics: value at rank ``⌈q·n⌉``). Caveat: a
+    column where one value dominates (90% identical rows) concentrates
+    its bucket regardless of cut placement — pre-aggregate such a
     column to (value, count) weights instead of ranking raw rows. ``tie_col`` only makes the
     within-bucket ordering deterministic; the value at a global rank is
     tie-invariant. Returns (p DOUBLE, value) one row per requested q."""
@@ -319,7 +358,7 @@ def exact_quantiles(
         raise ValueError("exact_quantiles of an empty (or all-NULL) column")
     rank_of = {float(q): max(1, math.ceil(float(q) * n)) for q in qs}
     targets = sorted(set(rank_of.values()))
-    b = F.floor(F.col(value_col) / F.lit(int(bucket_width))).cast("long")
+    b = _adaptive_bucket_expr(src, value_col, int(n_cuts))
     keyed = src.select(F.col(value_col), F.col(tie_col), b.alias("__b"))
     counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
     wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
@@ -345,7 +384,7 @@ def exact_quantiles(
 
 
 def ks_drift(
-    a: DataFrame, b: DataFrame, value_col: str, bucket_width: int = 4096
+    a: DataFrame, b: DataFrame, value_col: str, n_cuts: int = 256
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic between ``a`` and ``b`` on
     ``value_col`` — the standard drift check between two snapshots of a
@@ -355,13 +394,18 @@ def ks_drift(
     CDF. Computed relationally and TWO-LEVEL (no global single-task sort):
     per-value counts per side, full-outer merge on the value, then the
     running cumulative counts come from range-bucketing the distinct
-    values (``floor(v / bucket_width)``) — a tiny bucket-totals table
-    whose cumulative sum gives each bucket's offset, plus a per-bucket
-    window for the within-bucket running sums. The only global window is
-    over the bucket table (O(domain / bucket_width) rows), so the plan
-    survives an unbounded value domain. Integer value columns make the
-    CDF fractions exact-input divisions, so the statistic replays
-    bit-identically in SQL.
+    values on DATA-ADAPTIVE cut points (sampled quantiles of side ``a``
+    via :func:`_adaptive_bucket_expr`, so a domain packed into [0, 1)
+    still spreads across buckets; ``n_cuts`` sizes the cut-point set) —
+    a tiny bucket-totals table whose cumulative
+    sum gives each bucket's offset, plus a per-bucket window for the
+    within-bucket running sums. The only global window is over the bucket
+    table (O(n_cuts) rows), so the plan survives an unbounded value
+    domain. Cut points come from ``a``'s distribution — in a drift check
+    the sides are near-identical by hypothesis, and an adversarial ``b``
+    only degrades bucket BALANCE, never the statistic. Integer value
+    columns make the CDF fractions exact-input divisions, so the
+    statistic replays bit-identically in SQL.
 
     NULLs are ignored on both sides (they have no place on the real
     line). Returns one row: (n_a, n_b, d_stat rounded to 6). A side with
@@ -382,9 +426,10 @@ def ks_drift(
         F.coalesce("na", F.lit(0)).alias("na"),
         F.coalesce("nb", F.lit(0)).alias("nb"),
     )
-    bucketed = merged.withColumn(
-        "__b", F.floor(F.col("v") / F.lit(int(bucket_width))).cast("long")
+    cut_expr = _adaptive_bucket_expr(
+        fa.select(F.col(value_col).alias("v")), "v", int(n_cuts)
     )
+    bucketed = merged.withColumn("__b", cut_expr)
     bt = bucketed.groupBy("__b").agg(
         F.sum("na").alias("__ba"), F.sum("nb").alias("__bb")
     )

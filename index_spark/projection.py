@@ -153,15 +153,16 @@ class ProjectionIndex:
         to the plain head scan, never worse."""
         base_key = self.base._read_manifest()["key"]
         # persist the matched key set only for the duration of this call:
-        # the bounds agg and the probe collect below are actions over the
+        # the bounds agg and the size count below are actions over the
         # index range scan, and without caching the second would re-run
         # the scan. The cache is ALWAYS released before returning (a
         # leaked entry per lookup would accumulate executor storage for
         # the session's lifetime), so the returned plan must not
-        # reference the persisted frame — the probe is either a
-        # collected local key set (common case, broadcast semi-join) or
-        # a fresh lazy rebuild of the scan (huge-match fallback: the
-        # scan runs twice, never worse than the unindexed path).
+        # reference the persisted frame — both branches probe with a
+        # FRESH lazy rebuild of the zone-map-pruned scan; the persisted
+        # frame only decides WHETHER that rebuild is safe to broadcast.
+        # Nothing is materialized through the driver (no collect()): a
+        # wide-match lookup never funnels 100k key rows into driver RAM.
         keys = self.lookup(value).persist()
         h = self.base.latest()
         try:
@@ -172,17 +173,13 @@ class ProjectionIndex:
                 return h.df.filter(F.lit(False)).drop("__version")
             pruned = h.read_range(tuple(b["lo"]), tuple(b["hi"]))
             cap = 100_000
-            key_df = keys.select(*base_key)
-            sample = key_df.limit(cap + 1).collect()
-            if len(sample) <= cap:
-                probe = self.store.spark.createDataFrame(sample, key_df.schema)
+            probe = self.lookup(value).select(*base_key)
+            if keys.count() <= cap:
                 out = pruned.join(
                     F.broadcast(probe.distinct()), on=list(base_key), how="left_semi"
                 )
             else:
-                out = pruned.join(
-                    self.lookup(value), on=list(base_key), how="left_semi"
-                )
+                out = pruned.join(probe, on=list(base_key), how="left_semi")
             return out.drop("__version")
         finally:
             keys.unpersist()

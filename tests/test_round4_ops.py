@@ -142,7 +142,7 @@ def test_exact_quantiles_matches_sorted_model(spark):
     vals = [((i * 7919) % 1000) - 200 for i in range(500)]
     df = spark.createDataFrame([(v, i) for i, v in enumerate(vals)], "v long, k long")
     qs = [0.01, 0.25, 0.5, 0.75, 0.99]
-    got = {r.p: r.value for r in exact_quantiles(df, "v", "k", qs, bucket_width=64).collect()}
+    got = {r.p: r.value for r in exact_quantiles(df, "v", "k", qs, n_cuts=16).collect()}
     s = sorted(vals)
     want = {q: s[max(1, math.ceil(q * len(s))) - 1] for q in qs}
     assert got == want

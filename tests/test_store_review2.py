@@ -2,6 +2,8 @@
 schema evolution, evolution-safe merges, NULL-key sharded routing, empty
 execute, cross-shard retry messaging."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -134,7 +136,15 @@ op_st = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None, derandomize=True,
+# Fast default runs are pinned (derandomize=True) so CI is reproducible,
+# but the schema-evolution bug this suite caught in round 4 was only
+# exposed by seed variation across runs — HYPOTHESIS_PROFILE=nightly
+# re-enables randomized exploration with a bigger example budget.
+_NIGHTLY = os.environ.get("HYPOTHESIS_PROFILE") == "nightly"
+
+
+@settings(max_examples=80 if _NIGHTLY else 10, deadline=None,
+          derandomize=not _NIGHTLY,
           suppress_health_check=list(HealthCheck))
 @given(ops=op_st)
 def test_store_matches_dict_model_across_evolution(spark, tmp_base_factory, ops):
