@@ -229,8 +229,18 @@ def winsorized_stats(
     )
 
 
+def _pick_n_cuts(n_rows: int, floor_cuts: int = 16, ceil_cuts: int = 1024) -> int:
+    """Cut-point count sized to the data: target ~50k rows per bucket (a
+    per-bucket window sort of 50k rows is noise), floor so small inputs
+    still exercise the two-level shape, ceiling so the codegen'd search
+    tree and the sketch stay cheap. At the ceiling a 1e9-row column gets
+    ~1M-row buckets — still a bounded single-task sort; columns beyond
+    ~1e11 rows should pre-aggregate to (value, weight) first."""
+    return max(floor_cuts, min(ceil_cuts, n_rows // 50_000))
+
+
 def _adaptive_bucket_expr(
-    src: DataFrame, value_col: str, n_cuts: int, rel_err: float = 0.005
+    src: DataFrame, value_col: str, n_cuts: int, rel_err: float | None = None
 ) -> "F.Column":
     """Data-adaptive range-bucket key for two-level exact-rank plans: cut
     points are the ``n_cuts``-quantiles of ``value_col`` from ONE
@@ -238,7 +248,9 @@ def _adaptive_bucket_expr(
     returned Column maps a value to the count of cut points ≤ it — a
     monotone bucket ordinal in ``[0, n_cuts]``. Monotone-in-value +
     equal-values-share-a-bucket is all downstream rank arithmetic needs;
-    cut-point PRECISION only affects bucket balance, never results.
+    cut-point PRECISION only affects bucket balance, never results (hence
+    the loose default ``rel_err`` — a rank error of 1/(2·n_cuts) at most
+    triples a bucket, and the sketch cost is inverse in the error).
 
     This replaces the fixed ``floor(value / 4096)`` key, which degenerates
     to ONE bucket (= the global single-task sort the two-level plan
@@ -247,13 +259,29 @@ def _adaptive_bucket_expr(
     Residual caveat (shared with any value-keyed bucketing): a single
     value holding ≫ 1/n_cuts of the rows concentrates its bucket —
     pre-aggregate such columns to (value, weight) instead."""
+    if rel_err is None:
+        rel_err = min(0.02, max(0.002, 0.5 / n_cuts))
     probs = [i / n_cuts for i in range(1, n_cuts)]
     cuts = sorted(set(src.stat.approxQuantile(value_col, probs, rel_err)))
     if not cuts:
         return F.lit(0).cast("long")
-    arr = F.array(*[F.lit(float(c)) for c in cuts])
     v = F.col(value_col).cast("double")
-    return F.size(F.filter(arr, lambda c: v >= c)).cast("long")
+
+    # balanced CASE-WHEN tree = binary search compiled into codegen'd
+    # nested if/else: each row evaluates O(log n_cuts) comparisons, not
+    # O(n_cuts) (a flat filter/sum over a 256-element literal array costs
+    # ~10× the whole downstream aggregation; measured 4.0 s vs 0.3 s on a
+    # 150k-row single-partition column)
+    def tree(lo: int, hi: int, base: int):
+        # bucket ordinal for v given cuts[lo:hi] remain, `base` already won
+        if lo >= hi:
+            return F.lit(base)
+        mid = (lo + hi) // 2
+        return F.when(
+            v >= F.lit(float(cuts[mid])), tree(mid + 1, hi, base + (mid - lo) + 1)
+        ).otherwise(tree(lo, mid, base))
+
+    return tree(0, len(cuts), 0).cast("long")
 
 
 def equidepth_histogram(
@@ -285,7 +313,7 @@ def equidepth_histogram(
     n = src.count()
     q, r = divmod(n, bins)
     cut = r * (q + 1)
-    b = _adaptive_bucket_expr(src, value_col, n_cuts=max(bins * 8, 64))
+    b = _adaptive_bucket_expr(src, value_col, max(bins, _pick_n_cuts(n)))
     keyed = src.select(F.col(value_col), F.col(tie_col), b.alias("__b"))
     counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
     wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
@@ -320,7 +348,7 @@ def exact_quantiles(
     value_col: str,
     tie_col: str,
     qs: Sequence[float],
-    n_cuts: int = 256,
+    n_cuts: int | None = None,
 ) -> DataFrame:
     """Exact discrete quantiles of a huge column WITHOUT a global
     single-reducer sort — the multi-quantile generalization of the
@@ -358,7 +386,7 @@ def exact_quantiles(
         raise ValueError("exact_quantiles of an empty (or all-NULL) column")
     rank_of = {float(q): max(1, math.ceil(float(q) * n)) for q in qs}
     targets = sorted(set(rank_of.values()))
-    b = _adaptive_bucket_expr(src, value_col, int(n_cuts))
+    b = _adaptive_bucket_expr(src, value_col, int(n_cuts or _pick_n_cuts(n)))
     keyed = src.select(F.col(value_col), F.col(tie_col), b.alias("__b"))
     counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
     wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
@@ -384,7 +412,7 @@ def exact_quantiles(
 
 
 def ks_drift(
-    a: DataFrame, b: DataFrame, value_col: str, n_cuts: int = 256
+    a: DataFrame, b: DataFrame, value_col: str, n_cuts: int | None = None
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic between ``a`` and ``b`` on
     ``value_col`` — the standard drift check between two snapshots of a
@@ -415,7 +443,8 @@ def ks_drift(
     would fire maximal drift instead of erroring)."""
     fa = a.filter(F.col(value_col).isNotNull())
     fb = b.filter(F.col(value_col).isNotNull())
-    if fa.limit(1).count() == 0:
+    na_rows = fa.count()
+    if na_rows == 0:
         raise ValueError("ks_drift: side 'a' is empty (no non-null values)")
     if fb.limit(1).count() == 0:
         raise ValueError("ks_drift: side 'b' is empty (no non-null values)")
@@ -427,7 +456,8 @@ def ks_drift(
         F.coalesce("nb", F.lit(0)).alias("nb"),
     )
     cut_expr = _adaptive_bucket_expr(
-        fa.select(F.col(value_col).alias("v")), "v", int(n_cuts)
+        fa.select(F.col(value_col).alias("v")), "v",
+        int(n_cuts or _pick_n_cuts(na_rows)),
     )
     bucketed = merged.withColumn("__b", cut_expr)
     bt = bucketed.groupBy("__b").agg(

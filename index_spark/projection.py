@@ -152,6 +152,14 @@ class ProjectionIndex:
         base read opens a fraction of its files; worst case it degrades
         to the plain head scan, never worse."""
         base_key = self.base._read_manifest()["key"]
+        # pin ONE index version for the whole call: bounds, the broadcast
+        # decision, and the returned probe plan must all read the same
+        # manifest snapshot — resolving store.latest() twice would let a
+        # concurrent refresh() commit land in between, and the probe
+        # would then carry keys whose base files lie outside the stale
+        # zone-map bounds (rows silently dropped from the result).
+        h_idx = self.store.latest()
+        scan = h_idx.read_range((value,), (value,)).select(*base_key)
         # persist the matched key set only for the duration of this call:
         # the bounds agg and the size count below are actions over the
         # index range scan, and without caching the second would re-run
@@ -159,11 +167,13 @@ class ProjectionIndex:
         # leaked entry per lookup would accumulate executor storage for
         # the session's lifetime), so the returned plan must not
         # reference the persisted frame — both branches probe with a
-        # FRESH lazy rebuild of the zone-map-pruned scan; the persisted
-        # frame only decides WHETHER that rebuild is safe to broadcast.
-        # Nothing is materialized through the driver (no collect()): a
-        # wide-match lookup never funnels 100k key rows into driver RAM.
-        keys = self.lookup(value).persist()
+        # FRESH lazy rebuild of the pinned scan (re-run once at consumer
+        # action time; zone-map-pruned to the files containing `value`,
+        # so the re-scan is proportional to the match, not the index).
+        # Nothing crosses the driver as Python rows (no collect());
+        # the broadcast branch still stages ≤ cap key rows in the
+        # driver JVM, which is what the cap bounds.
+        keys = scan.persist()
         h = self.base.latest()
         try:
             b = keys.agg(
@@ -173,7 +183,7 @@ class ProjectionIndex:
                 return h.df.filter(F.lit(False)).drop("__version")
             pruned = h.read_range(tuple(b["lo"]), tuple(b["hi"]))
             cap = 100_000
-            probe = self.lookup(value).select(*base_key)
+            probe = h_idx.read_range((value,), (value,)).select(*base_key)
             if keys.count() <= cap:
                 out = pruned.join(
                     F.broadcast(probe.distinct()), on=list(base_key), how="left_semi"

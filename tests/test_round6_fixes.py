@@ -18,7 +18,6 @@ Covers the round-5 verdict's prescribed fixes:
     driver (structural assert: the broadcast probe is a lazy rebuild).
 """
 
-import pytest
 from pyspark.sql import functions as F
 
 from index_spark.operators.stats import (
@@ -146,3 +145,33 @@ def test_lookup_rows_does_not_collect_keys(spark, tmp_base):
     assert sorted(r.k for r in rows) == [i for i in range(200) if i % 5 == 3]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" not in plan
+
+
+def test_lookup_rows_pins_one_index_version(spark, tmp_base, monkeypatch):
+    """Bounds, the broadcast decision, and the probe must all come from ONE
+    store.latest() resolution — a second resolution would let a concurrent
+    refresh() commit produce a torn mixed-version result (probe keys whose
+    base files lie outside the stale zone-map bounds)."""
+    from index_spark.projection import ProjectionIndex
+    from index_spark.snapshots import SnapshotStore
+
+    base = SnapshotStore(spark, tmp_base + "/base")
+    base.create(
+        ["k"],
+        df=spark.createDataFrame(
+            [(i, i % 3, f"p{i}") for i in range(60)], "k long, a long, payload string"
+        ),
+        rows_per_partition=20,
+    )
+    proj = ProjectionIndex(spark, base, tmp_base + "/proj", "a")
+    proj.build(rows_per_partition=20)
+    calls = []
+    orig = proj.store.latest
+
+    def counting_latest():
+        calls.append(1)
+        return orig()
+
+    monkeypatch.setattr(proj.store, "latest", counting_latest)
+    assert proj.lookup_rows(1).count() == 20
+    assert len(calls) == 1
