@@ -11,13 +11,16 @@ come from an equi-join on PREFIX tokens only — rare tokens, tiny posting
 lists — never an all-pairs product, and the exact verify runs on the
 candidate pairs alone.
 
-Scale shape: one groupBy for token document-frequencies, one window-free
-sort inside ``array_sort`` per doc (token rank rides a broadcast-joined
-rank table), explode of ~(1-t)·n prefix tokens per doc, an equi-join on
-the (rare) prefix token, then array_intersect verification on the pruned
-pairs. The shuffled payload is (token_rank, id) pairs; full token arrays
-re-attach by id for candidates only — the same candidates-then-verify
-discipline as the LSH pipeline. Every step is deterministic and replays
+Scale shape: one groupBy for token document-frequencies, a DISTRIBUTED
+dense rank over the vocabulary (range-partition on (df, tok), rank within
+each range, cumulative partition offsets — no vocabulary-sized
+single-task window), one window-free sort inside ``array_sort`` per doc,
+explode of ~(1-t)·n prefix tokens per doc, an equi-join on the (rare)
+prefix token RANK, then array_intersect verification on the pruned
+pairs. The shuffled payload is (token_rank, id) integer pairs — token
+strings never leave the vocabulary table; full rank arrays re-attach by
+id for candidates only — the same candidates-then-verify discipline as
+the LSH pipeline. Every step is deterministic and replays
 in ANSI SQL (the oracle twin re-derives prefixes with the same
 (df, token) rank), so the driver hash-checks the whole join.
 """
@@ -69,16 +72,33 @@ def jaccard_join_exact(
         return F.ceil(t_dec * n).cast("long")
 
     edges = _token_sets(docs, text_col, id_col)
-    # global rarity ORDER, not dense integers: the prefix lemma needs only
-    # a total order, so the (df, tok) struct itself is the rank value —
-    # struct comparison is lexicographic, identical to the
-    # row_number-over-(df, tok) order, WITHOUT funneling the whole
-    # vocabulary through one WindowExec task. Broadcast-sized
-    # (vocabulary, not corpus).
+    # global rarity order as DENSE INTEGER ranks, derived WITHOUT a
+    # vocabulary-sized single-task window: range-partition the vocabulary
+    # on (df, tok), rank within each range partition, and add cumulative
+    # partition offsets (a window over the tiny partition-size table).
+    # The dense rank is a pure function of the global (df, tok) sort, so
+    # it is invariant to where the sampled range boundaries fall — safe
+    # under recomputation. Integer ranks (not the earlier (df, tok)
+    # struct values) keep the per-doc arrays, the candidate equi-join key
+    # and the verify intersections free of token STRINGS — at corpus
+    # scale the strings dominate the shuffled bytes and make
+    # array_intersect compare structs instead of longs.
     dfs = edges.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    ranked = edges.join(F.broadcast(dfs), "tok").select(
-        "id", F.struct(F.col("df"), F.col("tok")).alias("rk")
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    with_pid = dfs.repartitionByRange(n_part, "df", "tok").withColumn(
+        "__p", F.spark_partition_id()
     )
+    w_off = Window.orderBy("__p").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        with_pid.groupBy("__p")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select("__p", F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"))
+    )
+    w_in = Window.partitionBy("__p").orderBy("df", "tok")
+    rank_tbl = with_pid.join(F.broadcast(offsets), "__p").select(
+        "tok", (F.col("__off") + F.row_number().over(w_in)).alias("rk")
+    )
+    ranked = edges.join(rank_tbl, "tok").select("id", "rk")
     # per-doc sorted rank vector + size + prefix length
     per_doc = ranked.groupBy("id").agg(
         F.array_sort(F.collect_list("rk")).alias("rks"),
@@ -102,6 +122,13 @@ def jaccard_join_exact(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # verification is CPU-bound (one array_intersect per candidate pair),
+    # but AQE's coalescing is BYTES-based: a few MB of (id_a, id_b) pairs
+    # gets squeezed into one partition and the whole verify runs on one
+    # core (measured 75 s single-task vs ~3 s spread on a 1.2M-candidate
+    # corpus). Pin the parallelism with an explicit-width repartition,
+    # which AQE does not coalesce.
+    cand = cand.repartition(n_part, "id_a", "id_b")
     sets = per_doc.select("id", "rks")
     joined = (
         cand.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("rks", "ra"), "id_a")
