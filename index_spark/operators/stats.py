@@ -240,7 +240,11 @@ def _pick_n_cuts(n_rows: int, floor_cuts: int = 16, ceil_cuts: int = 1024) -> in
 
 
 def _adaptive_bucket_expr(
-    src: DataFrame, value_col: str, n_cuts: int, rel_err: float | None = None
+    src: DataFrame,
+    value_col: str,
+    n_cuts: int,
+    rel_err: float | None = None,
+    n_rows: int | None = None,
 ) -> "F.Column":
     """Data-adaptive range-bucket key for two-level exact-rank plans: cut
     points are the ``n_cuts``-quantiles of ``value_col`` from ONE
@@ -261,6 +265,14 @@ def _adaptive_bucket_expr(
     pre-aggregate such columns to (value, weight) instead."""
     if rel_err is None:
         rel_err = min(0.02, max(0.002, 0.5 / n_cuts))
+    # the sketch only needs enough rows for BALANCE, so on large inputs
+    # (known via the caller's count) sketch a fixed-size sample: the scan
+    # I/O is the same columnar read either way, but the per-row GK insert
+    # work drops to a constant ~2M rows. Fixed seed: cut placement only
+    # moves bucket boundaries, but a reproducible plan is easier to debug.
+    sample_target = 2_000_000
+    if n_rows is not None and n_rows > 2 * sample_target:
+        src = src.sample(False, sample_target / n_rows, seed=42)
     probs = [i / n_cuts for i in range(1, n_cuts)]
     cuts = sorted(set(src.stat.approxQuantile(value_col, probs, rel_err)))
     if not cuts:
@@ -313,7 +325,7 @@ def equidepth_histogram(
     n = src.count()
     q, r = divmod(n, bins)
     cut = r * (q + 1)
-    b = _adaptive_bucket_expr(src, value_col, max(bins, _pick_n_cuts(n)))
+    b = _adaptive_bucket_expr(src, value_col, max(bins, _pick_n_cuts(n)), n_rows=n)
     keyed = src.select(F.col(value_col), F.col(tie_col), b.alias("__b"))
     counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
     wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
@@ -386,7 +398,7 @@ def exact_quantiles(
         raise ValueError("exact_quantiles of an empty (or all-NULL) column")
     rank_of = {float(q): max(1, math.ceil(float(q) * n)) for q in qs}
     targets = sorted(set(rank_of.values()))
-    b = _adaptive_bucket_expr(src, value_col, int(n_cuts or _pick_n_cuts(n)))
+    b = _adaptive_bucket_expr(src, value_col, int(n_cuts or _pick_n_cuts(n)), n_rows=n)
     keyed = src.select(F.col(value_col), F.col(tie_col), b.alias("__b"))
     counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
     wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
@@ -457,7 +469,7 @@ def ks_drift(
     )
     cut_expr = _adaptive_bucket_expr(
         fa.select(F.col(value_col).alias("v")), "v",
-        int(n_cuts or _pick_n_cuts(na_rows)),
+        int(n_cuts or _pick_n_cuts(na_rows)), n_rows=na_rows,
     )
     bucketed = merged.withColumn("__b", cut_expr)
     bt = bucketed.groupBy("__b").agg(
