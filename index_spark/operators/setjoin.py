@@ -12,17 +12,18 @@ lists — never an all-pairs product, and the exact verify runs on the
 candidate pairs alone.
 
 Scale shape: one groupBy for token document-frequencies, a DISTRIBUTED
-dense rank over the vocabulary (range-partition on (df, tok), rank within
-each range, cumulative partition offsets — no vocabulary-sized
-single-task window), one window-free sort inside ``array_sort`` per doc,
-explode of ~(1-t)·n prefix tokens per doc, an equi-join on the (rare)
-prefix token RANK, then array_intersect verification on the pruned
-pairs. The shuffled payload is (token_rank, id) integer pairs — token
-strings never leave the vocabulary table; full rank arrays re-attach by
-id for candidates only — the same candidates-then-verify discipline as
-the LSH pipeline. Every step is deterministic and replays
-in ANSI SQL (the oracle twin re-derives prefixes with the same
-(df, token) rank), so the driver hash-checks the whole join.
+dense rank over the vocabulary (deterministic order-preserving buckets on
+(df, 2-char token prefix): within-bucket row_number plus cumulative
+bucket offsets — no vocabulary-sized single-task window, no sampled
+boundaries), one window-free sort inside ``array_sort`` per doc, explode
+of ~(1-t)·n prefix tokens per doc, an equi-join on the (rare) prefix
+token RANK, then array_intersect verification on the pruned pairs. The
+shuffled payload is (token_rank, id) integer pairs — token strings never
+leave the vocabulary table; full rank arrays re-attach by id for
+candidates only — the same candidates-then-verify discipline as the LSH
+pipeline. Every step is deterministic; the oracle twin verifies the
+OUTPUT brute-force (all-pairs intersect over the same sample), so any
+prefix-filter recall miss hash-mismatches.
 """
 
 from __future__ import annotations
@@ -73,32 +74,49 @@ def jaccard_join_exact(
 
     edges = _token_sets(docs, text_col, id_col)
     # global rarity order as DENSE INTEGER ranks, derived WITHOUT a
-    # vocabulary-sized single-task window: range-partition the vocabulary
-    # on (df, tok), rank within each range partition, and add cumulative
-    # partition offsets (a window over the tiny partition-size table).
-    # The dense rank is a pure function of the global (df, tok) sort, so
-    # it is invariant to where the sampled range boundaries fall — safe
-    # under recomputation. Integer ranks (not the earlier (df, tok)
-    # struct values) keep the per-doc arrays, the candidate equi-join key
-    # and the verify intersections free of token STRINGS — at corpus
-    # scale the strings dominate the shuffled bytes and make
-    # array_intersect compare structs instead of longs.
+    # vocabulary-sized single-task window: bucket the vocabulary by the
+    # DETERMINISTIC order-preserving key (df, first 2 chars of tok) —
+    # lexicographically consistent with the full (df, tok) order, so
+    # global rank = cumulative bucket offset + within-bucket row_number.
+    # Deterministic buckets (no sampled range boundaries, no
+    # spark_partition_id) mean the offset table and the within-bucket
+    # ranks CANNOT disagree across independent re-evaluations of the
+    # plan — a sampled RangePartitioner could pick different boundaries
+    # per evaluation if the exchange is not reused. Bucket width is
+    # bounded by tokens sharing an exact df AND a 2-char prefix (for a
+    # zipfian vocabulary the hapax mass spreads across prefixes); the
+    # offsets window runs over the tiny bucket table only. Integer ranks
+    # (not the earlier (df, tok) struct values) keep the per-doc arrays,
+    # the candidate equi-join key and the verify intersections free of
+    # token STRINGS — at corpus scale the strings dominate the shuffled
+    # bytes and make array_intersect compare structs instead of longs.
     dfs = edges.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    with_pid = dfs.repartitionByRange(n_part, "df", "tok").withColumn(
-        "__p", F.spark_partition_id()
+    try:
+        n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # e.g. "auto" under externally-managed AQE
+        n_part = docs.sparkSession.sparkContext.defaultParallelism
+    bkt = dfs.select(
+        "tok", "df", F.substring("tok", 1, 2).alias("__pfx")
     )
-    w_off = Window.orderBy("__p").rowsBetween(Window.unboundedPreceding, -1)
+    w_off = Window.orderBy("df", "__pfx").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        with_pid.groupBy("__p")
+        bkt.groupBy("df", "__pfx")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .select("__p", F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"))
+        .select(
+            "df", "__pfx",
+            F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+        )
     )
-    w_in = Window.partitionBy("__p").orderBy("df", "tok")
-    rank_tbl = with_pid.join(F.broadcast(offsets), "__p").select(
+    w_in = Window.partitionBy("df", "__pfx").orderBy("tok")
+    rank_tbl = bkt.join(F.broadcast(offsets), ["df", "__pfx"]).select(
         "tok", (F.col("__off") + F.row_number().over(w_in)).alias("rk")
     )
-    ranked = edges.join(rank_tbl, "tok").select("id", "rk")
+    # the rank table is vocabulary-sized; broadcast keeps the corpus-sized
+    # edges relation from shuffling its token strings by tok (the whole
+    # point of integer ranks). A vocabulary too large to broadcast should
+    # drop the hint and let AQE pick the join — corpus >> vocabulary makes
+    # broadcast the right default.
+    ranked = edges.join(F.broadcast(rank_tbl), "tok").select("id", "rk")
     # per-doc sorted rank vector + size + prefix length
     per_doc = ranked.groupBy("id").agg(
         F.array_sort(F.collect_list("rk")).alias("rks"),
@@ -221,10 +239,14 @@ def edit_distance_join(
     )
     # global rarity ORDER per gram (vocabulary-sized, broadcast) and an
     # occurrence index per (string, gram) — duplicate occurrences are
-    # distinct bag elements under the prefix-filter lemma. As in
-    # :func:`jaccard_join_exact`, the (gdf, g) struct IS the rank: the
-    # lemma needs a total order, not dense integers, so no global
-    # single-task row_number window over the gram vocabulary.
+    # distinct bag elements under the prefix-filter lemma. The (gdf, g)
+    # struct IS the rank here: the lemma needs a total order, not dense
+    # integers, so no global single-task row_number window over the gram
+    # vocabulary. (jaccard_join_exact used this struct trick too until
+    # its candidate volume made struct payloads the bottleneck — it now
+    # carries dense integer ranks; here the q-grams are short fixed-width
+    # strings and candidate counts are edit-distance-bounded, so the
+    # struct payload stays cheap and the simpler form wins.)
     rarity = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
     occ_w = Window.partitionBy("id", "g").orderBy("pos")
     occd = (
