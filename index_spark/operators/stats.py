@@ -382,7 +382,8 @@ def exact_quantiles(
     (``percentile_disc`` semantics: value at rank ``⌈q·n⌉``). Caveat: a
     column where one value dominates (90% identical rows) concentrates
     its bucket regardless of cut placement — pre-aggregate such a
-    column to (value, count) weights instead of ranking raw rows. ``tie_col`` only makes the
+    column to (value, count) weights and use
+    :func:`exact_quantiles_weighted` instead. ``tie_col`` only makes the
     within-bucket ordering deterministic; the value at a global rank is
     tie-invariant. Returns (p DOUBLE, value) one row per requested q."""
     import math
@@ -420,6 +421,89 @@ def exact_quantiles(
     want = spark.createDataFrame(
         [(p, r) for p, r in rank_of.items()], "p double, __rank long"
     )
+    return want.join(F.broadcast(at_rank), "__rank").select("p", "value")
+
+
+def exact_quantiles_weighted(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: Sequence[float],
+    n_cuts: int | None = None,
+) -> DataFrame:
+    """Exact discrete quantiles over a PRE-AGGREGATED ``(value, weight)``
+    table: the value at rank ``⌈q·W⌉`` of the expanded multiset, where
+    ``W = Σ weight`` — ``percentile_disc`` over the original rows without
+    ever materializing them. This is the documented scale path for
+    heavy-duplicate columns (:func:`exact_quantiles`'s caveat): a value
+    holding 90% of a 100 TB column is ONE row here, so no bucket can
+    concentrate.
+
+    Same two-level shape as :func:`exact_quantiles`, with weights in
+    place of row counts: duplicate values first combine (one partial-agg
+    shuffle), buckets come from the adaptive cut points over the DISTINCT
+    value table, the tiny bucket table's cumulative WEIGHT locates each
+    target rank's bucket, and a bounded per-bucket running weight reads
+    the answering value (first value whose cumulative weight reaches the
+    rank). NULL values are ignored; NULL or non-positive weights raise
+    (a silent drop would skew every rank below the bad row).
+
+    Returns ``(p DOUBLE, value)``, one row per requested q."""
+    import math
+
+    if not qs:
+        raise ValueError("exact_quantiles_weighted needs at least one q")
+    src = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col), F.col(weight_col).cast("long").alias("__w")
+    )
+    tot = src.agg(
+        F.sum("__w").alias("W"),
+        F.min("__w").alias("wmin"),
+        F.count(F.lit(1)).alias("rows"),
+    ).first()
+    if tot["rows"] == 0 or tot["W"] is None:
+        raise ValueError("exact_quantiles_weighted of an empty (or all-NULL) table")
+    if tot["wmin"] is None or tot["wmin"] <= 0:
+        raise ValueError(
+            f"exact_quantiles_weighted: weights must be positive non-NULL "
+            f"(min weight seen: {tot['wmin']!r})"
+        )
+    W, n_rows = int(tot["W"]), int(tot["rows"])
+    rank_of = {float(q): max(1, math.ceil(float(q) * W)) for q in qs}
+    targets = sorted(set(rank_of.values()))
+    merged = src.groupBy(value_col).agg(F.sum("__w").alias("__w"))
+    b = _adaptive_bucket_expr(
+        merged, value_col, int(n_cuts or _pick_n_cuts(n_rows)), n_rows=n_rows
+    )
+    keyed = merged.select(F.col(value_col), "__w", b.alias("__b"))
+    bw = keyed.groupBy("__b").agg(F.sum("__w").alias("__bw"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    cum = bw.withColumn("__before", F.coalesce(F.sum("__bw").over(wb), F.lit(0)))
+    hit_any = None
+    for t in targets:
+        cond = (F.col("__before") < t) & (F.col("__before") + F.col("__bw") >= t)
+        hit_any = cond if hit_any is None else (hit_any | cond)
+    hits = cum.filter(hit_any).select("__b", "__before")
+    win = Window.partitionBy("__b").orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cw = (
+        keyed.join(F.broadcast(hits), "__b")
+        .withColumn("__cw", F.col("__before") + F.sum("__w").over(win))
+    )
+    spark = df.sparkSession
+    want = spark.createDataFrame(
+        [(p, r) for p, r in rank_of.items()], "p double, __rank long"
+    )
+    # first value whose cumulative weight reaches the rank: the broadcast
+    # range join runs only over the hit buckets' rows (bounded), and each
+    # rank matches exactly one row (cumulative weight is strictly
+    # increasing under positive weights)
+    at_rank = cw.join(
+        F.broadcast(want.select("__rank").distinct()),
+        (F.col("__cw") >= F.col("__rank"))
+        & (F.col("__cw") - F.col("__w") < F.col("__rank")),
+    ).select("__rank", F.col(value_col).alias("value"))
     return want.join(F.broadcast(at_rank), "__rank").select("p", "value")
 
 

@@ -4272,6 +4272,25 @@ def q_exact_quantiles(spark, sf_dir):
     )
 
 
+def q_weighted_quantiles(spark, sf_dir):
+    """Exact quantiles over a PRE-AGGREGATED (value, weight) table — the
+    scale path for heavy-duplicate columns (l_quantity has a ~50-value
+    domain over the whole lineitem table, so the raw-row two-level plan
+    would concentrate whole values into single buckets; here each value
+    is ONE weighted row). percentile_disc semantics over the expanded
+    multiset; the oracle replays the cumulative-weight rank read."""
+    from index_spark.operators.stats import exact_quantiles_weighted
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_quantity").cast("long").alias("qty"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return exact_quantiles_weighted(li, "qty", "w", [0.25, 0.5, 0.9, 0.99]).select(
+        "p", F.col("value").cast("long").alias("value")
+    )
+
+
 def q_ohlc_hourly(spark, sf_dir):
     """Per-event-type hourly OHLC resample: open/close via deterministic
     (ts, event_id) first/last ranks, high/low plain extrema — one
@@ -6004,6 +6023,16 @@ def build_oracles() -> dict[str, str]:
         "  FROM (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p), n) "
         "SELECT t.p, r.cents AS value FROM t JOIN r ON r.rn = t.rank"
     )
+    out["weighted_quantiles"] = (
+        "WITH m AS (SELECT CAST(l_quantity AS BIGINT) AS v, "
+        "  CAST(count(*) AS BIGINT) AS w FROM lineitem GROUP BY 1), "
+        "c AS (SELECT v, w, sum(w) OVER (ORDER BY v) AS cw FROM m), "
+        "t AS (SELECT sum(w) AS W FROM m), "
+        "r AS (SELECT CAST(p AS DOUBLE) AS p, "
+        "  greatest(1, CAST(ceil(CAST(p AS DOUBLE) * W) AS BIGINT)) AS rk "
+        "  FROM (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS p), t) "
+        "SELECT r.p, min(c.v) AS value FROM r JOIN c ON c.cw >= r.rk GROUP BY 1"
+    )
     out["ohlc_hourly"] = (
         "WITH e AS (SELECT event_type, epoch_us(ts)//3600000000 AS h, value, "
         "  epoch_us(ts) AS tu, event_id, "
@@ -6138,9 +6167,13 @@ _GATE_PRIORITY_R6 = [
     "q9_red_parts_revenue", "q10_returned_topk", "q12_priority_class",
     "q14_promo_share", "q15_top_supplier", "q18_large_orders",
     "q19_bracket_filter", "q22_idle_rich", "group_topk",
-    # r02-latest (7 of 47): highest-churn engine paths first.
+    # r02-latest (6 of 47): highest-churn engine paths first
+    # (pipeline_end_to_end joins the r7 rotation cohort instead).
     "error_codes", "compact_files", "dedup_clusters", "binary_key_range",
-    "multi_get_large", "embedding_near_dups", "pipeline_end_to_end",
+    "multi_get_large", "embedding_near_dups",
+    # brand-new in round 6 (no driver row exists yet): must sit inside the
+    # gate window so it gets its first green row this round.
+    "weighted_quantiles",
 ]
 
 
@@ -6228,6 +6261,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "winsorized_stats": q_winsorized_stats,
         "equidepth_hist": q_equidepth_hist,
+        "weighted_quantiles": q_weighted_quantiles,
         "kmv_groups": q_kmv_groups,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,

@@ -18,12 +18,14 @@ Covers the round-5 verdict's prescribed fixes:
     driver (structural assert: the broadcast probe is a lazy rebuild).
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from index_spark.operators.stats import (
     _adaptive_bucket_expr,
     equidepth_histogram,
     exact_quantiles,
+    exact_quantiles_weighted,
     ks_drift,
 )
 
@@ -94,6 +96,45 @@ def test_ks_drift_subunit_domain(spark):
     b = spark.range(1000).select((0.5 + F.col("id") / 2000.0).alias("v"))
     row = ks_drift(a, b, "v").collect()[0]
     assert (row.n_a, row.n_b, row.d_stat) == (1000, 1000, 0.5)
+
+
+# ------------------------------------------------------ weighted quantiles
+def test_weighted_quantiles_match_expanded_multiset(spark):
+    import math
+    import random
+
+    random.seed(7)
+    rows = [(v, random.randint(1, 50)) for v in random.sample(range(-100, 100), 60)]
+    rows += [(rows[0][0], 13), (rows[5][0], 7)]  # duplicate values combine
+    df = spark.createDataFrame(rows, "v long, w long")
+    expanded = sorted(v for v, w in rows for _ in range(w))
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    got = {r.p: r.value for r in exact_quantiles_weighted(df, "v", "w", qs).collect()}
+    want = {q: expanded[max(1, math.ceil(q * len(expanded))) - 1] for q in qs}
+    assert got == want
+
+
+def test_weighted_quantiles_dominant_value(spark):
+    # 95% of the mass on one value — the case exact_quantiles' raw-row
+    # bucketing cannot spread; here it is a single weighted row
+    df = spark.createDataFrame(
+        [(5, 950_000), (1, 20_000), (9, 30_000)], "v long, w long"
+    )
+    got = {
+        r.p: r.value
+        for r in exact_quantiles_weighted(df, "v", "w", [0.01, 0.5, 0.97, 0.99]).collect()
+    }
+    assert got == {0.01: 1, 0.5: 5, 0.97: 5, 0.99: 9}
+
+
+def test_weighted_quantiles_error_paths(spark):
+    df = spark.createDataFrame([(1, 3), (2, 4)], "v long, w long")
+    with pytest.raises(ValueError, match="positive"):
+        exact_quantiles_weighted(df.withColumn("w", F.lit(0)), "v", "w", [0.5]).collect()
+    with pytest.raises(ValueError, match="empty"):
+        exact_quantiles_weighted(df.filter("v > 99"), "v", "w", [0.5]).collect()
+    with pytest.raises(ValueError, match="at least one"):
+        exact_quantiles_weighted(df, "v", "w", [])
 
 
 # --------------------------------------------------- simhash materialization
