@@ -22,7 +22,7 @@ aggregation; no window, no sort, no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from index_spark.functions import text as TX
 
@@ -86,10 +86,15 @@ def trim_duplicate_spans(
     whitespace tokens (the dedup pipeline's canonical form).
 
     Relational shape end-to-end — no per-doc quadratic work: positional
-    k-grams join the (hash → duplicated) table on the hash, duplicated
-    starts explode into covered token positions, and an anti-join keeps
-    the uncovered tokens. Shuffles carry (id, position) pairs and 28-bit
-    hashes only; the text rides one final per-doc rebuild.
+    k-grams join the (hash → duplicated) table on the hash giving the
+    duplicated START positions; a token at position j is covered iff some
+    duplicated gram starts within the last k positions, which one
+    per-doc ``rangeBetween(-(k-1), 0)`` running-max window answers
+    directly — no k-way explode of covered positions, no corpus-sized
+    ``distinct``, no anti-join (all three were measured costs at sf0.1:
+    the explode alone quintupled the shuffled rows). Shuffles carry
+    (id, position) pairs and 28-bit hashes only; the text rides one
+    final per-doc rebuild.
 
     Returns ``(id_col, clean_text, n_kept, n_removed)`` for every doc
     with ≥ 1 token."""
@@ -109,12 +114,17 @@ def trim_duplicate_spans(
         .filter(F.col("tot") >= 2)
         .select("h")
     )
-    covered = (
-        grams.join(dup, on="h")
-        .select(id_col, F.explode(F.sequence(F.col("i"), F.col("i") + (k - 1))).alias("j"))
-        .distinct()
+    # duplicated START positions per doc (at most one row per k-gram)
+    starts = grams.join(dup, on="h").select(id_col, F.col("i").alias("j"), F.lit(1).alias("__s"))
+    # token j is covered iff a duplicated gram starts in [j-k+1, j]:
+    # a running max over the last k positions, one bounded per-doc window
+    w_cov = (
+        Window.partitionBy(id_col).orderBy("j").rangeBetween(-(k - 1), 0)
     )
-    kept = toks.join(covered, on=[id_col, "j"], how="left_anti")
+    flagged = toks.join(starts, on=[id_col, "j"], how="left").select(
+        id_col, "j", "tok", F.max("__s").over(w_cov).alias("__cov")
+    )
+    kept = flagged.filter(F.col("__cov").isNull())
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
             " ",
