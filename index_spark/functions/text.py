@@ -252,3 +252,25 @@ def redact(col: Column, pattern: str = NUMBER_PAT, token: str = "<NUM>") -> Colu
 def match_count(col: Column, pattern: str = NUMBER_PAT) -> Column:
     """Number of non-overlapping matches of ``pattern``."""
     return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+def spread_for_cpu(df):
+    """Widen a narrow scan before per-row CPU-heavy map work (tokenize /
+    explode / md5): a single-row-group parquet file scans as ONE task no
+    matter how many cores exist — parquet cannot split inside a row
+    group — so the expensive map side of a text pipeline serializes on
+    one core while 31 idle. When the input has fewer partitions than
+    ``defaultParallelism``, repartition up to it: the raw text bytes are
+    tiny next to the downstream k-gram expansion, and AQE cannot help
+    (its coalescing/skew handling acts on SHUFFLE boundaries, never the
+    scan's map side). At real scale inputs carry many row groups and
+    this is a no-op.
+
+    Aggregate results are partitioning-invariant, so callers' outputs
+    are unchanged (Spark sorts round-robin repartition inputs for
+    deterministic retries)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

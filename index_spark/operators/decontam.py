@@ -36,7 +36,7 @@ def _shingle_hashes(df: DataFrame, k: int, id_col: str, text_col: str) -> DataFr
     shingle set as ``word_shingles`` in ONE tokenization pass instead of
     tokenizing once for a length filter and again for the shingles
     (``\\S+`` extraction makes lower vs normalize_text token-identical)."""
-    sh = df.select(
+    sh = TX.spread_for_cpu(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(TX.word_ngrams_all(F.col(text_col), k))).alias("s"),
     )

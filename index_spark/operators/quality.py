@@ -37,7 +37,7 @@ def repetition_stats(
     Documents shorter than ``k`` tokens contribute no k-grams and are
     absent (callers treat absence as "passes": nothing to repeat).
     """
-    grams = df.select(
+    grams = TX.spread_for_cpu(df).select(
         F.col(id_col),
         F.explode(TX.word_ngrams_all(F.col(text_col), k)).alias("g"),
     )

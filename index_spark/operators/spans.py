@@ -32,7 +32,7 @@ def span_hashes(df: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str
     ``h`` the 28-bit md5-prefix hash of the span text (the same hashing
     family the MinHash pipeline uses, so the SQL oracle replays it
     exactly). Documents shorter than ``k`` tokens contribute nothing."""
-    return df.select(
+    return TX.spread_for_cpu(df).select(
         F.col(id_col),
         F.explode(TX.word_ngrams_all(F.col(text_col), k)).alias("__g"),
     ).select(id_col, TX.md5_prefix28(F.col("__g")).alias("h"))
@@ -98,11 +98,12 @@ def trim_duplicate_spans(
 
     Returns ``(id_col, clean_text, n_kept, n_removed)`` for every doc
     with ≥ 1 token."""
-    toks = df.select(
+    src = TX.spread_for_cpu(df)
+    toks = src.select(
         F.col(id_col),
         F.posexplode(TX.tokens(F.lower(F.col(text_col)))).alias("j", "tok"),
     )
-    grams = df.select(
+    grams = src.select(
         F.col(id_col),
         F.posexplode(TX.word_ngrams_all(F.lower(F.col(text_col)), k)).alias(
             "i", "__g"

@@ -1471,7 +1471,9 @@ def q_top_bigrams(spark, sf_dir):
     count-table pass an n-gram LM or BPE-merge trainer starts from. Pure
     JVM expressions: tokenize → transform/slice n-grams → explode → count."""
     docs = load_table(spark, sf_dir, "documents")
-    bg = docs.select(F.explode(TX.word_ngrams_all(F.col("text"), 2)).alias("bigram"))
+    bg = TX.spread_for_cpu(docs).select(
+        F.explode(TX.word_ngrams_all(F.col("text"), 2)).alias("bigram")
+    )
     return (
         bg.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
