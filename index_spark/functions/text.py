@@ -268,7 +268,16 @@ def spread_for_cpu(df):
 
     Aggregate results are partitioning-invariant, so callers' outputs
     are unchanged (Spark sorts round-robin repartition inputs for
-    deterministic retries)."""
+    deterministic retries).
+
+    WHEN NOT TO USE (measured): the round-robin exchange local-sorts the
+    full rows (text included) and re-runs on EVERY job that consumes the
+    frame — so it only pays when the downstream per-row work (k-gram
+    explode, md5 per shingle, Arrow UDF) clearly exceeds a text sort and
+    the spread frame feeds ONE consumption. A cheap map (one fingerprint
+    per doc) or a multi-action DAG (collect + reuse) gets SLOWER:
+    exact_dedup and the full-pipeline corpus regressed 1.5-2× with this
+    applied and deliberately do not use it."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

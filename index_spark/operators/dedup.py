@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from index_spark.functions import text as TX
 from index_spark.functions.text import fingerprint, normalize_text, simhash64, word_shingles
 from index_spark.functions.vectors import cosine
 
@@ -231,7 +232,7 @@ def minhash_candidates(
     # BEFORE the explode. Inlining it into the generator expression makes
     # Spark re-evaluate the whole shingle+md5 pipeline per emitted band —
     # O(bands × seeds) re-evaluation per row (measured 60×+ slowdown).
-    with_sig = df.select(
+    with_sig = TX.spread_for_cpu(df).select(
         F.col(id_col).alias("id"),
         shingle_minhash_udf(num_hashes, shingle_k)(F.col(text_col))["sig"].alias("sig"),
     )
@@ -295,7 +296,7 @@ def jaccard_pairs(
         .distinct()
     )
     sh = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        TX.spread_for_cpu(df).select(F.col(id_col).alias("id"), F.col(text_col))
         .join(wanted, "id", "left_semi")
         .select(
             "id",

@@ -47,7 +47,7 @@ def segment_hashes(df: DataFrame, width: int = 8, id_col: str = "doc_id", text_c
     """One row per (doc, position) with the segment's 28-bit md5-prefix
     hash (the repo's standard hash family — replays in SQL). The segment
     TEXT is deliberately absent: this is the shuffled projection."""
-    return df.select(
+    return TX.spread_for_cpu(df).select(
         F.col(id_col),
         F.posexplode(token_blocks(F.col(text_col), width)).alias("pos", "__seg"),
     ).select(id_col, "pos", TX.md5_prefix28(F.col("__seg")).alias("h"))
