@@ -296,8 +296,10 @@ def jaccard_pairs(
         .distinct()
     )
     sh = (
-        TX.spread_for_cpu(df).select(F.col(id_col).alias("id"), F.col(text_col))
-        .join(wanted, "id", "left_semi")
+        TX.spread_for_cpu(
+            df.select(F.col(id_col).alias("id"), F.col(text_col))
+            .join(wanted, "id", "left_semi")
+        )
         .select(
             "id",
             shingle_minhash_udf(1, shingle_k)(F.col(text_col))["sh"].alias("sh"),

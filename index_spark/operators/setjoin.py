@@ -99,6 +99,14 @@ def jaccard_join_exact(
         "tok", "df", F.substring("tok", 1, 2).alias("__pfx")
     )
     w_off = Window.orderBy("df", "__pfx").rowsBetween(Window.unboundedPreceding, -1)
+    # size bound for the offsets table: one row per OCCUPIED (df, prefix)
+    # pair ≤ min(vocabulary, distinct-df × alphabet²). Document frequency
+    # is zipfian, so distinct df values grow ~√(corpus tokens) — the
+    # cumulative window below runs one task over GROUPED rows (three int
+    # columns), ~1M rows even for web-scale vocabularies (~100 ms), and
+    # the broadcast stays tens of MB. If a corpus ever breaks that,
+    # coarsen __pfx to one character (40× fewer buckets, window inputs
+    # still bounded by tokens sharing an exact df AND first char).
     offsets = (
         bkt.groupBy("df", "__pfx")
         .agg(F.count(F.lit(1)).alias("__c"))

@@ -366,62 +366,40 @@ def exact_quantiles(
     single-reducer sort — the multi-quantile generalization of the
     two-level split-median plan (``driver_queries.q_split_median``):
 
-    1. bucket values on DATA-ADAPTIVE sampled cut points
-       (:func:`_adaptive_bucket_expr` with ``n_cuts`` quantile
-       boundaries — so narrow domains like [0, 100) still spread across
-       buckets instead of collapsing into one) and aggregate per-bucket
-       counts — one sketch pass + one partial-agg shuffle producing a
-       tiny table; its cumulative sum locates, for EVERY requested rank
-       ``⌈q·n⌉`` at once, the one bucket containing it;
-    2. rank only inside the hit buckets (``partitionBy(bucket)``, rows
-       bounded at roughly ``n / n_cuts``) and read the value at each rank.
+    1. pre-aggregate to (value, count) — one partial-agg shuffle that
+       also collapses heavy-duplicate columns to one row per value;
+    2. bucket values on DATA-ADAPTIVE sampled cut points
+       (:func:`_adaptive_bucket_expr`, so narrow domains like [0, 100)
+       still spread across buckets) — the tiny bucket table's cumulative
+       count locates, for EVERY requested rank ``⌈q·n⌉`` at once, the
+       one bucket containing it;
+    3. a bounded per-bucket running count reads the value at each rank.
 
     Nothing funnels the full table through one task; cost is one count,
-    one sketch pass, one bucket-count shuffle, and one bounded per-bucket
-    sort — at 100 TB this is THE way to get exact percentiles
-    (``percentile_disc`` semantics: value at rank ``⌈q·n⌉``). Caveat: a
-    column where one value dominates (90% identical rows) concentrates
-    its bucket regardless of cut placement — pre-aggregate such a
-    column to (value, count) weights and use
-    :func:`exact_quantiles_weighted` instead. ``tie_col`` only makes the
-    within-bucket ordering deterministic; the value at a global rank is
-    tie-invariant. Returns (p DOUBLE, value) one row per requested q."""
-    import math
-
+    one sketch pass, one agg shuffle, and one bounded per-bucket sort —
+    at 100 TB this is THE way to get exact percentiles
+    (``percentile_disc`` semantics: value at rank ``⌈q·n⌉``).
+    ``tie_col`` is retained for API compatibility only (a deterministic
+    per-row ranking needed it; the value at a global rank is
+    tie-invariant — which is exactly why this DELEGATES to
+    :func:`exact_quantiles_weighted` over the (value, count) pre-aggregate:
+    the value at multiset rank ``⌈q·n⌉`` is a pure function of the value
+    multiset, so one rank engine serves both forms (and the groupBy
+    shrinks heavy-duplicate columns before any window ever runs).
+    Returns (p DOUBLE, value) one row per requested q."""
     if not qs:
         raise ValueError("exact_quantiles needs at least one q")
     # percentile_disc ignores NULLs: they must neither count toward n nor
     # occupy the nulls-first ranks (a NULL-bucket hit would also silently
     # drop its q from the output — the NULL bucket key joins nothing)
     src = df.filter(F.col(value_col).isNotNull())
-    n = src.count()
-    if n == 0:
-        raise ValueError("exact_quantiles of an empty (or all-NULL) column")
-    rank_of = {float(q): max(1, math.ceil(float(q) * n)) for q in qs}
-    targets = sorted(set(rank_of.values()))
-    b = _adaptive_bucket_expr(src, value_col, int(n_cuts or _pick_n_cuts(n)), n_rows=n)
-    keyed = src.select(F.col(value_col), F.col(tie_col), b.alias("__b"))
-    counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
-    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    cum = counts.withColumn("__before", F.coalesce(F.sum("__c").over(wb), F.lit(0)))
-    hit_any = None
-    for t in targets:
-        cond = (F.col("__before") < t) & (F.col("__before") + F.col("__c") >= t)
-        hit_any = cond if hit_any is None else (hit_any | cond)
-    hits = cum.filter(hit_any).select("__b", "__before")
-    win = Window.partitionBy("__b").orderBy(value_col, tie_col)
-    at_rank = (
-        keyed.join(F.broadcast(hits), "__b")
-        .withColumn("__rn", F.row_number().over(win))
-        .withColumn("__rank", F.col("__before") + F.col("__rn"))
-        .filter(F.col("__rank").isin(targets))
-        .select("__rank", F.col(value_col).alias("value"))
-    )
-    spark = df.sparkSession
-    want = spark.createDataFrame(
-        [(p, r) for p, r in rank_of.items()], "p double, __rank long"
-    )
-    return want.join(F.broadcast(at_rank), "__rank").select("p", "value")
+    merged = src.groupBy(value_col).agg(F.count(F.lit(1)).alias("__wq"))
+    try:
+        return exact_quantiles_weighted(merged, value_col, "__wq", qs, n_cuts)
+    except ValueError as e:
+        if "empty" in str(e):
+            raise ValueError("exact_quantiles of an empty (or all-NULL) column") from e
+        raise
 
 
 def exact_quantiles_weighted(
@@ -445,24 +423,50 @@ def exact_quantiles_weighted(
     value table, the tiny bucket table's cumulative WEIGHT locates each
     target rank's bucket, and a bounded per-bucket running weight reads
     the answering value (first value whose cumulative weight reaches the
-    rank). NULL values are ignored; NULL or non-positive weights raise
-    (a silent drop would skew every rank below the bad row).
+    rank). NULL values are ignored; NULL, non-positive, fractional, or
+    uncastable weights raise (silently dropping or truncating a weight
+    would skew every rank after the bad row).
 
     Returns ``(p DOUBLE, value)``, one row per requested q."""
     import math
 
     if not qs:
         raise ValueError("exact_quantiles_weighted needs at least one q")
+    bad_q = [q for q in qs if not (0.0 < float(q) <= 1.0)]
+    if bad_q:
+        # an out-of-range q would produce a rank beyond W that no row can
+        # answer — its output row would just be silently absent
+        raise ValueError(f"exact_quantiles_weighted: qs must lie in (0, 1]: {bad_q}")
+    w0 = F.col(weight_col)
     src = df.filter(F.col(value_col).isNotNull()).select(
-        F.col(value_col), F.col(weight_col).cast("long").alias("__w")
+        F.col(value_col), w0.cast("long").alias("__w")
     )
-    tot = src.agg(
-        F.sum("__w").alias("W"),
-        F.min("__w").alias("wmin"),
+    # one validation aggregate over the same filtered frame: NULL weights
+    # hide from min(), and cast('long') silently truncates fractional or
+    # NULLs-out uncastable weights — flag all three by round-tripping the
+    # cast against the original column
+    w_bad = F.sum(
+        F.when(
+            w0.isNull()
+            | w0.cast("long").isNull()
+            | (w0.cast("long").cast(df.schema[weight_col].dataType) != w0),
+            1,
+        ).otherwise(0)
+    )
+    tot = df.filter(F.col(value_col).isNotNull()).agg(
+        F.sum(w0.cast("long")).alias("W"),
+        F.min(w0.cast("long")).alias("wmin"),
         F.count(F.lit(1)).alias("rows"),
+        w_bad.alias("n_bad"),
     ).first()
-    if tot["rows"] == 0 or tot["W"] is None:
+    if tot["rows"] == 0:
         raise ValueError("exact_quantiles_weighted of an empty (or all-NULL) table")
+    if tot["n_bad"]:
+        raise ValueError(
+            f"exact_quantiles_weighted: {tot['n_bad']} weight(s) are NULL, "
+            "fractional, or not castable to long — weights must be exact "
+            "positive integers"
+        )
     if tot["wmin"] is None or tot["wmin"] <= 0:
         raise ValueError(
             f"exact_quantiles_weighted: weights must be positive non-NULL "
@@ -472,8 +476,12 @@ def exact_quantiles_weighted(
     rank_of = {float(q): max(1, math.ceil(float(q) * W)) for q in qs}
     targets = sorted(set(rank_of.values()))
     merged = src.groupBy(value_col).agg(F.sum("__w").alias("__w"))
+    # n_rows (pre-merge) sizes the cut count as an upper bound on the
+    # merged row count; sampling is DISABLED (n_rows=None) because the
+    # sketch runs over the already-aggregated distinct-value table, whose
+    # row count the pre-merge figure can overstate arbitrarily
     b = _adaptive_bucket_expr(
-        merged, value_col, int(n_cuts or _pick_n_cuts(n_rows)), n_rows=n_rows
+        merged, value_col, int(n_cuts or _pick_n_cuts(n_rows)), n_rows=None
     )
     keyed = merged.select(F.col(value_col), "__w", b.alias("__b"))
     bw = keyed.groupBy("__b").agg(F.sum("__w").alias("__bw"))

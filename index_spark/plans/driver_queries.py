@@ -6155,6 +6155,9 @@ def build_oracles() -> dict[str, str]:
 # getAll shuffle path, embedding dedup, the end-to-end pipeline).  The
 # remaining 40 r02-latest queries rotate into the r7 gate window.
 _GATE_PRIORITY_R6 = [
+    # brand-new in round 6 (no driver row exists yet): FIRST, so even a
+    # narrower-than-50 gate window still certifies it this round.
+    "weighted_quantiles",
     # r01-latest (43): point/range/seek reads, index maintenance, datoms,
     # and the TPC-H shapes — none re-gated since round 1.
     "point_get", "multi_get", "get_all_missing", "range_scan", "gt_scan",
@@ -6173,9 +6176,6 @@ _GATE_PRIORITY_R6 = [
     # (pipeline_end_to_end joins the r7 rotation cohort instead).
     "error_codes", "compact_files", "dedup_clusters", "binary_key_range",
     "multi_get_large", "embedding_near_dups",
-    # brand-new in round 6 (no driver row exists yet): must sit inside the
-    # gate window so it gets its first green row this round.
-    "weighted_quantiles",
 ]
 
 
@@ -6187,7 +6187,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # The full 202-query catalog.  Literal order here is the historical
+    # The full query catalog (one entry per operator).  Literal order here is the historical
     # (r5) gate order; build_queries() applies the current round's
     # re-certification priority on top.  Functionally identical either way.
     return {

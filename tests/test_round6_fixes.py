@@ -135,6 +135,26 @@ def test_weighted_quantiles_error_paths(spark):
         exact_quantiles_weighted(df.filter("v > 99"), "v", "w", [0.5]).collect()
     with pytest.raises(ValueError, match="at least one"):
         exact_quantiles_weighted(df, "v", "w", [])
+    # a NULL weight hiding among good ones must raise, not silently drop
+    # its row from every rank (min() ignores NULLs, so wmin alone missed it)
+    with_null = df.unionByName(
+        spark.createDataFrame([(9,)], "v long").select(
+            "v", F.lit(None).cast("long").alias("w")
+        )
+    )
+    with pytest.raises(ValueError, match="NULL, fractional"):
+        exact_quantiles_weighted(with_null, "v", "w", [0.5]).collect()
+    # fractional weights must raise, not silently truncate half the mass
+    frac = spark.createDataFrame([(1, 1.9), (2, 2.9)], "v long, w double")
+    with pytest.raises(ValueError, match="NULL, fractional"):
+        exact_quantiles_weighted(frac, "v", "w", [0.5]).collect()
+    # integral doubles are fine (a count exported as double round-trips)
+    d = spark.createDataFrame([(1, 2.0), (2, 3.0)], "v long, w double")
+    got = {r.p: r.value for r in exact_quantiles_weighted(d, "v", "w", [0.4, 1.0]).collect()}
+    assert got == {0.4: 1, 1.0: 2}
+    # out-of-range q would yield a silently absent output row — raise
+    with pytest.raises(ValueError, match="must lie in"):
+        exact_quantiles_weighted(df, "v", "w", [0.5, 1.5])
 
 
 # --------------------------------------------------- simhash materialization
