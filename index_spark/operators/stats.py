@@ -503,15 +503,23 @@ def exact_quantiles_weighted(
     want = spark.createDataFrame(
         [(p, r) for p, r in rank_of.items()], "p double, __rank long"
     )
-    # first value whose cumulative weight reaches the rank: the broadcast
-    # range join runs only over the hit buckets' rows (bounded), and each
-    # rank matches exactly one row (cumulative weight is strictly
-    # increasing under positive weights)
-    at_rank = cw.join(
-        F.broadcast(want.select("__rank").distinct()),
-        (F.col("__cw") >= F.col("__rank"))
-        & (F.col("__cw") - F.col("__w") < F.col("__rank")),
-    ).select("__rank", F.col(value_col).alias("value"))
+    # first value whose cumulative weight reaches the rank: each row covers
+    # the rank interval (cw - w, cw], and the target ranks are a small
+    # LITERAL array — a per-row array filter + explode reads every
+    # answering (rank, value) pair with no join at all (a range join here
+    # would plan as a BroadcastNestedLoopJoin). Each rank matches exactly
+    # one row: cumulative weight is strictly increasing under positive
+    # weights.
+    targets_arr = F.array(*[F.lit(t).cast("long") for t in targets])
+    at_rank = cw.select(
+        F.explode(
+            F.filter(
+                targets_arr,
+                lambda t: (t > F.col("__cw") - F.col("__w")) & (t <= F.col("__cw")),
+            )
+        ).alias("__rank"),
+        F.col(value_col).alias("value"),
+    )
     return want.join(F.broadcast(at_rank), "__rank").select("p", "value")
 
 
