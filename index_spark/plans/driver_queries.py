@@ -6144,44 +6144,45 @@ def build_oracles() -> dict[str, str]:
     return out
 
 
-# Round-6 gate rotation (re-certification, not new coverage): the driver's
+# Round-7 gate rotation (re-certification, not new coverage): the driver's
 # correctness gate verifies only the first ~50 build_queries() entries per
-# round.  Every catalog query is driver-green in the r1-r5 union, but 90
-# queries' LATEST green row dates from r01/r02 — three engine generations
-# ago (null-comparator total order, catalog CAS, partial-COW all landed
-# since).  Front-load the 50 stalest: all 43 whose only green row is r01,
-# plus the 7 r02-latest queries that exercise the most-rewritten engine
-# paths (store errors, COW compaction, graph clustering, binary keys, the
-# getAll shuffle path, embedding dedup, the end-to-end pipeline).  The
-# remaining 40 r02-latest queries rotate into the r7 gate window.
-_GATE_PRIORITY_R6 = [
-    # brand-new in round 6 (no driver row exists yet): FIRST, so even a
-    # narrower-than-50 gate window still certifies it this round.
-    "weighted_quantiles",
-    # r01-latest (43): point/range/seek reads, index maintenance, datoms,
-    # and the TPC-H shapes — none re-gated since round 1.
-    "point_get", "multi_get", "get_all_missing", "range_scan", "gt_scan",
-    "lt_scan_reverse", "prefix_scan", "prefix_bounded_gt", "composite_range",
-    "top_k", "next_key", "previous_key", "min_max_count", "split_median",
-    "merge_halves", "sharded_range", "bucketed_join", "upsert_batch",
-    "dup_key_check", "version_changed_check", "datoms_count_by_attr",
-    "datoms_avet_lookup", "datoms_vaet_refchase", "datoms_eavt_entity",
-    "q1_pricing", "q3_revenue_topk", "q5_nation_revenue", "q6_filter_agg",
-    "semi_join_priority", "anti_join_parts", "q13_custdist",
-    "q2_min_price_part", "q7_nation_volume", "q8_market_share",
-    "q9_red_parts_revenue", "q10_returned_topk", "q12_priority_class",
-    "q14_promo_share", "q15_top_supplier", "q18_large_orders",
-    "q19_bracket_filter", "q22_idle_rich", "group_topk",
-    # r02-latest (6 of 47): highest-churn engine paths first
-    # (pipeline_end_to_end joins the r7 rotation cohort instead).
-    "error_codes", "compact_files", "dedup_clusters", "binary_key_range",
-    "multi_get_large", "embedding_near_dups",
+# round.  After the r6 rotation, the stalest evidence is the 41 queries
+# whose latest green driver row is r02 (the `rollup_orders` …
+# `stream_dedup` block plus `pipeline_end_to_end`).  Front-load all 41,
+# then fill the remaining slots with the oldest r03-latest queries —
+# preferring ones the round-6 judge did NOT independently re-verify with
+# its own oracle harness run (store/temporal paths: seek pagination,
+# snapshot diff, sharded time travel, the as-of family, stream state,
+# csv source).  New round-7 queries, if any, go FIRST (a narrower-than-50
+# window must still certify brand-new coverage); r03 fills drop off the
+# end to keep the list at 50.  Round 8 rotates the rest of the r03 cohort.
+_GATE_PRIORITY_R7 = [
+    # r02-latest (41): rollup/cube/set-op/scalar shapes, the text-pipeline
+    # originals (minhash/simhash/lang-id/fingerprints), embeddings topk,
+    # sampling/packing, streaming, and the end-to-end pipeline.
+    "rollup_orders", "cube_orders", "grouping_sets", "set_ops",
+    "scalar_functions", "median_stats", "array_agg", "distinct_parts",
+    "dedup_exact_groups", "dedup_survivors", "minhash_signatures",
+    "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash16", "text_quality",
+    "lang_id", "doc_fingerprint", "bpe_token_stats", "rolling_fingerprint",
+    "token_stats", "top_bigrams", "vocab_coverage", "cosine_topk",
+    "ivf_label_topk", "pipeline_end_to_end", "multimodal_meta",
+    "frame_plan", "skew_salted_join", "skew_two_phase_agg",
+    "stratified_sample", "pack_sequences", "kmv_distinct",
+    "window_count_join", "time_rollup", "events_type_summary",
+    "sql_interface", "jsonl_roundtrip", "stream_hourly",
+    "stream_sessionize", "stream_join_attrib", "stream_dedup",
+    # r03-latest fills (9): store/temporal/stream-state paths without a
+    # judge-side r6 re-verification.
+    "seek_pagination", "snapshot_diff", "sharded_time_travel",
+    "asof_lookup", "asof_state", "asof_join_events", "asof_join_tolerance",
+    "stream_user_state", "csv_roundtrip",
 ]
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _catalog()
-    ordered = {k: base[k] for k in _GATE_PRIORITY_R6}
+    ordered = {k: base[k] for k in _GATE_PRIORITY_R7}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 
