@@ -15,6 +15,7 @@ implementation processes a whole Arrow batch per call.
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import Sequence
 
 import numpy as np
@@ -280,6 +281,45 @@ def spread_for_cpu(df):
     applied and deliberately do not use it."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    if _plan_has_shuffle(df):
+        # The probe below converts to an RDD, and under AQE that
+        # FINALIZES the adaptive plan — for a frame containing shuffles
+        # (e.g. the semi-join-pruned corpus in jaccard_pairs' verify)
+        # the upstream shuffle stages RUN EAGERLY at construction time
+        # of a nominally lazy frame, and those shuffle files are NOT
+        # reused by the later real action (exchange reuse is
+        # per-plan-instance). Post-shuffle width is also exactly what
+        # AQE's bytes-based coalescing shrinks before CPU-heavy maps
+        # (the measured 75 s single-core verify), so for these frames
+        # skip the probe and pin the width outright: an explicit-width
+        # round-robin repartition, which AQE never coalesces. Callers
+        # opted in because the downstream per-row work dominates a text
+        # shuffle, and here the shuffle moves only the (usually pruned)
+        # frame the caller chose to spread.
+        return df.repartition(target)
+    # Shuffle-free scan: .rdd is genuinely lazy (no adaptive stages to
+    # materialize), so probing the scan's split count runs no jobs.
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+# Logical-plan nodes whose physical realization exchanges data (or, for
+# limits, collapses to one task): their presence means the frame is not a
+# pure scan and the spread_for_cpu probe must not touch .rdd. Matched at
+# NODE-NAME position (start of a tree line, after the `+- ` art) so a
+# column alias like `window_count` in a Project cannot false-positive.
+_SHUFFLE_NODE_RE = re.compile(
+    r"(?m)^[\s:+|-]*(?:Join|Aggregate|Window|Sort|Repartition|"
+    r"RepartitionByExpression|Deduplicate|Intersect|Except|CoGroup|"
+    r"MapGroups|FlatMapGroups|GlobalLimit)\b"
+)
+
+
+def _plan_has_shuffle(df) -> bool:
+    """True when ``df``'s optimized logical plan contains any node that
+    plans to an exchange. Plan ANALYSIS/optimization is driver-side and
+    lazy-safe — unlike ``.rdd``/``.queryExecution().executedPlan()``,
+    which finalize AQE and eagerly execute upstream query stages."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return _SHUFFLE_NODE_RE.search(plan) is not None

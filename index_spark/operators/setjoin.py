@@ -12,10 +12,10 @@ lists — never an all-pairs product, and the exact verify runs on the
 candidate pairs alone.
 
 Scale shape: one groupBy for token document-frequencies, a DISTRIBUTED
-dense rank over the vocabulary (deterministic order-preserving buckets on
-(df, 2-char token prefix): within-bucket row_number plus cumulative
+dense rank over the vocabulary (deterministic uniform buckets on
+(df, xxhash64(tok) mod 1024): within-bucket row_number plus cumulative
 bucket offsets — no vocabulary-sized single-task window, no sampled
-boundaries), one window-free sort inside ``array_sort`` per doc, explode
+boundaries, no spelling-dependent skew), one window-free sort inside ``array_sort`` per doc, explode
 of ~(1-t)·n prefix tokens per doc, an equi-join on the (rare) prefix
 token RANK, then array_intersect verification on the pruned pairs. The
 shuffled payload is (token_rank, id) integer pairs — token strings never
@@ -56,9 +56,11 @@ def jaccard_join_exact(
     ``|X ∩ Y| / |X ∪ Y| ≥ t`` must share a token within the first
     ``|X| - ceil(t·|X|) + 1`` tokens of X (and likewise Y) — otherwise
     too few tokens remain to reach the required overlap. The global order
-    is (document frequency ASC, token ASC): rare-first, so prefix posting
-    lists are the SHORTEST ones, and deterministic (the tie-break makes
-    the oracle's rank identical).
+    is (document frequency ASC, hash bucket ASC, token ASC): rare-first,
+    so prefix posting lists are the SHORTEST ones, and deterministic.
+    The within-df tie-break is internal — ANY fixed total order sorted by
+    df first yields recall 1.0 and the identical output pair set, which
+    the brute-force oracle twin verifies independently of rank order.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -75,17 +77,22 @@ def jaccard_join_exact(
     edges = _token_sets(docs, text_col, id_col)
     # global rarity order as DENSE INTEGER ranks, derived WITHOUT a
     # vocabulary-sized single-task window: bucket the vocabulary by the
-    # DETERMINISTIC order-preserving key (df, first 2 chars of tok) —
-    # lexicographically consistent with the full (df, tok) order, so
-    # global rank = cumulative bucket offset + within-bucket row_number.
-    # Deterministic buckets (no sampled range boundaries, no
-    # spark_partition_id) mean the offset table and the within-bucket
-    # ranks CANNOT disagree across independent re-evaluations of the
-    # plan — a sampled RangePartitioner could pick different boundaries
-    # per evaluation if the exchange is not reused. Bucket width is
-    # bounded by tokens sharing an exact df AND a 2-char prefix (for a
-    # zipfian vocabulary the hapax mass spreads across prefixes); the
-    # offsets window runs over the tiny bucket table only. Integer ranks
+    # DETERMINISTIC key (df, pmod(xxhash64(tok), B)) and define the global
+    # token order as (df, bucket, tok) — df-ascending primarily, which is
+    # all the prefix-filter principle needs (ANY fixed total order that
+    # sorts rarer df first yields recall 1.0 and the identical output
+    # pair set; the within-df tie-break is internal). Global rank =
+    # cumulative bucket offset + within-bucket row_number. Deterministic
+    # buckets (xxhash64 is a pure function of the token — no sampled
+    # range boundaries, no spark_partition_id) mean the offset table and
+    # the within-bucket ranks CANNOT disagree across independent
+    # re-evaluations of the plan — a sampled RangePartitioner could pick
+    # different boundaries per evaluation if the exchange is not reused.
+    # Hash buckets are UNIFORM BY CONSTRUCTION: the earlier 2-char-prefix
+    # key skewed adversarially (a corpus whose hapax tokens are mostly
+    # URLs funnels the 'ht' slice of the vocabulary through one
+    # row_number task); with B=1024 the largest per-df bucket is
+    # ~|df-class|/1024 regardless of token spelling. Integer ranks
     # (not the earlier (df, tok) struct values) keep the per-doc arrays,
     # the candidate equi-join key and the verify intersections free of
     # token STRINGS — at corpus scale the strings dominate the shuffled
@@ -95,28 +102,27 @@ def jaccard_join_exact(
         n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except ValueError:  # e.g. "auto" under externally-managed AQE
         n_part = docs.sparkSession.sparkContext.defaultParallelism
+    n_rank_buckets = 1024
     bkt = dfs.select(
-        "tok", "df", F.substring("tok", 1, 2).alias("__pfx")
+        "tok", "df", F.pmod(F.xxhash64("tok"), F.lit(n_rank_buckets)).alias("__b")
     )
-    w_off = Window.orderBy("df", "__pfx").rowsBetween(Window.unboundedPreceding, -1)
-    # size bound for the offsets table: one row per OCCUPIED (df, prefix)
-    # pair ≤ min(vocabulary, distinct-df × alphabet²). Document frequency
+    w_off = Window.orderBy("df", "__b").rowsBetween(Window.unboundedPreceding, -1)
+    # size bound for the offsets table: one row per OCCUPIED (df, bucket)
+    # pair ≤ min(vocabulary, distinct-df × 1024). Document frequency
     # is zipfian, so distinct df values grow ~√(corpus tokens) — the
     # cumulative window below runs one task over GROUPED rows (three int
     # columns), ~1M rows even for web-scale vocabularies (~100 ms), and
-    # the broadcast stays tens of MB. If a corpus ever breaks that,
-    # coarsen __pfx to one character (40× fewer buckets, window inputs
-    # still bounded by tokens sharing an exact df AND first char).
+    # the broadcast stays tens of MB.
     offsets = (
-        bkt.groupBy("df", "__pfx")
+        bkt.groupBy("df", "__b")
         .agg(F.count(F.lit(1)).alias("__c"))
         .select(
-            "df", "__pfx",
+            "df", "__b",
             F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
         )
     )
-    w_in = Window.partitionBy("df", "__pfx").orderBy("tok")
-    rank_tbl = bkt.join(F.broadcast(offsets), ["df", "__pfx"]).select(
+    w_in = Window.partitionBy("df", "__b").orderBy("tok")
+    rank_tbl = bkt.join(F.broadcast(offsets), ["df", "__b"]).select(
         "tok", (F.col("__off") + F.row_number().over(w_in)).alias("rk")
     )
     # the rank table is vocabulary-sized; broadcast keeps the corpus-sized

@@ -432,11 +432,13 @@ def exact_quantiles_weighted(
 
     if not qs:
         raise ValueError("exact_quantiles_weighted needs at least one q")
-    bad_q = [q for q in qs if not (0.0 < float(q) <= 1.0)]
+    bad_q = [q for q in qs if not (0.0 <= float(q) <= 1.0)]
     if bad_q:
         # an out-of-range q would produce a rank beyond W that no row can
-        # answer — its output row would just be silently absent
-        raise ValueError(f"exact_quantiles_weighted: qs must lie in (0, 1]: {bad_q}")
+        # answer — its output row would just be silently absent. q = 0.0
+        # IS accepted: percentile_disc(0) is well-defined (the minimum),
+        # realized below by the max(1, ceil(q·W)) rank clamp.
+        raise ValueError(f"exact_quantiles_weighted: qs must lie in [0, 1]: {bad_q}")
     w0 = F.col(weight_col)
     src = df.filter(F.col(value_col).isNotNull()).select(
         F.col(value_col), w0.cast("long").alias("__w")
