@@ -1,0 +1,104 @@
+"""Round-7: constant-codegen binary-search bucket key for the two-level
+rank plans. Above ``_TREE_MAX_CUTS`` the CASE tree (whose generated source
+grows linearly and fails Janino around ~1000 cuts, degrading the whole
+stage to interpreted eval) is replaced by a branchless binary search over
+one Literal cuts array. The two paths must produce IDENTICAL bucket
+ordinals — monotone count-of-cuts-≤-v — on interior values, boundary
+equality, NaN (Spark orders it above all doubles) and extreme inputs."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from index_spark.operators import stats as S
+from index_spark.operators.stats import exact_quantiles, exact_quantiles_weighted
+
+
+def _tree_expr(cuts, value_col):
+    v = F.col(value_col).cast("double")
+
+    def tree(lo, hi, base):
+        if lo >= hi:
+            return F.lit(base)
+        mid = (lo + hi) // 2
+        return F.when(
+            v >= F.lit(float(cuts[mid])), tree(mid + 1, hi, base + (mid - lo) + 1)
+        ).otherwise(tree(lo, mid, base))
+
+    return tree(0, len(cuts), 0).cast("long")
+
+
+def _search_expr(cuts, value_col):
+    v = F.col(value_col).cast("double")
+    n = len(cuts)
+    arr = F.lit([float(c) for c in cuts])
+    powers = []
+    p = 1
+    while p <= n:
+        powers.append(p)
+        p <<= 1
+    powers.reverse()
+    return F.aggregate(
+        F.lit(powers),
+        F.lit(0),
+        lambda acc, step: F.when(
+            (acc + step <= F.lit(n))
+            & (F.element_at(arr, (acc + step).cast("int")) <= v),
+            acc + step,
+        ).otherwise(acc),
+    ).cast("long")
+
+
+def test_search_and_tree_buckets_agree(spark):
+    rng = random.Random(7)
+    for n_cuts in (1, 2, 3, 7, 130, 257):
+        cuts = sorted(rng.uniform(-50, 50) for _ in range(n_cuts))
+        vals = (
+            [(c,) for c in cuts]  # boundary equality
+            + [(rng.uniform(-80, 80),) for _ in range(500)]
+            + [(float("nan"),), (float("-inf"),), (float("inf"),), (-1e18,), (1e18,)]
+        )
+        df = spark.createDataFrame(vals, "v double")
+        bad = (
+            df.select(
+                _tree_expr(cuts, "v").alias("a"), _search_expr(cuts, "v").alias("b")
+            )
+            .filter("a <> b")
+            .count()
+        )
+        assert bad == 0, n_cuts
+
+
+def test_exact_quantiles_through_search_path(spark, lineitem):
+    """Force n_cuts past _TREE_MAX_CUTS so the production plan runs the
+    binary-search key end-to-end; results must equal percentile_disc."""
+    n_cuts = S._TREE_MAX_CUTS + 50
+    qs = [0.1, 0.5, 0.9, 1.0]
+    got = {
+        r.p: r.value
+        for r in exact_quantiles(lineitem, "l_extendedprice", "l_orderkey", qs, n_cuts=n_cuts).collect()
+    }
+    want = {
+        q: lineitem.selectExpr(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY l_extendedprice) AS v"
+        ).first().v
+        for q in qs
+    }
+    assert got == want
+
+
+def test_weighted_quantiles_through_search_path(spark):
+    rng = random.Random(3)
+    rows = [(rng.randint(0, 10_000), rng.randint(1, 5)) for _ in range(4_000)]
+    df = spark.createDataFrame(rows, "v int, w int")
+    n_cuts = S._TREE_MAX_CUTS + 20
+    got = {
+        r.p: r.value
+        for r in exact_quantiles_weighted(df, "v", "w", [0.25, 0.75], n_cuts=n_cuts).collect()
+    }
+    # brute-force expansion oracle
+    expanded = sorted(v for v, w in rows for _ in range(w))
+    import math
+
+    want = {q: expanded[max(1, math.ceil(q * len(expanded))) - 1] for q in (0.25, 0.75)}
+    assert got == want
