@@ -1,0 +1,237 @@
+"""Corpus-level statistical diagnostics for training-data curation.
+
+Three standard signals a large-scale pipeline tracks per corpus snapshot,
+complementing the per-document quality family (:mod:`.quality`):
+
+- :func:`bigram_nll` — per-document mean NLL under the corpus's own
+  add-k-smoothed bigram LM: the next step up the CCNet perplexity-proxy
+  ladder from :func:`.quality.unigram_nll` (Wenzek et al. 2020 use a
+  5-gram KenLM; the bigram form is its largest SQL-replayable prefix).
+- :func:`zipf_fit` — OLS fit of ln(frequency) on ln(rank) over the top-N
+  vocabulary: a healthy natural-language corpus shows slope ≈ −1
+  (Zipf's law); a collapsed slope flags boilerplate/template floods, a
+  too-steep one flags vocabulary collapse after over-aggressive dedup.
+- :func:`js_divergence` — Jensen-Shannon divergence between two corpora's
+  unigram distributions: the bounded, symmetric drift measure used to
+  monitor mixture composition between snapshots or sources.
+
+Scale shapes (100 TB): every operator is explode → hash-agg → hash-join;
+text shuffles once at the token explode, never again. Float determinism
+follows the catalog's hash rules: per-document sums fold left-to-right
+over SORTED contribution lists (bounded by document length);
+the CORPUS-WIDE JSD sum — where a collect-and-fold would not scale —
+instead rounds each per-term contribution to 12 decimals and sums
+EXACT decimals (decimal(38,12) addition is integer arithmetic:
+combine-order-independent on any engine, no single-task fold, no
+vocabulary-sized array on one executor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from index_spark.functions import text as TX
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> "F.Column":
+    return TX.tokens(F.lower(F.col(text_col)))
+
+
+def bigram_nll(
+    df: DataFrame, k: int = 1, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus bigram
+    LM with add-``k`` (Laplace for k=1) smoothing:
+
+        p(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V)
+
+    with V = corpus distinct-token count and c(w1 ·) the count of bigrams
+    starting with w1. ``k`` is an INTEGER so numerator and denominator
+    stay exact BIGINT arithmetic — the per-bigram probability is one
+    exact integer division, which replays bit-identically in SQL.
+
+    Documents with fewer than 2 tokens have no bigrams and are ABSENT
+    from the output (scoring them would divide by zero; callers wanting
+    them use a left join against the input ids).
+
+    Plan shape: the bigram explode is map-side (adjacent-token zip inside
+    the tokens array — no self-join); (doc, w1, w2, tf) aggregates once,
+    corpus bigram counts and context counts are two further hash aggs of
+    that table, joined back by (w1, w2) hash join (bigram vocabulary is
+    NOT broadcast — it grows with the corpus) and w1 broadcast-eligible
+    context counts. Per-doc Σ folds left-to-right over the sorted
+    contribution list (bounded by doc length).
+
+    Returns ``(id_col, n_bigrams, nll)``, nll in nats rounded to 6.
+    """
+    if k < 1:
+        raise ValueError(f"add-k smoothing needs integer k >= 1, got {k}")
+    toks = _doc_tokens(df, id_col, text_col)
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")
+        ),
+    )
+    pairs = (
+        TX.spread_for_cpu(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(F.when(n >= 2, bigrams)).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    tf = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    c12 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab_n = (
+        df.select(F.explode(toks).alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    contrib = (
+        tf.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            id_col,
+            "tf",
+            (
+                F.col("tf").cast("double")
+                * F.log(
+                    (F.col("c12") + F.lit(k)).cast("double")
+                    / (F.col("c1") + F.lit(k) * F.col("v")).cast("double")
+                )
+            ).alias("c"),
+        )
+    )
+    s = F.aggregate(
+        F.sort_array(F.collect_list("c")), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(F.sum("tf").alias("n_bigrams"), s.alias("__s"))
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(-F.col("__s") / F.col("n_bigrams").cast("double"), 6).alias("nll"),
+        )
+    )
+
+
+def zipf_fit(
+    df: DataFrame, top_n: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """OLS fit of ``ln(frequency)`` on ``ln(rank)`` over the ``top_n``
+    most frequent tokens — the Zipf-law health check of a corpus
+    (natural language: slope ≈ −1).
+
+    The top-N selection is a distributed ``TakeOrderedAndProject`` (per-
+    partition heaps, no vocabulary-sized sort); ranks are then assigned
+    by a window over the ≤``top_n``-row result — a bounded single task by
+    construction. The OLS sums fold left-to-right over the rank-sorted
+    (x, y) list (≤ ``top_n`` elements), so the doubles are
+    combine-order-deterministic and replay in SQL.
+
+    Ties in frequency break by token ASC — rank assignment is
+    deterministic on any engine.
+
+    Returns one row: ``(n_terms, slope, intercept, r2)`` rounded to 6.
+    """
+    counts = (
+        df.select(F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("t").asc()).limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("t").asc())
+    xy = top.select(
+        F.row_number().over(w).alias("rank"), F.col("cnt")
+    ).select(
+        "rank",
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    # fold sums in rank order: (n, Σx, Σy, Σxx, Σyy, Σxy) — all
+    # left-to-right over the rank-sorted struct list
+    arr = F.sort_array(F.collect_list(F.struct("rank", "x", "y")))
+    folded = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.aggregate(arr, F.lit(0.0), lambda a, s: a + s["x"]).alias("sx"),
+        F.aggregate(arr, F.lit(0.0), lambda a, s: a + s["y"]).alias("sy"),
+        F.aggregate(arr, F.lit(0.0), lambda a, s: a + s["x"] * s["x"]).alias("sxx"),
+        F.aggregate(arr, F.lit(0.0), lambda a, s: a + s["y"] * s["y"]).alias("syy"),
+        F.aggregate(arr, F.lit(0.0), lambda a, s: a + s["x"] * s["y"]).alias("sxy"),
+    )
+    nD = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / nD
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / nD
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / nD
+    slope = cov / varx
+    intercept = (F.col("sy") - slope * F.col("sx")) / nD
+    r2 = (cov * cov) / (varx * vary)
+    return folded.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def js_divergence(
+    a: DataFrame, b: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Jensen-Shannon divergence (nats) between the unigram distributions
+    of two corpora: ``JSD = ½·KL(P‖M) + ½·KL(Q‖M)``, ``M = (P+Q)/2``.
+    Symmetric, bounded by ln 2, defined even where supports differ —
+    the standard mixture-composition drift monitor between two corpus
+    snapshots, sources, or epochs.
+
+    Determinism at scale: the Σ runs over the UNION VOCABULARY, which at
+    corpus scale cannot be collected into a single sorted fold — instead
+    each term's contribution (a double) is rounded to 12 decimals and
+    summed as ``decimal(38,12)``: decimal addition is integer arithmetic,
+    so the sum is combine-order-independent and engine-exact, while the
+    1e-12 per-term rounding is invisible at the 6-decimal output for any
+    vocabulary below ~1e6 distinct terms per output ulp.
+
+    A side with zero tokens makes the distribution undefined — explicit
+    ValueError (double division would silently yield NaN, which Spark
+    orders above every number, firing drift alerts instead of erroring).
+
+    Returns one row: ``(n_a, n_b, jsd)``, token totals and the rounded
+    divergence."""
+    ca = (
+        a.select(F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    cb = (
+        b.select(F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    tot = ca.agg(F.sum("na").alias("ta")).crossJoin(cb.agg(F.sum("nb").alias("tb")))
+    trow = tot.first()
+    if trow["ta"] is None or trow["tb"] is None:
+        raise ValueError("js_divergence: a side has no tokens")
+    merged = (
+        ca.join(cb, "t", "full_outer")
+        .select(
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    pa = F.col("na").cast("double") / F.col("ta").cast("double")
+    pb = F.col("nb").cast("double") / F.col("tb").cast("double")
+    m = (pa + pb) / F.lit(2.0)
+    term = (
+        F.when(F.col("na") > 0, F.lit(0.5) * pa * F.log(pa / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("nb") > 0, F.lit(0.5) * pb * F.log(pb / m)).otherwise(F.lit(0.0))
+    )
+    return merged.select(
+        F.col("ta").alias("n_a"),
+        F.col("tb").alias("n_b"),
+        F.round(term, 12).cast("decimal(38,12)").alias("__c"),
+    ).groupBy("n_a", "n_b").agg(
+        F.round(F.sum("__c").cast("double"), 6).alias("jsd")
+    )

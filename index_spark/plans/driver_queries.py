@@ -4293,6 +4293,44 @@ def q_weighted_quantiles(spark, sf_dir):
     )
 
 
+def q_bigram_nll(spark, sf_dir):
+    """Perplexity-proxy one rung above `unigram_nll`: per-doc mean NLL
+    under the corpus's add-1 bigram LM (the largest SQL-replayable prefix
+    of CCNet's KenLM scorer). Bigrams explode map-side from the tokens
+    array (no self-join); probabilities are exact BIGINT ratios inside
+    one log; per-doc Σ folds left-to-right over the sorted contribution
+    list, so the doubles replay bit-identically in the oracle."""
+    from index_spark.operators.corpusstats import bigram_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_nll(docs)
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf-law corpus health check: OLS of ln(freq) on ln(rank) over the
+    top-1000 vocabulary. Top-N is a distributed TakeOrdered (no global
+    vocab sort); the OLS sums fold over the rank-sorted ≤1000-element
+    list. One row (n_terms, slope, intercept, r2)."""
+    from index_spark.operators.corpusstats import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, top_n=1000)
+
+
+def q_js_sources(spark, sf_dir):
+    """Mixture-drift monitor: Jensen-Shannon divergence between the
+    unigram distributions of two document sources. The corpus-wide Σ
+    sums decimal(38,12)-rounded per-term contributions — exact integer
+    arithmetic, combine-order-independent, no vocabulary-sized fold."""
+    from index_spark.operators.corpusstats import js_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return js_divergence(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") == "src1"),
+    )
+
+
 def q_ohlc_hourly(spark, sf_dir):
     """Per-event-type hourly OHLC resample: open/close via deterministic
     (ts, event_id) first/last ranks, high/low plain extrema — one
@@ -6035,6 +6073,65 @@ def build_oracles() -> dict[str, str]:
         "  FROM (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS p), t) "
         "SELECT r.p, min(c.v) AS value FROM r JOIN c ON c.cw >= r.rk GROUP BY 1"
     )
+    out["bigram_nll"] = (
+        f"WITH toks AS (SELECT doc_id, {SQL_TOKS_LOWER} AS t FROM documents), "
+        "idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i "
+        "  FROM toks WHERE len(t) >= 2), "
+        "pairs AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM idx), "
+        "tf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf "
+        "  FROM pairs GROUP BY 1,2,3), "
+        "c12 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM tf GROUP BY 1,2), "
+        "c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1), "
+        "v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v "
+        "  FROM (SELECT unnest(t) AS tok FROM toks)), "
+        "c AS (SELECT doc_id, tf, CAST(tf AS DOUBLE) * "
+        "  ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) AS c "
+        "  FROM tf JOIN c12 USING(w1, w2) JOIN c1 USING(w1), v) "
+        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, "
+        "round(-list_sum(list(c ORDER BY c)) / CAST(sum(tf) AS DOUBLE), 6) AS nll "
+        "FROM c GROUP BY 1"
+    )
+    out["zipf_fit"] = (
+        f"WITH terms AS (SELECT unnest({SQL_TOKS_LOWER}) AS t FROM documents), "
+        "counts AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM terms GROUP BY 1), "
+        "top AS (SELECT t, cnt FROM counts ORDER BY cnt DESC, t ASC LIMIT 1000), "
+        "xy AS (SELECT r AS rank, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y "
+        "  FROM (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, t ASC) AS r FROM top)), "
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "  list_sum(list(x ORDER BY rank)) AS sx, "
+        "  list_sum(list(y ORDER BY rank)) AS sy, "
+        "  list_sum(list(x*x ORDER BY rank)) AS sxx, "
+        "  list_sum(list(y*y ORDER BY rank)) AS syy, "
+        "  list_sum(list(x*y ORDER BY rank)) AS sxy FROM xy) "
+        "SELECT n AS n_terms, "
+        "round((sxy - sx*sy/CAST(n AS DOUBLE)) / (sxx - sx*sx/CAST(n AS DOUBLE)), 6) AS slope, "
+        "round((sy - ((sxy - sx*sy/CAST(n AS DOUBLE)) / (sxx - sx*sx/CAST(n AS DOUBLE))) * sx) "
+        "  / CAST(n AS DOUBLE), 6) AS intercept, "
+        "round(((sxy - sx*sy/CAST(n AS DOUBLE)) * (sxy - sx*sy/CAST(n AS DOUBLE))) "
+        "  / ((sxx - sx*sx/CAST(n AS DOUBLE)) * (syy - sy*sy/CAST(n AS DOUBLE))), 6) AS r2 "
+        "FROM s"
+    )
+    out["js_sources"] = (
+        "WITH ta AS (SELECT doc_id, text FROM documents WHERE source = 'src0'), "
+        "tb AS (SELECT doc_id, text FROM documents WHERE source = 'src1'), "
+        f"ca AS (SELECT t, CAST(count(*) AS BIGINT) AS na FROM "
+        f"  (SELECT unnest({SQL_TOKS_LOWER}) AS t FROM ta) GROUP BY 1), "
+        f"cb AS (SELECT t, CAST(count(*) AS BIGINT) AS nb FROM "
+        f"  (SELECT unnest({SQL_TOKS_LOWER}) AS t FROM tb) GROUP BY 1), "
+        "tot AS (SELECT (SELECT CAST(sum(na) AS BIGINT) FROM ca) AS ta_n, "
+        "  (SELECT CAST(sum(nb) AS BIGINT) FROM cb) AS tb_n), "
+        "m AS (SELECT coalesce(na, 0) AS na, coalesce(nb, 0) AS nb "
+        "  FROM ca FULL OUTER JOIN cb USING(t)), "
+        "c AS (SELECT ta_n, tb_n, CAST(round("
+        "  CASE WHEN na > 0 THEN 0.5 * (CAST(na AS DOUBLE)/ta_n) * "
+        "    ln((CAST(na AS DOUBLE)/ta_n) / ((CAST(na AS DOUBLE)/ta_n + CAST(nb AS DOUBLE)/tb_n)/2.0)) "
+        "  ELSE 0.0 END + "
+        "  CASE WHEN nb > 0 THEN 0.5 * (CAST(nb AS DOUBLE)/tb_n) * "
+        "    ln((CAST(nb AS DOUBLE)/tb_n) / ((CAST(na AS DOUBLE)/ta_n + CAST(nb AS DOUBLE)/tb_n)/2.0)) "
+        "  ELSE 0.0 END, 12) AS DECIMAL(38,12)) AS c FROM m, tot) "
+        "SELECT ta_n AS n_a, tb_n AS n_b, round(CAST(sum(c) AS DOUBLE), 6) AS jsd "
+        "FROM c GROUP BY 1, 2"
+    )
     out["ohlc_hourly"] = (
         "WITH e AS (SELECT event_type, epoch_us(ts)//3600000000 AS h, value, "
         "  epoch_us(ts) AS tu, event_id, "
@@ -6157,6 +6254,9 @@ def build_oracles() -> dict[str, str]:
 # window must still certify brand-new coverage); r03 fills drop off the
 # end to keep the list at 50.  Round 8 rotates the rest of the r03 cohort.
 _GATE_PRIORITY_R7 = [
+    # brand-new in round 7 (no driver row exists yet): FIRST, so even a
+    # narrower-than-50 gate window still certifies them this round.
+    "bigram_nll", "zipf_fit", "js_sources",
     # r02-latest (41): rollup/cube/set-op/scalar shapes, the text-pipeline
     # originals (minhash/simhash/lang-id/fingerprints), embeddings topk,
     # sampling/packing, streaming, and the end-to-end pipeline.
@@ -6172,11 +6272,12 @@ _GATE_PRIORITY_R7 = [
     "window_count_join", "time_rollup", "events_type_summary",
     "sql_interface", "jsonl_roundtrip", "stream_hourly",
     "stream_sessionize", "stream_join_attrib", "stream_dedup",
-    # r03-latest fills (9): store/temporal/stream-state paths without a
-    # judge-side r6 re-verification.
+    # r03-latest fills (6): store/temporal paths without a judge-side r6
+    # re-verification (asof_join_tolerance / stream_user_state /
+    # csv_roundtrip dropped to the r8 rotation to keep the list at 50
+    # after the three new round-7 queries).
     "seek_pagination", "snapshot_diff", "sharded_time_travel",
-    "asof_lookup", "asof_state", "asof_join_events", "asof_join_tolerance",
-    "stream_user_state", "csv_roundtrip",
+    "asof_lookup", "asof_state", "asof_join_events",
 ]
 
 
@@ -6265,6 +6366,10 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_stats": q_winsorized_stats,
         "equidepth_hist": q_equidepth_hist,
         "weighted_quantiles": q_weighted_quantiles,
+        # round-7 additions: corpus statistical diagnostics
+        "bigram_nll": q_bigram_nll,
+        "zipf_fit": q_zipf_fit,
+        "js_sources": q_js_sources,
         "kmv_groups": q_kmv_groups,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,

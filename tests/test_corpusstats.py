@@ -1,0 +1,168 @@
+"""Brute-force reference twins for the round-7 corpus diagnostics
+(bigram_nll / zipf_fit / js_divergence), per the repo's new-operator
+recipe: compute the same quantity in plain Python over the collected
+fixture and compare the rounded outputs exactly (the Spark folds are
+order-pinned, so doubles must match bit-for-bit after round(·, 6))."""
+
+import math
+import re
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from index_spark.operators.corpusstats import bigram_nll, js_divergence, zipf_fit
+
+TOK = re.compile(r"\S+")
+
+
+def _toks(text):
+    return TOK.findall(text.lower())
+
+
+# ------------------------------------------------------------- bigram_nll
+
+
+def _bigram_nll_ref(rows, k=1):
+    c12, c1, per_doc = Counter(), Counter(), {}
+    vocab = set()
+    for doc_id, text in rows:
+        t = _toks(text)
+        vocab.update(t)
+        bgs = list(zip(t, t[1:]))
+        if bgs:
+            per_doc[doc_id] = Counter(bgs)
+        for bg in bgs:
+            c12[bg] += 1
+            c1[bg[0]] += 1
+    V = len(vocab)
+    out = {}
+    for doc_id, tf in per_doc.items():
+        contribs = sorted(
+            n * math.log((c12[bg] + k) / (c1[bg[0]] + k * V)) for bg, n in tf.items()
+        )
+        s = 0.0
+        for c in contribs:
+            s += c
+        n_bg = sum(tf.values())
+        out[doc_id] = (n_bg, round(-s / n_bg, 6))
+    return out
+
+
+def test_bigram_nll_matches_bruteforce(spark, documents):
+    docs = documents.limit(80)
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    want = _bigram_nll_ref(rows)
+    got = {r.doc_id: (r.n_bigrams, r.nll) for r in bigram_nll(docs).collect()}
+    assert got == want
+
+
+def test_bigram_nll_short_docs_absent(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, "single"), (3, ""), (4, "a b")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in bigram_nll(df).collect()}
+    assert got == {1, 4}
+
+
+def test_bigram_nll_rejects_bad_k(spark, documents):
+    with pytest.raises(ValueError):
+        bigram_nll(documents, k=0)
+
+
+# ---------------------------------------------------------------- zipf_fit
+
+
+def _zipf_ref(texts, top_n):
+    counts = Counter(t for x in texts for t in _toks(x))
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    xs = [math.log(i + 1) for i in range(len(top))]
+    ys = [math.log(c) for _, c in top]
+    n = len(top)
+    sx = sy = sxx = syy = sxy = 0.0
+    for x, y in zip(xs, ys):  # rank order, matching the Spark fold
+        sx += x
+    for x, y in zip(xs, ys):
+        sy += y
+    for x, y in zip(xs, ys):
+        sxx += x * x
+    for x, y in zip(xs, ys):
+        syy += y * y
+    for x, y in zip(xs, ys):
+        sxy += x * y
+    cov = sxy - sx * sy / n
+    varx = sxx - sx * sx / n
+    vary = syy - sy * sy / n
+    slope = cov / varx
+    return (
+        n,
+        round(slope, 6),
+        round((sy - slope * sx) / n, 6),
+        round((cov * cov) / (varx * vary), 6),
+    )
+
+
+def test_zipf_fit_matches_bruteforce(spark, documents):
+    texts = [r.text for r in documents.select("text").collect()]
+    want = _zipf_ref(texts, 200)
+    r = zipf_fit(documents, top_n=200).first()
+    assert (r.n_terms, r.slope, r.intercept, r.r2) == want
+
+
+def test_zipf_fit_natural_corpus_slope_negative(spark, documents):
+    r = zipf_fit(documents).first()
+    assert r.slope < 0 and 0 < r.r2 <= 1
+
+
+# ----------------------------------------------------------- js_divergence
+
+
+def _js_ref(texts_a, texts_b):
+    ca = Counter(t for x in texts_a for t in _toks(x))
+    cb = Counter(t for x in texts_b for t in _toks(x))
+    ta, tb = sum(ca.values()), sum(cb.values())
+    total = Decimal(0)
+    for t in set(ca) | set(cb):
+        pa, pb = ca.get(t, 0) / ta, cb.get(t, 0) / tb
+        m = (pa + pb) / 2.0
+        c = 0.0
+        if pa > 0:
+            c += 0.5 * pa * math.log(pa / m)
+        if pb > 0:
+            c += 0.5 * pb * math.log(pb / m)
+        total += Decimal(repr(round(c, 12))).quantize(
+            Decimal("1.000000000000"), rounding=ROUND_HALF_UP
+        )
+    return ta, tb, round(float(total), 6)
+
+
+def test_js_divergence_matches_bruteforce(spark, documents):
+    a = documents.filter(F.col("source") == "src0")
+    b = documents.filter(F.col("source") == "src1")
+    want = _js_ref(
+        [r.text for r in a.select("text").collect()],
+        [r.text for r in b.select("text").collect()],
+    )
+    r = js_divergence(a, b).first()
+    assert (r.n_a, r.n_b, r.jsd) == want
+
+
+def test_js_divergence_identical_corpora_zero(spark, documents):
+    a = documents.limit(50)
+    r = js_divergence(a, a).first()
+    assert r.jsd == 0.0
+
+
+def test_js_divergence_disjoint_is_ln2(spark):
+    a = spark.createDataFrame([(1, "aa bb cc")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "dd ee ff")], "doc_id long, text string")
+    r = js_divergence(a, b).first()
+    assert r.jsd == round(math.log(2.0), 6)
+
+
+def test_js_divergence_empty_side_raises(spark, documents):
+    empty = documents.filter(F.lit(False))
+    with pytest.raises(ValueError):
+        js_divergence(documents.limit(5), empty)
