@@ -102,3 +102,32 @@ def test_weighted_quantiles_through_search_path(spark):
 
     want = {q: expanded[max(1, math.ceil(q * len(expanded))) - 1] for q in (0.25, 0.75)}
     assert got == want
+
+
+def test_round7_corpus_queries_plan_shapes(spark, sf_dir):
+    """The three round-7 corpus queries must keep their scale shapes: no
+    row-multiplying nested loops (single-row broadcast crossJoins for the
+    corpus totals are fine and appear as BroadcastNestedLoopJoin with a
+    one-row side — assert instead on CartesianProduct and on column
+    pruning at the documents scan: only text/doc_id/source are read."""
+    import io
+    from contextlib import redirect_stdout
+
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    for name, allowed_cols in [
+        ("bigram_nll", {"doc_id", "text"}),
+        ("zipf_fit", {"text"}),
+        ("js_sources", {"text", "source"}),
+    ]:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            qs[name](spark, sf_dir).explain("formatted")
+        p = buf.getvalue()
+        assert "CartesianProduct" not in p, name
+        import re
+
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", p):
+            cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+            assert cols <= allowed_cols, (name, cols)
