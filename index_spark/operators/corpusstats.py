@@ -14,6 +14,10 @@ complementing the per-document quality family (:mod:`.quality`):
 - :func:`js_divergence` — Jensen-Shannon divergence between two corpora's
   unigram distributions: the bounded, symmetric drift measure used to
   monitor mixture composition between snapshots or sources.
+- :func:`vocab_growth` / :func:`heaps_fit` — vocabulary-growth curve over
+  a geometric doc-id ladder and its Heaps'-law OLS fit (V ≈ k·N^β):
+  whether the corpus tail still contributes new vocabulary or is
+  template/near-duplicate mass.
 
 Scale shapes (100 TB): every operator is explode → hash-agg → hash-join;
 text shuffles once at the token explode, never again. Float determinism
@@ -150,9 +154,19 @@ def zipf_fit(
         F.log(F.col("rank").cast("double")).alias("x"),
         F.log(F.col("cnt").cast("double")).alias("y"),
     )
-    # fold sums in rank order: (n, Σx, Σy, Σxx, Σyy, Σxy) — all
-    # left-to-right over the rank-sorted struct list
-    arr = F.sort_array(F.collect_list(F.struct("rank", "x", "y")))
+    return _ols_loglog_fit(xy, order_col="rank", n_alias="n_terms")
+
+
+def _ols_loglog_fit(xy: DataFrame, order_col: str, n_alias: str) -> DataFrame:
+    """One-row OLS fit of ``y`` on ``x`` over a BOUNDED (x, y) frame
+    (≤ a few thousand points by construction at every call site). The
+    sums (Σx, Σy, Σxx, Σyy, Σxy) fold left-to-right over the
+    ``order_col``-sorted struct list, so the doubles are
+    combine-order-deterministic and replay in SQL via
+    ``list_sum(list(expr ORDER BY order_col))``.
+
+    Returns ``(n_alias, slope, intercept, r2)`` rounded to 6."""
+    arr = F.sort_array(F.collect_list(F.struct(order_col, "x", "y")))
     folded = xy.agg(
         F.count(F.lit(1)).alias("n"),
         F.aggregate(arr, F.lit(0.0), lambda a, s: a + s["x"]).alias("sx"),
@@ -169,11 +183,100 @@ def zipf_fit(
     intercept = (F.col("sy") - slope * F.col("sx")) / nD
     r2 = (cov * cov) / (varx * vary)
     return folded.select(
-        F.col("n").alias("n_terms"),
+        F.col("n").alias(n_alias),
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def _growth_thresholds(max_id: int, n_points: int) -> list:
+    """Geometric doc-id thresholds (exact integer ceil-division, so the
+    SQL twin reproduces them bit-for-bit): ceil(max_id / 2^i) for
+    i = 0..n_points-1, deduplicated ascending, floored at 1."""
+    ts = {max(1, (max_id + (1 << i) - 1) // (1 << i)) for i in range(n_points)}
+    return sorted(ts)
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_points: int = 16,
+) -> DataFrame:
+    """Vocabulary-growth curve: for a geometric ladder of doc-id
+    thresholds T, the total token count and distinct-term count of the
+    corpus prefix ``id_col <= T`` — the raw material of a Heaps'-law
+    check (V ≈ k·N^β) and the standard way to see whether a corpus keeps
+    contributing NEW vocabulary as it grows (a flattening curve says the
+    tail is near-duplicate or template mass).
+
+    EXACT integer outputs (count + distinct-count per threshold) — the
+    strongest oracle form. Scale shape: one (token → min doc id)
+    aggregate and one per-doc token count; each row then explodes only
+    the ≤``n_points`` LITERAL thresholds it satisfies (the same
+    literal-array pattern as the quantile rank read — no range join, no
+    per-threshold rescan, fan-out bounded by n_points). The doc-id
+    maximum is ONE eager O(1)-row aggregate used to place the literal
+    thresholds.
+
+    Returns ascending ``(threshold, n_tokens, v_terms)``."""
+    max_id = df.agg(F.max(F.col(id_col)).alias("m")).first()["m"]
+    if max_id is None:
+        raise ValueError("vocab_growth: input has no rows (or all-NULL ids)")
+    ts = _growth_thresholds(int(max_id), n_points)
+    tarr = F.array(*[F.lit(int(t)).cast("long") for t in ts])
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    per_tok = (
+        df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.min("__id").alias("first_id"))
+    )
+    v_terms = (
+        per_tok.select(
+            F.explode(F.filter(tarr, lambda t: t >= F.col("first_id"))).alias(
+                "threshold"
+            )
+        )
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("v_terms"))
+    )
+    n_tokens = (
+        df.select(F.col(id_col).alias("__id"), F.size(toks).alias("__n"))
+        .select(
+            "__n",
+            F.explode(F.filter(tarr, lambda t: t >= F.col("__id"))).alias("threshold"),
+        )
+        .groupBy("threshold")
+        .agg(F.sum("__n").alias("n_tokens"))
+    )
+    return n_tokens.join(v_terms, "threshold").select(
+        "threshold", "n_tokens", "v_terms"
+    )
+
+
+def heaps_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_points: int = 16,
+) -> DataFrame:
+    """Heaps'-law fit over the :func:`vocab_growth` curve: OLS of
+    ``ln(v_terms)`` on ``ln(n_tokens)`` — slope β (natural corpora:
+    ~0.4-0.6; β → 0 flags a vocabulary-exhausted / template-flooded
+    corpus, β → 1 random noise), intercept ln k. The fold runs over
+    ≤ ``n_points`` points sorted by threshold — bounded and
+    SQL-replayable like :func:`zipf_fit`.
+
+    Returns one row: ``(n_points, slope, intercept, r2)`` rounded to 6.
+    """
+    curve = vocab_growth(df, id_col=id_col, text_col=text_col, n_points=n_points)
+    xy = curve.filter(F.col("n_tokens") > 0).select(
+        F.col("threshold"),
+        F.log(F.col("n_tokens").cast("double")).alias("x"),
+        F.log(F.col("v_terms").cast("double")).alias("y"),
+    )
+    return _ols_loglog_fit(xy, order_col="threshold", n_alias="n_points")
 
 
 def js_divergence(

@@ -4331,6 +4331,28 @@ def q_js_sources(spark, sf_dir):
     )
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Vocabulary-growth curve over a geometric doc-id ladder — exact
+    integer (threshold, n_tokens, v_terms) rows. Per-token min-doc-id and
+    per-doc token counts each explode only the ≤16 literal thresholds
+    they satisfy (the quantile rank-read pattern: no range join, bounded
+    fan-out)."""
+    from index_spark.operators.corpusstats import vocab_growth
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_growth(docs, n_points=16)
+
+
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law OLS fit (ln V on ln N) over the vocab-growth curve —
+    the vocabulary-exhaustion diagnostic; fold over ≤16 threshold-sorted
+    points replays exactly in SQL."""
+    from index_spark.operators.corpusstats import heaps_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heaps_fit(docs, n_points=16)
+
+
 def q_ohlc_hourly(spark, sf_dir):
     """Per-event-type hourly OHLC resample: open/close via deterministic
     (ts, event_id) first/last ranks, high/low plain extrema — one
@@ -6132,6 +6154,42 @@ def build_oracles() -> dict[str, str]:
         "SELECT ta_n AS n_a, tb_n AS n_b, round(CAST(sum(c) AS DOUBLE), 6) AS jsd "
         "FROM c GROUP BY 1, 2"
     )
+    _growth_powers = ", ".join(str(1 << i) for i in range(16))
+    _growth_curve = (
+        "m AS (SELECT CAST(max(doc_id) AS BIGINT) AS max_id FROM documents), "
+        f"pw AS (SELECT unnest([{_growth_powers}]) AS p), "
+        "thr AS (SELECT DISTINCT greatest(1, (max_id + p - 1) // p) AS threshold "
+        "  FROM pw, m), "
+        f"tk AS (SELECT doc_id, {SQL_TOKS_LOWER} AS t FROM documents), "
+        "ptok AS (SELECT tok, CAST(min(doc_id) AS BIGINT) AS first_id FROM "
+        "  (SELECT doc_id, unnest(t) AS tok FROM tk) GROUP BY 1), "
+        "vg_v AS (SELECT threshold, CAST(count(*) AS BIGINT) AS v_terms "
+        "  FROM ptok JOIN thr ON threshold >= first_id GROUP BY 1), "
+        "vg_n AS (SELECT threshold, CAST(sum(len(t)) AS BIGINT) AS n_tokens "
+        "  FROM tk JOIN thr ON threshold >= doc_id GROUP BY 1), "
+        "curve AS (SELECT threshold, n_tokens, v_terms FROM vg_n JOIN vg_v USING(threshold))"
+    )
+    out["vocab_growth"] = (
+        f"WITH {_growth_curve} SELECT threshold, n_tokens, v_terms FROM curve"
+    )
+    out["heaps_fit"] = (
+        f"WITH {_growth_curve}, "
+        "xy AS (SELECT threshold, ln(CAST(n_tokens AS DOUBLE)) AS x, "
+        "  ln(CAST(v_terms AS DOUBLE)) AS y FROM curve WHERE n_tokens > 0), "
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "  list_sum(list(x ORDER BY threshold)) AS sx, "
+        "  list_sum(list(y ORDER BY threshold)) AS sy, "
+        "  list_sum(list(x*x ORDER BY threshold)) AS sxx, "
+        "  list_sum(list(y*y ORDER BY threshold)) AS syy, "
+        "  list_sum(list(x*y ORDER BY threshold)) AS sxy FROM xy) "
+        "SELECT n AS n_points, "
+        "round((sxy - sx*sy/CAST(n AS DOUBLE)) / (sxx - sx*sx/CAST(n AS DOUBLE)), 6) AS slope, "
+        "round((sy - ((sxy - sx*sy/CAST(n AS DOUBLE)) / (sxx - sx*sx/CAST(n AS DOUBLE))) * sx) "
+        "  / CAST(n AS DOUBLE), 6) AS intercept, "
+        "round(((sxy - sx*sy/CAST(n AS DOUBLE)) * (sxy - sx*sy/CAST(n AS DOUBLE))) "
+        "  / ((sxx - sx*sx/CAST(n AS DOUBLE)) * (syy - sy*sy/CAST(n AS DOUBLE))), 6) AS r2 "
+        "FROM s"
+    )
     out["ohlc_hourly"] = (
         "WITH e AS (SELECT event_type, epoch_us(ts)//3600000000 AS h, value, "
         "  epoch_us(ts) AS tu, event_id, "
@@ -6256,7 +6314,7 @@ def build_oracles() -> dict[str, str]:
 _GATE_PRIORITY_R7 = [
     # brand-new in round 7 (no driver row exists yet): FIRST, so even a
     # narrower-than-50 gate window still certifies them this round.
-    "bigram_nll", "zipf_fit", "js_sources",
+    "bigram_nll", "zipf_fit", "js_sources", "vocab_growth", "heaps_fit",
     # r02-latest (41): rollup/cube/set-op/scalar shapes, the text-pipeline
     # originals (minhash/simhash/lang-id/fingerprints), embeddings topk,
     # sampling/packing, streaming, and the end-to-end pipeline.
@@ -6272,12 +6330,13 @@ _GATE_PRIORITY_R7 = [
     "window_count_join", "time_rollup", "events_type_summary",
     "sql_interface", "jsonl_roundtrip", "stream_hourly",
     "stream_sessionize", "stream_join_attrib", "stream_dedup",
-    # r03-latest fills (6): store/temporal paths without a judge-side r6
-    # re-verification (asof_join_tolerance / stream_user_state /
-    # csv_roundtrip dropped to the r8 rotation to keep the list at 50
-    # after the three new round-7 queries).
+    # r03-latest fills (4): store/temporal paths without a judge-side r6
+    # re-verification (asof_state / asof_join_events /
+    # asof_join_tolerance / stream_user_state / csv_roundtrip dropped to
+    # the r8 rotation to keep the list at 50 after the five new round-7
+    # queries).
     "seek_pagination", "snapshot_diff", "sharded_time_travel",
-    "asof_lookup", "asof_state", "asof_join_events",
+    "asof_lookup",
 ]
 
 
@@ -6370,6 +6429,8 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_nll": q_bigram_nll,
         "zipf_fit": q_zipf_fit,
         "js_sources": q_js_sources,
+        "vocab_growth": q_vocab_growth,
+        "heaps_fit": q_heaps_fit,
         "kmv_groups": q_kmv_groups,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,

@@ -166,3 +166,98 @@ def test_js_divergence_empty_side_raises(spark, documents):
     empty = documents.filter(F.lit(False))
     with pytest.raises(ValueError):
         js_divergence(documents.limit(5), empty)
+
+
+# ------------------------------------------------- vocab_growth / heaps_fit
+
+
+def _growth_ref(rows, n_points=16):
+    max_id = max(r[0] for r in rows)
+    ts = sorted({max(1, (max_id + (1 << i) - 1) // (1 << i)) for i in range(n_points)})
+    out = []
+    for t in ts:
+        pre = [r for r in rows if r[0] <= t]
+        n_tok = sum(len(_toks(x)) for _, x in pre)
+        v = len({tok for _, x in pre for tok in _toks(x)})
+        out.append((t, n_tok, v))
+    return out
+
+
+def test_vocab_growth_matches_bruteforce(spark, documents):
+    rows = [(r.doc_id, r.text) for r in documents.select("doc_id", "text").collect()]
+    want = _growth_ref(rows)
+    from index_spark.operators.corpusstats import vocab_growth
+
+    got = sorted(
+        (r.threshold, r.n_tokens, r.v_terms)
+        for r in vocab_growth(documents).collect()
+    )
+    assert got == want
+
+
+def test_vocab_growth_monotone(spark, documents):
+    from index_spark.operators.corpusstats import vocab_growth
+
+    curve = sorted(
+        (r.threshold, r.n_tokens, r.v_terms) for r in vocab_growth(documents).collect()
+    )
+    for (t0, n0, v0), (t1, n1, v1) in zip(curve, curve[1:]):
+        assert t0 < t1 and n0 <= n1 and v0 <= v1
+
+
+def test_heaps_fit_matches_bruteforce(spark, documents):
+    rows = [(r.doc_id, r.text) for r in documents.select("doc_id", "text").collect()]
+    curve = [(t, n, v) for t, n, v in _growth_ref(rows) if n > 0]
+    xs = [math.log(n) for _, n, _ in curve]
+    ys = [math.log(v) for _, _, v in curve]
+    n = len(curve)
+    sx = sy = sxx = syy = sxy = 0.0
+    for x in xs:
+        sx += x
+    for y in ys:
+        sy += y
+    for x in xs:
+        sxx += x * x
+    for y in ys:
+        syy += y * y
+    for x, y in zip(xs, ys):
+        sxy += x * y
+    cov = sxy - sx * sy / n
+    varx = sxx - sx * sx / n
+    vary = syy - sy * sy / n
+    slope = cov / varx
+    from index_spark.operators.corpusstats import heaps_fit
+
+    r = heaps_fit(documents).first()
+    assert (r.n_points, r.slope, r.intercept, r.r2) == (
+        n,
+        round(slope, 6),
+        round((sy - slope * sx) / n, 6),
+        round((cov * cov) / (varx * vary), 6),
+    )
+    # the fixture corpus has a ~31-token vocabulary that saturates at the
+    # smallest threshold — slope 0.0 is the CORRECT exponent for it (the
+    # "vocabulary-exhausted corpus" reading); growth on a corpus with
+    # genuinely expanding vocabulary is asserted separately below
+    assert 0.0 <= r.slope < 1.0
+
+
+def test_heaps_fit_growing_vocabulary(spark):
+    """A corpus whose every doc introduces new tokens plus a zipfian
+    shared head must fit a strictly positive sublinear exponent."""
+    rows = []
+    for d in range(64):
+        toks = ["the", "of", "and"] * 4 + [f"w{d}_{j}" for j in range(6)]
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from index_spark.operators.corpusstats import heaps_fit
+
+    r = heaps_fit(df).first()
+    assert 0.0 < r.slope < 1.0 and r.r2 > 0.9
+
+
+def test_vocab_growth_empty_raises(spark, documents):
+    from index_spark.operators.corpusstats import vocab_growth
+
+    with pytest.raises(ValueError):
+        vocab_growth(documents.filter(F.lit(False)))
