@@ -312,7 +312,8 @@ def spread_for_cpu(df):
 _SHUFFLE_NODE_RE = re.compile(
     r"(?m)^[\s:+|-]*(?:Join|Aggregate|Window|Sort|Repartition|"
     r"RepartitionByExpression|Deduplicate|Intersect|Except|CoGroup|"
-    r"MapGroups|FlatMapGroups|GlobalLimit)\b"
+    r"MapGroups|FlatMapGroups|FlatMapGroupsInPandas|"
+    r"FlatMapCoGroupsInPandas|GlobalLimit)\b"
 )
 
 

@@ -38,7 +38,10 @@ from pyspark.sql import functions as F
 from index_spark.functions import text as TX
 
 
-def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> "F.Column":
+def _tok_col(text_col: str) -> "F.Column":
+    """The module's single corpus-tokenization rule (lowercase whitespace
+    tokens): every operator here shares one vocabulary definition, so a
+    future normalization change lands in exactly one place."""
     return TX.tokens(F.lower(F.col(text_col)))
 
 
@@ -63,15 +66,18 @@ def bigram_nll(
     the tokens array — no self-join); (doc, w1, w2, tf) aggregates once,
     corpus bigram counts and context counts are two further hash aggs of
     that table, joined back by (w1, w2) hash join (bigram vocabulary is
-    NOT broadcast — it grows with the corpus) and w1 broadcast-eligible
-    context counts. Per-doc Σ folds left-to-right over the sorted
+    NOT broadcast — it grows with the corpus). The w1 context-count join
+    is DELIBERATELY unhinted: the unigram vocabulary of a web-scale
+    corpus (~1e8+ tokens) is past broadcast reach, so the scale plan is a
+    hash join on w1; AQE upgrades it to broadcast exactly when the vocab
+    fits the threshold. Per-doc Σ folds left-to-right over the sorted
     contribution list (bounded by doc length).
 
     Returns ``(id_col, n_bigrams, nll)``, nll in nats rounded to 6.
     """
     if k < 1:
         raise ValueError(f"add-k smoothing needs integer k >= 1, got {k}")
-    toks = _doc_tokens(df, id_col, text_col)
+    toks = _tok_col(text_col)
     n = F.size(toks)
     bigrams = F.transform(
         F.sequence(F.lit(1), n - 1),
@@ -141,7 +147,7 @@ def zipf_fit(
     Returns one row: ``(n_terms, slope, intercept, r2)`` rounded to 6.
     """
     counts = (
-        df.select(F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("t"))
+        df.select(F.explode(_tok_col(text_col)).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -226,7 +232,7 @@ def vocab_growth(
         raise ValueError("vocab_growth: input has no rows (or all-NULL ids)")
     ts = _growth_thresholds(int(max_id), n_points)
     tarr = F.array(*[F.lit(int(t)).cast("long") for t in ts])
-    toks = TX.tokens(F.lower(F.col(text_col)))
+    toks = _tok_col(text_col)
     per_tok = (
         df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("t"))
         .groupBy("t")
@@ -303,26 +309,32 @@ def js_divergence(
     Returns one row: ``(n_a, n_b, jsd)``, token totals and the rounded
     divergence."""
     ca = (
-        a.select(F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("t"))
+        a.select(F.explode(_tok_col(text_col)).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("na"))
     )
     cb = (
-        b.select(F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("t"))
+        b.select(F.explode(_tok_col(text_col)).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("nb"))
     )
-    tot = ca.agg(F.sum("na").alias("ta")).crossJoin(cb.agg(F.sum("nb").alias("tb")))
-    trow = tot.first()
+    # the totals are read EAGERLY for the empty-side guard, then injected
+    # back as LITERALS: re-embedding the `tot` subplan (the previous
+    # crossJoin form) would re-run both corpus-wide tokenize+aggregate
+    # pipelines a second time at action time — the same
+    # eager-read-becomes-literal pattern vocab_growth uses for max_id
+    trow = (
+        ca.agg(F.sum("na").alias("ta"))
+        .crossJoin(cb.agg(F.sum("nb").alias("tb")))
+        .first()
+    )
     if trow["ta"] is None or trow["tb"] is None:
         raise ValueError("js_divergence: a side has no tokens")
-    merged = (
-        ca.join(cb, "t", "full_outer")
-        .select(
-            F.coalesce("na", F.lit(0)).alias("na"),
-            F.coalesce("nb", F.lit(0)).alias("nb"),
-        )
-        .crossJoin(F.broadcast(tot))
+    merged = ca.join(cb, "t", "full_outer").select(
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+        F.lit(int(trow["ta"])).cast("long").alias("ta"),
+        F.lit(int(trow["tb"])).cast("long").alias("tb"),
     )
     pa = F.col("na").cast("double") / F.col("ta").cast("double")
     pb = F.col("nb").cast("double") / F.col("tb").cast("double")

@@ -287,43 +287,52 @@ def _adaptive_bucket_expr(
     cuts = sorted(set(src.stat.approxQuantile(value_col, probs, rel_err)))
     if not cuts:
         return F.lit(0).cast("long")
+    if len(cuts) > _TREE_MAX_CUTS:
+        return _bucket_search_expr(cuts, value_col)
+    return _bucket_tree_expr(cuts, value_col)
+
+
+def _bucket_search_expr(cuts, value_col: str) -> "F.Column":
+    """Count of cuts ≤ value as a branchless binary search against ONE
+    Literal array: `pos` stays the count of cuts ≤ v as the probe
+    distance halves. Codegen size is CONSTANT in len(cuts) (the array is
+    a single constant reference and the aggregate lambda is a loop),
+    unlike the CASE tree, whose generated source grows linearly and
+    FAILS Janino compilation around ~1000 cuts — the whole stage then
+    falls back to interpreted eval (measured at 1023 cuts × 5M rows:
+    tree 1.66 s w/ compile failure vs 0.75 s here; ordinals verified
+    identical across interior, boundary-equality, NaN and ±1e18 inputs —
+    Spark orders NaN above all doubles on BOTH paths)."""
     v = F.col(value_col).cast("double")
     n = len(cuts)
-    if n > _TREE_MAX_CUTS:
-        # branchless binary search against ONE Literal array: `pos` stays
-        # the count of cuts ≤ v as the probe distance halves. Codegen size
-        # is CONSTANT in n (the array is a single constant reference and
-        # the aggregate lambda is a loop), unlike the CASE tree below,
-        # whose generated source grows linearly and FAILS Janino
-        # compilation around ~1000 cuts — the whole stage then falls back
-        # to interpreted eval (measured at 1023 cuts × 5M rows: tree
-        # 1.66 s w/ compile failure vs 0.75 s here; ordinals verified
-        # identical across interior, boundary-equality, NaN and ±1e18
-        # inputs — Spark orders NaN above all doubles on BOTH paths).
-        arr = F.lit([float(c) for c in cuts])
-        powers = []
-        p = 1
-        while p <= n:
-            powers.append(p)
-            p <<= 1
-        powers.reverse()
-        return F.aggregate(
-            F.lit(powers),
-            F.lit(0),
-            lambda acc, step: F.when(
-                (acc + step <= F.lit(n))
-                & (F.element_at(arr, (acc + step).cast("int")) <= v),
-                acc + step,
-            ).otherwise(acc),
-        ).cast("long")
+    arr = F.lit([float(c) for c in cuts])
+    powers = []
+    p = 1
+    while p <= n:
+        powers.append(p)
+        p <<= 1
+    powers.reverse()
+    return F.aggregate(
+        F.lit(powers),
+        F.lit(0),
+        lambda acc, step: F.when(
+            (acc + step <= F.lit(n))
+            & (F.element_at(arr, (acc + step).cast("int")) <= v),
+            acc + step,
+        ).otherwise(acc),
+    ).cast("long")
 
-    # balanced CASE-WHEN tree = binary search compiled into codegen'd
-    # nested if/else: each row evaluates O(log n_cuts) comparisons, not
-    # O(n_cuts) (a flat filter/sum over a 256-element literal array costs
-    # ~10× the whole downstream aggregation; measured 4.0 s vs 0.3 s on a
-    # 150k-row single-partition column). Kept for small cut counts where
-    # the fully-codegen'd branches beat the aggregate's per-row lambda
-    # dispatch.
+
+def _bucket_tree_expr(cuts, value_col: str) -> "F.Column":
+    """Count of cuts ≤ value as a balanced CASE-WHEN tree = binary search
+    compiled into codegen'd nested if/else: each row evaluates
+    O(log n_cuts) comparisons, not O(n_cuts) (a flat filter/sum over a
+    256-element literal array costs ~10× the whole downstream
+    aggregation; measured 4.0 s vs 0.3 s on a 150k-row single-partition
+    column). Kept for small cut counts where the fully-codegen'd branches
+    beat the aggregate's per-row lambda dispatch."""
+    v = F.col(value_col).cast("double")
+
     def tree(lo: int, hi: int, base: int):
         # bucket ordinal for v given cuts[lo:hi] remain, `base` already won
         if lo >= hi:

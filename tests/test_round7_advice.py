@@ -110,3 +110,25 @@ def test_setjoin_exact_on_shared_prefix_vocabulary(spark):
         got = {(r.id_a, r.id_b, r.jaccard) for r in jaccard_join_exact(docs, t).collect()}
         want = {(r.id_a, r.id_b, r.jaccard) for r in jaccard_join_bruteforce(docs, t).collect()}
         assert got == want, t
+
+
+def test_plan_has_shuffle_sees_pandas_grouped_map(spark, documents):
+    """PySpark grouped-map plans surface as FlatMapGroupsInPandas — the
+    guard must classify them as shuffle-bearing or the .rdd probe would
+    eagerly run their hash-partition exchange (review finding, round 7)."""
+    import pandas as pd
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf
+
+    gm = documents.select("lang", "doc_id").groupBy("lang").applyInPandas(
+        f, schema="lang string, doc_id long"
+    )
+    assert TX._plan_has_shuffle(gm)
+    cg = (
+        documents.select("lang", "doc_id")
+        .groupBy("lang")
+        .cogroup(documents.select("lang", "n_chars").groupBy("lang"))
+        .applyInPandas(lambda a, b: a, schema="lang string, doc_id long")
+    )
+    assert TX._plan_has_shuffle(cg)

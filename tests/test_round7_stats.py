@@ -14,39 +14,11 @@ from index_spark.operators import stats as S
 from index_spark.operators.stats import exact_quantiles, exact_quantiles_weighted
 
 
-def _tree_expr(cuts, value_col):
-    v = F.col(value_col).cast("double")
-
-    def tree(lo, hi, base):
-        if lo >= hi:
-            return F.lit(base)
-        mid = (lo + hi) // 2
-        return F.when(
-            v >= F.lit(float(cuts[mid])), tree(mid + 1, hi, base + (mid - lo) + 1)
-        ).otherwise(tree(lo, mid, base))
-
-    return tree(0, len(cuts), 0).cast("long")
-
-
-def _search_expr(cuts, value_col):
-    v = F.col(value_col).cast("double")
-    n = len(cuts)
-    arr = F.lit([float(c) for c in cuts])
-    powers = []
-    p = 1
-    while p <= n:
-        powers.append(p)
-        p <<= 1
-    powers.reverse()
-    return F.aggregate(
-        F.lit(powers),
-        F.lit(0),
-        lambda acc, step: F.when(
-            (acc + step <= F.lit(n))
-            & (F.element_at(arr, (acc + step).cast("int")) <= v),
-            acc + step,
-        ).otherwise(acc),
-    ).cast("long")
+# the equivalence test binds to the SHIPPED builders — a drift in the
+# production search lambda must fail here, not just in coarser
+# end-to-end quantile tests
+_tree_expr = S._bucket_tree_expr
+_search_expr = S._bucket_search_expr
 
 
 def test_search_and_tree_buckets_agree(spark):
