@@ -158,6 +158,24 @@ def test_weighted_quantiles_error_paths(spark):
 
 
 # --------------------------------------------------- simhash materialization
+def _drain_cache(spark, timeout_s: float = 30.0) -> int:
+    """clearCache + wait for the persistent-RDD table to empty:
+    Catalog.clearCache() unpersists with blocking=false, so an immediate
+    getPersistentRDDs() read can still see entries from EARLIER tests in
+    the shared session (observed as a load-dependent flake in the r7 full
+    run). Returns the residual count (0 on success)."""
+    import time
+
+    spark.catalog.clearCache()
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        n = spark.sparkContext._jsc.getPersistentRDDs().size()
+        if n == 0:
+            return 0
+        time.sleep(0.2)
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
 def test_simhash_candidates_materialize_path_no_cache(spark, tmp_base):
     from index_spark.operators.dedup import simhash_candidates
 
@@ -165,10 +183,10 @@ def test_simhash_candidates_materialize_path_no_cache(spark, tmp_base):
         [(i, f"the quick brown fox jumps over lazy dog {i % 3}") for i in range(30)],
         "doc_id long, text string",
     )
-    spark.catalog.clearCache()
+    assert _drain_cache(spark) == 0
     cached = simhash_candidates(docs).sort("id_a", "id_b").collect()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
-    spark.catalog.clearCache()
+    assert _drain_cache(spark) == 0
 
     mat = (
         simhash_candidates(docs, materialize_path=tmp_base + "/sh")
