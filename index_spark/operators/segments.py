@@ -29,11 +29,18 @@ from pyspark.sql import functions as F
 from index_spark.functions import text as TX
 
 
-def token_blocks(col, width: int = 8):
-    """Array of non-overlapping ``width``-token blocks of the lowercased
-    text, in order; the final block may be short. Empty text → empty
-    array."""
-    toks = TX.tokens(F.lower(col))
+def token_blocks_of(toks, width: int = 8):
+    """Array of non-overlapping ``width``-token blocks of a
+    PRE-MATERIALIZED token-array column, in order; the final block may be
+    short. Empty array → empty array.
+
+    The strided slice runs inside a ``transform`` lambda, so ``toks``
+    MUST be a plain column reference (an attribute read is free per
+    element) — never the tokenization expression itself: lambda bodies
+    are excluded from common-subexpression elimination, and a captured
+    ``tokens(lower(text))`` would re-run the regexp PER BLOCK — O(n²/w)
+    regex work per document (the round-7 bigram/k-gram lesson, measured
+    67× on 1000-token docs)."""
     n = F.size(toks)
     n_blocks = F.ceil(n.cast("double") / F.lit(float(width))).cast("int")
     blocks = F.transform(
@@ -43,13 +50,27 @@ def token_blocks(col, width: int = 8):
     return F.when(n > 0, blocks).otherwise(F.array().cast("array<string>"))
 
 
+def token_blocks(col, width: int = 8):
+    """Raw-text convenience wrapper over :func:`token_blocks_of`.
+    WARNING: captures the tokenization expression inside the block
+    lambda — fine for tests/small frames, but operators must materialize
+    the token array first and call :func:`token_blocks_of` (see its
+    docstring for the O(n²) trap)."""
+    return token_blocks_of(TX.tokens(F.lower(col)), width)
+
+
 def segment_hashes(df: DataFrame, width: int = 8, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per (doc, position) with the segment's 28-bit md5-prefix
     hash (the repo's standard hash family — replays in SQL). The segment
-    TEXT is deliberately absent: this is the shuffled projection."""
-    return TX.spread_for_cpu(df).select(
+    TEXT is deliberately absent: this is the shuffled projection. The
+    token array materializes in its own projection first so the block
+    lambda captures a cheap attribute, not the regexp."""
+    tokd = TX.spread_for_cpu(df).select(
+        F.col(id_col), TX.tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    return tokd.select(
         F.col(id_col),
-        F.posexplode(token_blocks(F.col(text_col), width)).alias("pos", "__seg"),
+        F.posexplode(token_blocks_of(F.col("__toks"), width)).alias("pos", "__seg"),
     ).select(id_col, "pos", TX.md5_prefix28(F.col("__seg")).alias("h"))
 
 
@@ -82,10 +103,17 @@ def dedup_segments(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("pos")).alias("__drop_pos"))
     )
-    blocks = token_blocks(F.col(text_col), width)
+    # token array materialized BEFORE the block/filter lambdas capture it
+    # (the O(n²) regexp-in-lambda trap — see token_blocks_of)
+    joined = df.join(dropped, on=id_col, how="left").select(
+        F.col(id_col),
+        TX.tokens(F.lower(F.col(text_col))).alias("__toks"),
+        F.col("__drop_pos"),
+    )
+    blocks = token_blocks_of(F.col("__toks"), width)
     drop_pos = F.coalesce(F.col("__drop_pos"), F.array().cast("array<int>"))
     kept = F.filter(blocks, lambda b, i: ~F.array_contains(drop_pos, i.cast("int")))
-    return df.join(dropped, on=id_col, how="left").select(
+    return joined.select(
         id_col,
         F.size(blocks).cast("long").alias("n_segments"),
         F.size(drop_pos).cast("long").alias("n_removed"),
@@ -113,7 +141,12 @@ def chunk_documents(
     partitioning.
     """
     assert 0 < stride <= width
-    toks = TX.tokens(F.lower(F.col(text_col)))
+    # token array materialized BEFORE the chunk lambda captures it (the
+    # O(n²) regexp-in-lambda trap — see token_blocks_of)
+    tokd = df.select(
+        F.col(id_col), TX.tokens(F.lower(F.col(text_col))).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    toks = F.col("__toks")
     n = F.size(toks)
     # number of chunks: 1 + ceil(max(n - width, 0) / stride)
     n_chunks = (
@@ -130,7 +163,6 @@ def chunk_documents(
         ),
     )
     return (
-        df.filter(n > 0)
-        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        tokd.select(F.col(id_col), F.explode(chunks).alias("c"))
         .select(id_col, "c.chunk_id", "c.tok_start", "c.n_tokens", "c.chunk_text")
     )
