@@ -188,9 +188,14 @@ def _kgram_chain(toks: Column, k: int) -> Column:
     ``transform(sequence(...), i -> slice(tokens(text), i, k))`` form
     re-ran the regexp tokenization PER GRAM — O(n²) regex work per
     document (measured on 20k docs × 1000 tokens: 94.2 s vs 1.4 s for
-    this formulation, identical gram multisets). Here the tokenization
-    appears k+1 times at TOP level (k slices + size) — O(k·n) per row —
-    and the zip lambdas bind only their element variables.
+    this materialized-column formulation, identical gram multisets).
+    Here the tokenization appears k+1 times at TOP level (k slices +
+    size) — O(k·n) per row — and the zip lambdas bind only their element
+    variables. Measured figures for the same fixture: the shipped
+    raw-text `word_ngrams_all` (k+1 top-level tokenizations) runs 4.8 s
+    — the BASELINE.md record; handing the chain a PRE-MATERIALIZED token
+    column (one tokenization, see :func:`materialize_tokens`) measures
+    1.4 s.
 
     Length semantics: every slice has length ``max(n-k+1, 1)``; for
     ``n < k`` the trailing slices run past the end and come back shorter,
@@ -206,6 +211,19 @@ def _kgram_chain(toks: Column, k: int) -> Column:
         lambda acc, p: F.zip_with(acc, p, lambda a, b: F.concat_ws(" ", a, b)),
         parts,
     )
+
+
+def materialize_tokens(df, text_col: str, keep, alias: str = "__toks"):
+    """Project ``keep`` columns plus the lowercase-whitespace token array
+    of ``text_col`` as ``alias`` — the shared tokenize-and-materialize
+    idiom for operators whose array lambdas need the tokens: a lambda
+    must capture a CHEAP ATTRIBUTE, never the tokenization expression
+    (lambda bodies are excluded from common-subexpression elimination, so
+    a captured ``tokens(lower(text))`` re-runs the regexp per element —
+    the O(n²) round-7 trap). The multi-reference alias survives
+    CollapseProject, so downstream lambdas genuinely read the
+    materialized array."""
+    return df.select(*[F.col(c) for c in keep], tokens(F.lower(F.col(text_col))).alias(alias))
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:

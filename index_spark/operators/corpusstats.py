@@ -77,7 +77,6 @@ def bigram_nll(
     """
     if k < 1:
         raise ValueError(f"add-k smoothing needs integer k >= 1, got {k}")
-    toks = _tok_col(text_col)
     # materialize the token array in its OWN projection before the
     # adjacent-pair zip: expressions inside array lambdas are not
     # common-subexpression-eliminated, so an element_at(tokens(text), i)
@@ -86,8 +85,8 @@ def bigram_nll(
     # cost 32 s on a 400k-doc × 80-token corpus; with the materialized
     # column + two O(n) slices it is ~2 s). zip_with pairs t[i] with
     # t[i+1] in one pass over the materialized array.
-    tokd = TX.spread_for_cpu(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), toks.alias("__toks")
+    tokd = TX.materialize_tokens(
+        TX.spread_for_cpu(df.select(F.col(id_col), F.col(text_col))), text_col, [id_col]
     )
     t = F.col("__toks")
     n = F.size(t)

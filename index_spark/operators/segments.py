@@ -50,24 +50,13 @@ def token_blocks_of(toks, width: int = 8):
     return F.when(n > 0, blocks).otherwise(F.array().cast("array<string>"))
 
 
-def token_blocks(col, width: int = 8):
-    """Raw-text convenience wrapper over :func:`token_blocks_of`.
-    WARNING: captures the tokenization expression inside the block
-    lambda — fine for tests/small frames, but operators must materialize
-    the token array first and call :func:`token_blocks_of` (see its
-    docstring for the O(n²) trap)."""
-    return token_blocks_of(TX.tokens(F.lower(col)), width)
-
-
 def segment_hashes(df: DataFrame, width: int = 8, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per (doc, position) with the segment's 28-bit md5-prefix
     hash (the repo's standard hash family — replays in SQL). The segment
     TEXT is deliberately absent: this is the shuffled projection. The
     token array materializes in its own projection first so the block
     lambda captures a cheap attribute, not the regexp."""
-    tokd = TX.spread_for_cpu(df).select(
-        F.col(id_col), TX.tokens(F.lower(F.col(text_col))).alias("__toks")
-    )
+    tokd = TX.materialize_tokens(TX.spread_for_cpu(df), text_col, [id_col])
     return tokd.select(
         F.col(id_col),
         F.posexplode(token_blocks_of(F.col("__toks"), width)).alias("pos", "__seg"),
@@ -105,10 +94,8 @@ def dedup_segments(
     )
     # token array materialized BEFORE the block/filter lambdas capture it
     # (the O(n²) regexp-in-lambda trap — see token_blocks_of)
-    joined = df.join(dropped, on=id_col, how="left").select(
-        F.col(id_col),
-        TX.tokens(F.lower(F.col(text_col))).alias("__toks"),
-        F.col("__drop_pos"),
+    joined = TX.materialize_tokens(
+        df.join(dropped, on=id_col, how="left"), text_col, [id_col, "__drop_pos"]
     )
     blocks = token_blocks_of(F.col("__toks"), width)
     drop_pos = F.coalesce(F.col("__drop_pos"), F.array().cast("array<int>"))
@@ -143,9 +130,7 @@ def chunk_documents(
     assert 0 < stride <= width
     # token array materialized BEFORE the chunk lambda captures it (the
     # O(n²) regexp-in-lambda trap — see token_blocks_of)
-    tokd = df.select(
-        F.col(id_col), TX.tokens(F.lower(F.col(text_col))).alias("__toks")
-    ).filter(F.size("__toks") > 0)
+    tokd = TX.materialize_tokens(df, text_col, [id_col]).filter(F.size("__toks") > 0)
     toks = F.col("__toks")
     n = F.size(toks)
     # number of chunks: 1 + ceil(max(n - width, 0) / stride)
