@@ -261,3 +261,59 @@ def test_vocab_growth_empty_raises(spark, documents):
 
     with pytest.raises(ValueError):
         vocab_growth(documents.filter(F.lit(False)))
+
+
+# ------------------------------------------- _kgram_chain property coverage
+
+
+def test_kgram_chain_property_vs_python():
+    """Direct randomized check of the round-7 zip_with k-gram core against
+    a Python reference — the operator-level twins only exercise k ∈ {2, 5};
+    this pins every k in 1..6 across boundary doc lengths (n < k, n = k,
+    n >> k), including empty and single-token docs."""
+    import itertools
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from index_spark.functions.text import word_ngrams_all, word_shingles
+
+    # the spark fixture is function-scoped via conftest; grab the session lazily
+    from index_spark.session import get_spark
+
+    spark = get_spark(app_name="index_spark_tests", shuffle_partitions=8)
+
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [
+        " ".join(ws)
+        for n in range(0, 8)
+        for ws in itertools.islice(itertools.product(words, repeat=min(n, 3)), 4)
+        for _ in [0]
+    ] + ["", "solo", "x y", "a a a a a a a a a a"]
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    for k in range(1, 7):
+        got = {
+            r.doc_id: (list(r.g), sorted(r.s))
+            for r in df.select(
+                "doc_id",
+                word_ngrams_all(F.col("text"), k).alias("g"),
+                word_shingles(F.col("text"), k).alias("s"),
+            ).collect()
+        }
+        for i, text in enumerate(docs):
+            t = text.lower().split()
+            want_g = (
+                [" ".join(t[j : j + k]) for j in range(len(t) - k + 1)]
+                if len(t) >= k
+                else []
+            )
+            # shingles: normalized text == lowered here (ASCII, single spaces);
+            # short docs yield the full token string, empty docs ['']
+            if len(t) == 0:
+                want_s = [""]
+            elif len(t) < k:
+                want_s = [" ".join(t)]
+            else:
+                want_s = sorted(set(want_g))
+            assert got[i][0] == want_g, (k, text, got[i][0])
+            assert got[i][1] == want_s, (k, text, got[i][1])
