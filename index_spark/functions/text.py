@@ -213,17 +213,23 @@ def _kgram_chain(toks: Column, k: int) -> Column:
     )
 
 
-def materialize_tokens(df, text_col: str, keep, alias: str = "__toks"):
-    """Project ``keep`` columns plus the lowercase-whitespace token array
-    of ``text_col`` as ``alias`` — the shared tokenize-and-materialize
-    idiom for operators whose array lambdas need the tokens: a lambda
-    must capture a CHEAP ATTRIBUTE, never the tokenization expression
-    (lambda bodies are excluded from common-subexpression elimination, so
-    a captured ``tokens(lower(text))`` re-runs the regexp per element —
-    the O(n²) round-7 trap). The multi-reference alias survives
-    CollapseProject, so downstream lambdas genuinely read the
-    materialized array."""
-    return df.select(*[F.col(c) for c in keep], tokens(F.lower(F.col(text_col))).alias(alias))
+def materialize_tokens(df, text_col: str, keep, alias: str = "__toks", tok_expr=None):
+    """Project ``keep`` columns plus the token array of ``text_col`` as
+    ``alias`` — the shared tokenize-and-materialize idiom for operators
+    whose array lambdas need the tokens: a lambda must capture a CHEAP
+    ATTRIBUTE, never the tokenization expression (lambda bodies are
+    excluded from common-subexpression elimination, so a captured
+    ``tokens(lower(text))`` re-runs the regexp per element — the O(n²)
+    round-7 trap). The multi-reference alias survives CollapseProject,
+    so downstream lambdas genuinely read the materialized array.
+
+    ``tok_expr`` overrides the tokenization Column (default
+    lowercase-whitespace tokens) — pass the caller module's own rule
+    (e.g. corpusstats' ``_tok_col``) so one definition governs both its
+    expression-level and materialized paths."""
+    if tok_expr is None:
+        tok_expr = tokens(F.lower(F.col(text_col)))
+    return df.select(*[F.col(c) for c in keep], tok_expr.alias(alias))
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:

@@ -86,7 +86,10 @@ def bigram_nll(
     # column + two O(n) slices it is ~2 s). zip_with pairs t[i] with
     # t[i+1] in one pass over the materialized array.
     tokd = TX.materialize_tokens(
-        TX.spread_for_cpu(df.select(F.col(id_col), F.col(text_col))), text_col, [id_col]
+        TX.spread_for_cpu(df.select(F.col(id_col), F.col(text_col))),
+        text_col,
+        [id_col],
+        tok_expr=_tok_col(text_col),  # the module's single tokenization rule
     )
     t = F.col("__toks")
     n = F.size(t)

@@ -266,29 +266,21 @@ def test_vocab_growth_empty_raises(spark, documents):
 # ------------------------------------------- _kgram_chain property coverage
 
 
-def test_kgram_chain_property_vs_python():
-    """Direct randomized check of the round-7 zip_with k-gram core against
-    a Python reference — the operator-level twins only exercise k ∈ {2, 5};
-    this pins every k in 1..6 across boundary doc lengths (n < k, n = k,
-    n >> k), including empty and single-token docs."""
+def test_kgram_chain_property_vs_python(spark):
+    """Direct enumeration check of the round-7 zip_with k-gram core
+    against a Python reference — the operator-level twins only exercise
+    k ∈ {2, 5}; this pins every k in 1..6 across doc lengths 0..7 (so
+    every n < k, n = k, n = k±1 boundary for every k is hit), plus a few
+    degenerate shapes."""
     import itertools
 
-    from hypothesis import HealthCheck, given, settings
-    from hypothesis import strategies as st
-
     from index_spark.functions.text import word_ngrams_all, word_shingles
-
-    # the spark fixture is function-scoped via conftest; grab the session lazily
-    from index_spark.session import get_spark
-
-    spark = get_spark(app_name="index_spark_tests", shuffle_partitions=8)
 
     words = ["aa", "bb", "cc", "dd", "ee"]
     docs = [
         " ".join(ws)
         for n in range(0, 8)
-        for ws in itertools.islice(itertools.product(words, repeat=min(n, 3)), 4)
-        for _ in [0]
+        for ws in itertools.islice(itertools.product(words, repeat=n), 4)
     ] + ["", "solo", "x y", "a a a a a a a a a a"]
     df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
     for k in range(1, 7):
