@@ -62,18 +62,15 @@ def jaccard_join_exact(
     df first yields recall 1.0 and the identical output pair set, which
     the brute-force oracle twin verifies independently of rank order.
     """
-    if not (0.0 < threshold <= 1.0):
-        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    t = float(threshold)
-    # exact ceil(t*n): the double product overshoots for thresholds whose
-    # binary repr exceeds the decimal (0.07*100 = 7.000000000000001 →
-    # ceil 8, silently dropping qualifying pairs); DECIMAL multiplication
-    # uses t's shortest decimal repr, so the ceiling is exact
-    t_dec = F.lit(t).cast("decimal(18,12)")
+    t, ceil_tn, per_doc, n_part = _exact_join_body(docs, text_col, id_col, threshold)
+    return _jaccard_candidates(per_doc, ceil_tn, n_part, t)
 
-    def ceil_tn(n: "F.Column") -> "F.Column":
-        return F.ceil(t_dec * n).cast("long")
 
+def _ranked_doc_sets(docs: DataFrame, text_col: str, id_col: str):
+    """Shared candidate-generation substrate for the exact set joins:
+    per-document SORTED dense-integer token-rank arrays under the global
+    (df, hash-bucket, token) rarity order, plus the pinned shuffle width.
+    Returns ``(per_doc, n_part)`` with ``per_doc = (id, rks, n)``."""
     edges = _token_sets(docs, text_col, id_col)
     # global rarity order as DENSE INTEGER ranks, derived WITHOUT a
     # vocabulary-sized single-task window: bucket the vocabulary by the
@@ -136,6 +133,29 @@ def jaccard_join_exact(
         F.array_sort(F.collect_list("rk")).alias("rks"),
         F.count(F.lit(1)).alias("n"),
     )
+    return per_doc, n_part
+
+
+def _exact_join_body(docs, text_col, id_col, threshold):
+    """Common prologue for the exact set joins: threshold validation,
+    the exact decimal ceil(t·n) (the double product overshoots for
+    thresholds whose binary repr exceeds the decimal — 0.07·100 =
+    7.000000000000001 → ceil 8, silently dropping qualifying pairs;
+    DECIMAL multiplication uses t's shortest decimal repr, so the
+    ceiling is exact), and the shared ranked-doc-set substrate."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = float(threshold)
+    t_dec = F.lit(t).cast("decimal(18,12)")
+
+    def ceil_tn(n):
+        return F.ceil(t_dec * n).cast("long")
+
+    per_doc, n_part = _ranked_doc_sets(docs, text_col, id_col)
+    return t, ceil_tn, per_doc, n_part
+
+
+def _jaccard_candidates(per_doc, ceil_tn, n_part, t):
     prefix_len = (F.col("n") - ceil_tn(F.col("n")) + 1).cast("int")
     pre = per_doc.select(
         "id", "n", F.explode(F.slice("rks", 1, prefix_len)).alias("rk")
@@ -201,6 +221,97 @@ def jaccard_join_bruteforce(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(ratio, 6).alias("jaccard"),
+        )
+    )
+
+
+def containment_join_exact(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All ORDERED pairs (id_a ≠ id_b) with token-set CONTAINMENT
+    ``|T(a) ∩ T(b)| / |T(a)| ≥ threshold`` — EXACT, recall 1.0. The
+    asymmetric near-dup check symmetric Jaccard misses: a short document
+    quoted or embedded inside a much longer one has tiny Jaccard but
+    containment ≈ 1. Returns ``(id_a, id_b, containment)`` rounded to 6:
+    ``id_a`` is the (near-)contained side.
+
+    Prefix principle, containment form: a qualifying pair needs overlap
+    ``o = ceil(t·|A|)``, so A must contribute a match from its first
+    ``|A| − o + 1`` tokens under the global rarity order — the SAME
+    probe-prefix bound as the Jaccard join. The CONTAINING side B,
+    however, has no symmetric prefix: any of A's probe tokens may sit
+    anywhere in B, so B posts its FULL rank list. Candidates =
+    A-prefix ⋈ B-postings on the integer token rank, pruned by the
+    necessary size bound ``|B| ≥ ceil(t·|A|)``; the exact verify then
+    intersects the two rank arrays.
+
+    Scale shape: the probed posting lists are only those of tokens
+    appearing in some A-prefix — the rarest-first order keeps them the
+    SHORT lists; B's full postings are the corpus token table the rank
+    substrate already materializes. Degradation bound: on a corpus whose
+    documents all share one tiny vocabulary, the candidate set
+    approaches all-pairs — but so does the TRUE OUTPUT of any exact
+    containment join there (quadratically many qualifying pairs), so the
+    blow-up is inherent to the answer, not the plan. Same verify-width
+    pinning as the Jaccard join (AQE would bytes-coalesce the CPU-bound
+    intersect stage onto one core).
+    """
+    t, ceil_tn, per_doc, n_part = _exact_join_body(docs, text_col, id_col, threshold)
+    prefix_len = (F.col("n") - ceil_tn(F.col("n")) + 1).cast("int")
+    pre = per_doc.select(
+        "id", "n", F.explode(F.slice("rks", 1, prefix_len)).alias("rk")
+    )
+    allb = per_doc.select("id", "n", F.explode("rks").alias("rk"))
+    a, b = pre.alias("a"), allb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.rk") == F.col("b.rk"))
+            & (F.col("a.id") != F.col("b.id"))
+            & (F.col("b.n") >= ceil_tn(F.col("a.n"))),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    cand = cand.repartition(n_part, "id_a", "id_b")
+    sets = per_doc.select("id", "rks")
+    joined = (
+        cand.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("rks", "ra"), "id_a")
+        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("rks", "rb"), "id_b")
+    )
+    inter = F.size(F.array_intersect("ra", "rb"))
+    # threshold on the UNROUNDED ratio; round only the displayed value
+    ratio = inter.cast("double") / F.size("ra")
+    return (
+        joined.filter(ratio >= t)
+        .select("id_a", "id_b", F.round(ratio, 6).alias("containment"))
+    )
+
+
+def containment_join_bruteforce(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """O(n²) reference implementation for recall testing ONLY."""
+    s = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("s"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    inter = F.size(F.array_intersect("a.s", "b.s"))
+    ratio = inter.cast("double") / F.size("a.s")
+    return (
+        a.join(b, F.col("a.id") != F.col("b.id"))
+        .filter(ratio >= F.lit(float(threshold)))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(ratio, 6).alias("containment"),
         )
     )
 

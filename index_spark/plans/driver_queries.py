@@ -4434,6 +4434,19 @@ def q_set_join_exact(spark, sf_dir):
     return jaccard_join_exact(docs, threshold=0.5)
 
 
+def q_containment_pairs(spark, sf_dir):
+    """EXACT set-containment join (asymmetric near-dup): ordered pairs
+    where ≥90% of A's token set lies inside B's — the quoted/embedded-
+    document case symmetric Jaccard misses. A-prefix ⋈ B-full-postings
+    candidates under the shared rarity-rank substrate; the oracle
+    recomputes every ordered pair brute-force, so a prefix-filter recall
+    miss hash-mismatches."""
+    from index_spark.operators.setjoin import containment_join_exact
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return containment_join_exact(docs, threshold=0.9)
+
+
 def q_ks_drift(spark, sf_dir):
     """Two-sample Kolmogorov-Smirnov drift statistic between early and
     late order cohorts on total price (integer cents): the standard
@@ -6252,6 +6265,16 @@ def build_oracles() -> dict[str, str]:
         "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
         "  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5"
     )
+    out["containment_pairs"] = (
+        "WITH d AS (SELECT doc_id, list_sort(list_distinct("
+        "  regexp_extract_all(lower(text), '\\S+'))) AS s "
+        "  FROM documents WHERE doc_id % 5 = 0) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) "
+        "  AS containment "
+        "FROM d a JOIN d b ON a.doc_id <> b.doc_id "
+        "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.9"
+    )
     out["edit_distance_join"] = (
         "WITH c AS (SELECT c_custkey, lower(c_name) AS t FROM customer "
         "  WHERE c_custkey % 5 = 0) "
@@ -6315,6 +6338,7 @@ _GATE_PRIORITY_R7 = [
     # brand-new in round 7 (no driver row exists yet): FIRST, so even a
     # narrower-than-50 gate window still certifies them this round.
     "bigram_nll", "zipf_fit", "js_sources", "vocab_growth", "heaps_fit",
+    "containment_pairs",
     # r02-latest (41): rollup/cube/set-op/scalar shapes, the text-pipeline
     # originals (minhash/simhash/lang-id/fingerprints), embeddings topk,
     # sampling/packing, streaming, and the end-to-end pipeline.
@@ -6330,13 +6354,12 @@ _GATE_PRIORITY_R7 = [
     "window_count_join", "time_rollup", "events_type_summary",
     "sql_interface", "jsonl_roundtrip", "stream_hourly",
     "stream_sessionize", "stream_join_attrib", "stream_dedup",
-    # r03-latest fills (4): store/temporal paths without a judge-side r6
-    # re-verification (asof_state / asof_join_events /
+    # r03-latest fills (3): store/temporal paths without a judge-side r6
+    # re-verification (asof_lookup / asof_state / asof_join_events /
     # asof_join_tolerance / stream_user_state / csv_roundtrip dropped to
-    # the r8 rotation to keep the list at 50 after the five new round-7
+    # the r8 rotation to keep the list at 50 after the six new round-7
     # queries).
     "seek_pagination", "snapshot_diff", "sharded_time_travel",
-    "asof_lookup",
 ]
 
 
@@ -6431,6 +6454,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_sources": q_js_sources,
         "vocab_growth": q_vocab_growth,
         "heaps_fit": q_heaps_fit,
+        "containment_pairs": q_containment_pairs,
         "kmv_groups": q_kmv_groups,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,

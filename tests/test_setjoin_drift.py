@@ -245,3 +245,57 @@ def test_skyline2d_nan_rows_excluded_not_dominated(spark):
     df = spark.createDataFrame(rows, "id long, x double, y double")
     got = [r.id for r in skyline2d(df, "x", "y").collect()]
     assert got == [1]
+
+
+# ------------------------------------------------------- containment join
+from index_spark.operators.setjoin import (  # noqa: E402
+    containment_join_bruteforce,
+    containment_join_exact,
+)
+
+
+def _cpairs(df):
+    return {(r.id_a, r.id_b, r.containment) for r in df.collect()}
+
+
+def test_containment_join_equals_bruteforce_on_documents(spark, documents):
+    docs = documents.limit(120)
+    for t in (0.6, 0.8, 1.0):
+        assert _cpairs(containment_join_exact(docs, t)) == _cpairs(
+            containment_join_bruteforce(docs, t)
+        ), t
+
+
+def test_containment_join_asymmetric_quote_case(spark):
+    """A short doc embedded in a long one: containment(short→long) = 1.0
+    while Jaccard is far below any useful threshold — the case the
+    operator exists for."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma " + " ".join(f"w{i}" for i in range(40))),
+            (3, "delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = _cpairs(containment_join_exact(docs, 0.9))
+    assert (1, 2, 1.0) in got
+    assert all(p[0] != 3 and p[1] != 3 for p in got)
+    from index_spark.operators.setjoin import jaccard_join_exact
+
+    assert _pairs(jaccard_join_exact(docs, 0.5)) == set()
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(doc_st, min_size=2, max_size=10),
+       t=st.sampled_from([0.5, 0.75, 1.0]))
+def test_containment_join_recall_one_randomized(spark, texts, t):
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    assert _cpairs(containment_join_exact(docs, t)) == _cpairs(
+        containment_join_bruteforce(docs, t)
+    )
+
+
+def test_containment_join_threshold_validation(spark, documents):
+    with pytest.raises(ValueError):
+        containment_join_exact(documents, 0.0)
