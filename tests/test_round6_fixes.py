@@ -158,7 +158,7 @@ def test_weighted_quantiles_error_paths(spark):
 
 
 # --------------------------------------------------- simhash materialization
-def _drain_cache(spark, timeout_s: float = 30.0) -> int:
+def _drain_cache(spark, timeout_s: float = 60.0) -> int:
     """clearCache + wait for the persistent-RDD table to empty:
     Catalog.clearCache() unpersists with blocking=false, so an immediate
     getPersistentRDDs() read can still see entries from EARLIER tests in
@@ -167,6 +167,24 @@ def _drain_cache(spark, timeout_s: float = 30.0) -> int:
     import time
 
     spark.catalog.clearCache()
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        n = spark.sparkContext._jsc.getPersistentRDDs().size()
+        if n == 0:
+            return 0
+        time.sleep(0.2)
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _settle_cache(spark, timeout_s: float = 60.0) -> int:
+    """WAIT-ONLY variant of :func:`_drain_cache` — no clearCache call, so
+    an entry the code under test genuinely leaked stays forever and the
+    caller's == 0 assert still fails; only Spark's own ASYNC removals
+    (clearCache's blocking=false unpersists, ContextCleaner GC-driven
+    unpersists of dereferenced frames from earlier tests) get time to
+    finish. Returns the settled count."""
+    import time
+
     deadline = time.monotonic() + timeout_s
     while time.monotonic() < deadline:
         n = spark.sparkContext._jsc.getPersistentRDDs().size()
@@ -193,12 +211,14 @@ def test_simhash_candidates_materialize_path_no_cache(spark, tmp_base):
         .sort("id_a", "id_b")
         .collect()
     )
-    # identical candidates, and NO new persistent cache entry
+    # identical candidates, and NO new persistent cache entry (settled:
+    # async removals from the shared session get time to finish; a REAL
+    # leak by the materialize path never drains and still fails here)
     assert mat == cached
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert _settle_cache(spark) == 0
     # repeated call with the option set still leaves the cache empty
     simhash_candidates(docs, materialize_path=tmp_base + "/sh2").count()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert _settle_cache(spark) == 0
 
 
 # ------------------------------------------------------- lookup_rows probe
