@@ -291,6 +291,74 @@ def containment_join_exact(
     )
 
 
+def containment_join_exact_ab(
+    a_docs: DataFrame,
+    b_docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CROSS-CORPUS exact containment: pairs ``(id_a from a_docs, id_b
+    from b_docs)`` with ``|T(a) ∩ T(b)| / |T(a)| ≥ threshold`` — the
+    exact decontamination check ("is this held-out document's content
+    inside some training document?"), complementing the probabilistic
+    n-gram `contamination_scan`. Ids must be unique ACROSS both frames
+    (same contract as a union); a doc present in both sides never pairs
+    with itself.
+
+    Same machinery as :func:`containment_join_exact` with the rarity
+    ranks computed over the UNION vocabulary (any consistent rarity
+    order is valid for the bound) — but candidates explode only A-side
+    probe prefixes against only B-side postings, skipping the A×A and
+    B×B work a self-join-then-filter would pay."""
+    union = a_docs.select(F.col(id_col), F.col(text_col)).unionByName(
+        b_docs.select(F.col(id_col), F.col(text_col))
+    )
+    t, ceil_tn, per_doc, n_part = _exact_join_body(union, text_col, id_col, threshold)
+    per_a = per_doc.join(
+        a_docs.select(F.col(id_col).alias("id")).distinct(), "id", "left_semi"
+    )
+    per_b = per_doc.join(
+        b_docs.select(F.col(id_col).alias("id")).distinct(), "id", "left_semi"
+    )
+    return _containment_candidates_verify(per_a, per_b, ceil_tn, n_part, t)
+
+
+def _containment_candidates_verify(per_a, per_b, ceil_tn, n_part, t):
+    """A-prefix ⋈ B-full-postings candidates + exact rank-array verify
+    (shared by the self- and cross-corpus containment joins)."""
+    prefix_len = (F.col("n") - ceil_tn(F.col("n")) + 1).cast("int")
+    pre = per_a.select(
+        "id", "n", F.explode(F.slice("rks", 1, prefix_len)).alias("rk")
+    )
+    allb = per_b.select("id", "n", F.explode("rks").alias("rk"))
+    a, b = pre.alias("a"), allb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.rk") == F.col("b.rk"))
+            & (F.col("a.id") != F.col("b.id"))
+            & (F.col("b.n") >= ceil_tn(F.col("a.n"))),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    cand = cand.repartition(n_part, "id_a", "id_b")
+    sa = per_a.select("id", "rks")
+    sb = per_b.select("id", "rks")
+    joined = (
+        cand.join(sa.withColumnRenamed("id", "id_a").withColumnRenamed("rks", "ra"), "id_a")
+        .join(sb.withColumnRenamed("id", "id_b").withColumnRenamed("rks", "rb"), "id_b")
+    )
+    inter = F.size(F.array_intersect("ra", "rb"))
+    # threshold on the UNROUNDED ratio; round only the displayed value
+    ratio = inter.cast("double") / F.size("ra")
+    return (
+        joined.filter(ratio >= t)
+        .select("id_a", "id_b", F.round(ratio, 6).alias("containment"))
+    )
+
+
 def containment_join_bruteforce(
     docs: DataFrame,
     threshold: float = 0.8,
