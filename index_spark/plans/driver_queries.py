@@ -6322,50 +6322,54 @@ def build_oracles() -> dict[str, str]:
     return out
 
 
-# Round-7 gate rotation (re-certification, not new coverage): the driver's
+# Round-8 gate rotation (re-certification, not new coverage): the driver's
 # correctness gate verifies only the first ~50 build_queries() entries per
-# round.  After the r6 rotation, the stalest evidence is the 41 queries
-# whose latest green driver row is r02 (the `rollup_orders` …
-# `stream_dedup` block plus `pipeline_end_to_end`).  Front-load all 41,
-# then fill the remaining slots with the oldest r03-latest queries —
-# preferring ones the round-6 judge did NOT independently re-verify with
-# its own oracle harness run (store/temporal paths: seek pagination,
-# snapshot diff, sharded time travel, the as-of family, stream state,
-# csv source).  New round-7 queries, if any, go FIRST (a narrower-than-50
-# window must still certify brand-new coverage); r03 fills drop off the
-# end to keep the list at 50.  Round 8 rotates the rest of the r03 cohort.
-_GATE_PRIORITY_R7 = [
-    # brand-new in round 7 (no driver row exists yet): FIRST, so even a
+# round.  After the r7 rotation the stalest evidence is the 47 queries
+# whose latest green driver row is r03 (the as-of/time-travel surface the
+# r7 gate had to bump, plus the round-3 batch blocks); next-oldest is the
+# 12-query r04 cohort.  Front-load all 47, top up with the oldest r04
+# queries, and let r9 finish the r04 cohort — the cadence that keeps all
+# 209 queries' green evidence at most ~3 rounds old under a 50-slot gate.
+# New round-8 queries, if any, go FIRST (a narrower-than-50 window must
+# still certify brand-new coverage); r04 fills drop off the end to keep
+# the list at 50.
+_GATE_PRIORITY_R8 = [
+    # brand-new in round 8 (no driver row exists yet): FIRST, so even a
     # narrower-than-50 gate window still certifies them this round.
-    "bigram_nll", "zipf_fit", "js_sources", "vocab_growth", "heaps_fit",
-    "containment_pairs",
-    # r02-latest (41): rollup/cube/set-op/scalar shapes, the text-pipeline
-    # originals (minhash/simhash/lang-id/fingerprints), embeddings topk,
-    # sampling/packing, streaming, and the end-to-end pipeline.
-    "rollup_orders", "cube_orders", "grouping_sets", "set_ops",
-    "scalar_functions", "median_stats", "array_agg", "distinct_parts",
-    "dedup_exact_groups", "dedup_survivors", "minhash_signatures",
-    "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash16", "text_quality",
-    "lang_id", "doc_fingerprint", "bpe_token_stats", "rolling_fingerprint",
-    "token_stats", "top_bigrams", "vocab_coverage", "cosine_topk",
-    "ivf_label_topk", "pipeline_end_to_end", "multimodal_meta",
-    "frame_plan", "skew_salted_join", "skew_two_phase_agg",
-    "stratified_sample", "pack_sequences", "kmv_distinct",
-    "window_count_join", "time_rollup", "events_type_summary",
-    "sql_interface", "jsonl_roundtrip", "stream_hourly",
-    "stream_sessionize", "stream_join_attrib", "stream_dedup",
-    # r03-latest fills (3): store/temporal paths without a judge-side r6
-    # re-verification (asof_lookup / asof_state / asof_join_events /
-    # asof_join_tolerance / stream_user_state / csv_roundtrip dropped to
-    # the r8 rotation to keep the list at 50 after the six new round-7
-    # queries).
-    "seek_pagination", "snapshot_diff", "sharded_time_travel",
+    # (placeholder — new round-8 queries are inserted here as they land;
+    # each one pushes an r04 fill off the end of the list.)
+    # r03-latest (47, per CORRECTNESS_r01–r07: every query whose LATEST
+    # green driver row is r03).  Leads with the §2.5 time-travel surface
+    # and the six fills the r7 rotation bumped (asof_* / stream_user_state
+    # / csv_roundtrip), then the round-3 batch blocks in catalog order.
+    "asof_lookup", "asof_state", "asof_join_events", "asof_join_tolerance",
+    "stream_user_state", "csv_roundtrip",
+    "near_dedup_survivors", "simhash_block_pairs", "dedup_clusters_star",
+    "window_lag", "events_hourly", "sliding_window", "sessionize",
+    "lsh_sign_topk", "ivf_trained_topk",
+    "repetition_quality", "contamination_scan", "group_percentiles",
+    "incremental_maint", "orc_roundtrip", "tfidf_top_terms",
+    "token_entropy", "weighted_sample", "seek_pagination_df",
+    "zorder_layout", "dup_span_stats", "bloom_prune_join", "unigram_nll",
+    "funnel_steps", "first_seen_users", "pagerank_parts", "profile_orders",
+    "price_histogram", "pii_redaction", "pq_topk", "q4_priority_exists",
+    "q11_important_parts", "q16_supplier_counts", "q17_small_qty_revenue",
+    "q20_volume_suppliers", "q21_waiting_suppliers", "event_transitions",
+    "label_centroids", "kmv_union", "stream_funnel", "triangle_parts",
+    "segment_dedup",
+    # r04-latest fills (3 of 12): oldest cohort after r03, preferring
+    # queries WITHOUT a judge-side r7 oracle re-verification
+    # (full_pipeline / incremental_dedup / split_leakage / equidepth_hist
+    # carry a fresh r7 pass† and wait for r9 with the other r04
+    # leftovers: mor_delete, domain_cap, boolean_retrieval,
+    # winsorized_stats, kmv_groups).
+    "stream_dedup_ingest", "udtf_tokens", "erase_roundtrip",
 ]
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _catalog()
-    ordered = {k: base[k] for k in _GATE_PRIORITY_R7}
+    ordered = {k: base[k] for k in _GATE_PRIORITY_R8}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 
