@@ -354,23 +354,44 @@ def spread_for_cpu(df):
     return df
 
 
-# Logical-plan nodes whose physical realization exchanges data (or, for
-# limits, collapses to one task): their presence means the frame is not a
-# pure scan and the spread_for_cpu probe must not touch .rdd. Matched at
-# NODE-NAME position (start of a tree line, after the `+- ` art) so a
-# column alias like `window_count` in a Project cannot false-positive.
-_SHUFFLE_NODE_RE = re.compile(
-    r"(?m)^[\s:+|-]*(?:Join|Aggregate|Window|Sort|Repartition|"
-    r"RepartitionByExpression|Deduplicate|Intersect|Except|CoGroup|"
-    r"MapGroups|FlatMapGroups|FlatMapGroupsInPandas|"
-    r"FlatMapCoGroupsInPandas|GlobalLimit)\b"
+# Logical-plan nodes that are PROVABLY narrow (scan / per-row map /
+# lateral expand — never an exchange, never a single-task collapse): only
+# a plan built ENTIRELY of these may take the spread_for_cpu .rdd probe.
+# This is an ALLOWLIST, not a shuffle-node denylist, so that any node we
+# have never classified — a future Spark rename, a new grouped-map
+# variant like FlatMapGroupsInPandasWithState — fails SAFE (treated as
+# shuffle-bearing, probe skipped): the r7 denylist regex silently missed
+# the PySpark grouped-map nodes once, and that failure mode reintroduced
+# the eager-AQE-execution bug with no test signal.
+_SPREAD_SAFE_NODES = frozenset(
+    {
+        # leaves
+        "Relation", "LogicalRDD", "LocalRelation", "OneRowRelation",
+        "Range", "ExternalRDD",
+        # per-row / narrow unary ops
+        "Project", "Filter", "Generate", "Sample", "SubqueryAlias",
+        "LocalLimit", "SerializeFromObject", "DeserializeToObject",
+        # Union is narrow (concatenation of children's partitions)
+        "Union",
+    }
 )
+_NODE_NAME_RE = re.compile(r"^[\s:+|-]*'?([A-Za-z][A-Za-z0-9]*)")
 
 
 def _plan_has_shuffle(df) -> bool:
-    """True when ``df``'s optimized logical plan contains any node that
-    plans to an exchange. Plan ANALYSIS/optimization is driver-side and
-    lazy-safe — unlike ``.rdd``/``.queryExecution().executedPlan()``,
-    which finalize AQE and eagerly execute upstream query stages."""
+    """True unless EVERY node of ``df``'s optimized logical plan is a
+    known-narrow node (``_SPREAD_SAFE_NODES``) — i.e. unknown nodes count
+    as shuffles by construction. Plan ANALYSIS/optimization is
+    driver-side and lazy-safe — unlike ``.rdd``/
+    ``.queryExecution().executedPlan()``, which finalize AQE and eagerly
+    execute upstream query stages."""
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    return _SHUFFLE_NODE_RE.search(plan) is not None
+    for line in plan.splitlines():
+        if not line.strip():
+            continue
+        m = _NODE_NAME_RE.match(line)
+        # a line we cannot even parse a node name from (wrapped
+        # continuation, future tree art) also fails safe
+        if m is None or m.group(1) not in _SPREAD_SAFE_NODES:
+            return True
+    return False

@@ -316,11 +316,21 @@ def js_divergence(
 
     Determinism at scale: the Σ runs over the UNION VOCABULARY, which at
     corpus scale cannot be collected into a single sorted fold — instead
-    each term's contribution (a double) is rounded to 12 decimals and
-    summed as ``decimal(38,12)``: decimal addition is integer arithmetic,
-    so the sum is combine-order-independent and engine-exact, while the
-    1e-12 per-term rounding is invisible at the 6-decimal output for any
-    vocabulary below ~1e6 distinct terms per output ulp.
+    each term's contribution (a double) is quantized to an e-12 integer
+    via ``floor(c·1e12 + 0.5)`` and summed as BIGINT: integer addition is
+    combine-order-independent, and the quantizer itself is two correctly-
+    rounded IEEE-754 ops plus floor — BIT-IDENTICAL on any engine given
+    the same input double (unlike round(double, 12), which Spark computes
+    in exact BigDecimal HALF_UP and DuckDB in floating point — a
+    knife-edge tie could flip the 12th digit between engines).  The
+    6-decimal output is likewise derived by integer arithmetic
+    (``floor((Σ+5e5)/1e6)/1e6``), so no cross-engine double rounding
+    remains anywhere in the plan.  Residual cross-engine risk is only the
+    transcendental itself: ``ln`` may differ by an ulp between the JVM
+    and libm, which the e-12 quantization absorbs except on its own
+    boundary (same residual class as the repo's other float rules; the
+    per-term quantization error stays invisible at 6 decimals for any
+    vocabulary below ~1e6 distinct terms per output ulp).
 
     A side with zero tokens makes the distribution undefined — explicit
     ValueError (double division would silently yield NaN, which Spark
@@ -363,10 +373,16 @@ def js_divergence(
         F.when(F.col("na") > 0, F.lit(0.5) * pa * F.log(pa / m)).otherwise(F.lit(0.0))
         + F.when(F.col("nb") > 0, F.lit(0.5) * pb * F.log(pb / m)).otherwise(F.lit(0.0))
     )
+    # per-term JS contribution is ≥ 0 (log-sum inequality), so the
+    # quantized BIGINT sum is ≥ 0 and floor((Σ+5e5)/1e6) is the plain
+    # round-half-up of Σ at 6 decimals
     return merged.select(
         F.col("ta").alias("n_a"),
         F.col("tb").alias("n_b"),
-        F.round(term, 12).cast("decimal(38,12)").alias("__c"),
+        F.floor(term * F.lit(1.0e12) + F.lit(0.5)).alias("__c"),
     ).groupBy("n_a", "n_b").agg(
-        F.round(F.sum("__c").cast("double"), 6).alias("jsd")
+        (
+            F.floor((F.sum("__c") + F.lit(500000)) / F.lit(1000000.0))
+            .cast("long") / F.lit(1.0e6)
+        ).alias("jsd")
     )

@@ -260,35 +260,10 @@ def containment_join_exact(
     intersect stage onto one core).
     """
     t, ceil_tn, per_doc, n_part = _exact_join_body(docs, text_col, id_col, threshold)
-    prefix_len = (F.col("n") - ceil_tn(F.col("n")) + 1).cast("int")
-    pre = per_doc.select(
-        "id", "n", F.explode(F.slice("rks", 1, prefix_len)).alias("rk")
-    )
-    allb = per_doc.select("id", "n", F.explode("rks").alias("rk"))
-    a, b = pre.alias("a"), allb.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.rk") == F.col("b.rk"))
-            & (F.col("a.id") != F.col("b.id"))
-            & (F.col("b.n") >= ceil_tn(F.col("a.n"))),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    cand = cand.repartition(n_part, "id_a", "id_b")
-    sets = per_doc.select("id", "rks")
-    joined = (
-        cand.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("rks", "ra"), "id_a")
-        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("rks", "rb"), "id_b")
-    )
-    inter = F.size(F.array_intersect("ra", "rb"))
-    # threshold on the UNROUNDED ratio; round only the displayed value
-    ratio = inter.cast("double") / F.size("ra")
-    return (
-        joined.filter(ratio >= t)
-        .select("id_a", "id_b", F.round(ratio, 6).alias("containment"))
-    )
+    # Self-corpus = cross-corpus with both sides the same frame (the
+    # shared body's id_a != id_b guard already excludes self-pairs);
+    # keeping ONE copy of the candidate+verify plan prevents drift.
+    return _containment_candidates_verify(per_doc, per_doc, ceil_tn, n_part, t)
 
 
 def containment_join_exact_ab(
@@ -390,6 +365,7 @@ def edit_distance_join(
     text_col: str = "name",
     id_col: str = "id",
     q: int = 2,
+    short_class_cap: int | None = 10_000,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with Levenshtein distance ≤ ``k`` — exact,
     via rare-prefix q-gram filtering (Ed-Join, Xiao et al. 2008; count
@@ -408,8 +384,16 @@ def edit_distance_join(
 
     Strings short enough that the bound collapses (``n <= q - 1 + k·q`` —
     a within-distance pair may share NO gram occurrence) are compared
-    directly against every length-compatible string; that class is tiny.
-    Returns (id_a, id_b, dist)."""
+    directly against every length-compatible string. That fallback is a
+    broadcast nested loop — the RIGHT plan only while the short class is
+    genuinely tiny, so its size is an ENFORCED contract, not an
+    assumption: the operator counts the class eagerly (one cheap
+    pruned-scan job) and raises past ``short_class_cap`` with the
+    escape recipes (a degenerate corpus of two-char strings must not
+    silently go quadratic). Lowering ``q`` moves the cutoff down — at
+    ``q=1`` the class is strings of length ≤ k — or pass
+    ``short_class_cap=None``/a larger cap to accept the quadratic
+    verify knowingly. Returns (id_a, id_b, dist)."""
     if k < 0:
         raise ValueError("k must be >= 0")
     s = df.select(
@@ -481,6 +465,18 @@ def edit_distance_join(
     sa = s.filter(F.col("n") <= t_short).select(
         F.col("id").alias("id_s"), F.col("t").alias("ts"), F.col("n").alias("ns")
     )
+    if short_class_cap is not None:
+        n_short = sa.count()
+        if n_short > short_class_cap:
+            raise ValueError(
+                f"edit_distance_join: {n_short} strings have length <= "
+                f"{t_short} (= q-1+k*q, where the q-gram prefix filter "
+                f"cannot prune) — every length-compatible pair would be "
+                f"verified directly, quadratic in the short class. Lower q "
+                f"(q=1 moves the cutoff to length <= {k}), pre-filter the "
+                f"corpus, or raise short_class_cap "
+                f"(currently {short_class_cap}) to accept the cost."
+            )
     extra = (
         sa.join(
             s,

@@ -6157,14 +6157,19 @@ def build_oracles() -> dict[str, str]:
         "  (SELECT CAST(sum(nb) AS BIGINT) FROM cb) AS tb_n), "
         "m AS (SELECT coalesce(na, 0) AS na, coalesce(nb, 0) AS nb "
         "  FROM ca FULL OUTER JOIN cb USING(t)), "
-        "c AS (SELECT ta_n, tb_n, CAST(round("
+        # floor(c*1e12 + 0.5) / floor((Σ+5e5)/1e6): the SAME correctly-
+        # rounded IEEE ops the Spark plan uses — bit-identical quantizer
+        # on both engines (round(double, 12) is BigDecimal HALF_UP in
+        # Spark but floating-point in DuckDB; see js_divergence docstring)
+        "c AS (SELECT ta_n, tb_n, CAST(floor(("
         "  CASE WHEN na > 0 THEN 0.5 * (CAST(na AS DOUBLE)/ta_n) * "
         "    ln((CAST(na AS DOUBLE)/ta_n) / ((CAST(na AS DOUBLE)/ta_n + CAST(nb AS DOUBLE)/tb_n)/2.0)) "
         "  ELSE 0.0 END + "
         "  CASE WHEN nb > 0 THEN 0.5 * (CAST(nb AS DOUBLE)/tb_n) * "
         "    ln((CAST(nb AS DOUBLE)/tb_n) / ((CAST(na AS DOUBLE)/ta_n + CAST(nb AS DOUBLE)/tb_n)/2.0)) "
-        "  ELSE 0.0 END, 12) AS DECIMAL(38,12)) AS c FROM m, tot) "
-        "SELECT ta_n AS n_a, tb_n AS n_b, round(CAST(sum(c) AS DOUBLE), 6) AS jsd "
+        "  ELSE 0.0 END) * 1e12 + 0.5) AS BIGINT) AS c FROM m, tot) "
+        "SELECT ta_n AS n_a, tb_n AS n_b, "
+        "CAST(floor((sum(c) + 500000) / 1000000.0) AS BIGINT) / 1000000.0 AS jsd "
         "FROM c GROUP BY 1, 2"
     )
     _growth_powers = ", ".join(str(1 << i) for i in range(16))
@@ -6255,9 +6260,12 @@ def build_oracles() -> dict[str, str]:
         "CAST(count(*) AS BIGINT) AS k_used FROM r WHERE rn <= 32 GROUP BY 1"
     )
     out["set_join_exact"] = (
+        # same token-less-doc guard as containment_pairs: two empty docs
+        # would otherwise yield 0/0 = NaN, which DuckDB compares greater
+        # than the threshold (the operator never emits empty docs).
         "WITH d AS (SELECT doc_id, list_sort(list_distinct("
         "  regexp_extract_all(lower(text), '\\S+'))) AS s "
-        "  FROM documents WHERE doc_id % 3 = 0) "
+        "  FROM documents WHERE doc_id % 3 = 0 AND len(trim(text)) > 0) "
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
         "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
         "  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard "
@@ -6266,9 +6274,13 @@ def build_oracles() -> dict[str, str]:
         "  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5"
     )
     out["containment_pairs"] = (
+        # len(s) > 0 mirrors the operator's implicit exclusion of
+        # token-less docs (they never enter per_doc); without it an
+        # empty/whitespace-only doc yields 0/0 here, and DuckDB's NaN
+        # compares GREATER than any threshold — phantom pairs.
         "WITH d AS (SELECT doc_id, list_sort(list_distinct("
         "  regexp_extract_all(lower(text), '\\S+'))) AS s "
-        "  FROM documents WHERE doc_id % 5 = 0) "
+        "  FROM documents WHERE doc_id % 5 = 0 AND len(trim(text)) > 0) "
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
         "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) "
         "  AS containment "
