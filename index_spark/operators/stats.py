@@ -360,45 +360,79 @@ def equidepth_histogram(
     into bin 1 — filter-then-bin is the deterministic, engine-portable
     contract (matches :func:`exact_quantiles` / :func:`winsorized_stats`).
 
-    TWO-LEVEL plan — no global single-task ntile sort: each row's exact
-    global rank comes from range-bucketing the value on DATA-ADAPTIVE
-    sampled cut points (:func:`_adaptive_bucket_expr` — sketch-derived
-    quantile boundaries, so narrow domains like [0, 100) still spread
-    across all buckets), a tiny bucket-counts table whose cumulative sum
-    gives each bucket's rank offset, plus a per-bucket ``row_number``.
-    The bin is then pure rank arithmetic replicating ntile's split (first
-    ``n % bins`` bins get ``n div bins + 1`` rows, the rest
-    ``n div bins``). The only global window is over the bucket table, so
-    the plan survives a 100 TB column."""
+    TWO-LEVEL plan over the ``(value, weight)`` PRE-AGGREGATE — no
+    row-level window anywhere: rows first collapse to one row per
+    distinct value (a partial-agg shuffle, same move as
+    :func:`exact_quantiles`), each value's exact global RANK INTERVAL
+    ``(before, before + w]`` comes from range-bucketing distinct values
+    on DATA-ADAPTIVE sampled cut points (:func:`_adaptive_bucket_expr`)
+    plus a bounded per-bucket running weight, and a value contributes to
+    exactly the bins its interval intersects (a tiny
+    ``sequence(first_bin, last_bin)`` explode — at most
+    ``distinct + bins`` rows corpus-wide). Per-bin counts are ntile's
+    closed-form split (first ``n % bins`` bins hold ``n div bins + 1``
+    rows); lo/hi are min/max over the intersecting values — identical to
+    binning every raw row, because a value's rows occupy precisely its
+    rank interval regardless of ``tie_col`` order.
+
+    The pre-aggregate is what makes the plan heavy-duplicate-proof at
+    100 TB: a value holding 90% of the column is ONE row here (its
+    interval just spans ~90% of the bins), where the previous raw-row
+    formulation concentrated 90% of the table into one bucket's
+    single-task ``row_number`` window (measured: 50M-row probe, round
+    8 — see BASELINE.md §(c))."""
     src = df.filter(F.col(value_col).isNotNull())
     n = src.count()
     q, r = divmod(n, bins)
     cut = r * (q + 1)
-    b = _adaptive_bucket_expr(src, value_col, max(bins, _pick_n_cuts(n)), n_rows=n)
-    keyed = src.select(F.col(value_col), F.col(tie_col), b.alias("__b"))
-    counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    merged = src.groupBy(value_col).agg(F.count(F.lit(1)).alias("__w"))
+    # n (pre-merge) is an upper bound on distinct values; sampling is
+    # disabled because the sketch already runs over the aggregated table
+    b = _adaptive_bucket_expr(merged, value_col, max(bins, _pick_n_cuts(n)), n_rows=None)
+    keyed = merged.select(F.col(value_col), "__w", b.alias("__b"))
+    bw = keyed.groupBy("__b").agg(F.sum("__w").alias("__bw"))
     wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    pre = counts.select(
-        "__b", F.coalesce(F.sum("__c").over(wb), F.lit(0)).alias("__before")
+    pre = bw.select(
+        "__b", F.coalesce(F.sum("__bw").over(wb), F.lit(0)).alias("__bb")
     )
-    win = Window.partitionBy("__b").orderBy(value_col, tie_col)
-    ranked = keyed.join(F.broadcast(pre), "__b").select(
-        F.col(value_col),
-        (F.col("__before") + F.row_number().over(win)).alias("__rank"),
+    win = Window.partitionBy("__b").orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, -1
     )
+    # per distinct value: global rank interval (__before, __before + __w]
+    iv = (
+        keyed.join(F.broadcast(pre), "__b")
+        .withColumn("__before", F.col("__bb") + F.coalesce(F.sum("__w").over(win), F.lit(0)))
+    )
+    def _idiv(a, d: int):
+        # exact integer division for long Columns: double '/' loses
+        # exactness once a/d's rounding error exceeds 1/d (~1e9-row ranks)
+        # — subtracting the remainder first makes the quotient an exact
+        # integer, which double division then returns exactly (< 2^53)
+        return ((a - F.pmod(a, F.lit(d))) / F.lit(d)).cast("long")
+
     if q == 0:
         # fewer rows than bins: ntile gives one row per bin, bin = rank
-        bin_expr = F.col("__rank").cast("int")
+        def bin_of(rank):
+            return rank.cast("int")
     else:
         # exact integer rank→bin arithmetic (ntile's split), no doubles
-        bin_expr = F.expr(
-            f"CASE WHEN __rank <= {cut}L "
-            f"THEN CAST((__rank - 1) div {q + 1}L AS INT) + 1 "
-            f"ELSE {r} + CAST((__rank - {cut}L - 1) div {q}L AS INT) + 1 END"
-        )
-    binned = ranked.select(F.col(value_col), bin_expr.alias("bin"))
-    return binned.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n"),
+        def bin_of(rank):
+            return (
+                F.when(rank <= F.lit(cut), _idiv(rank - 1, q + 1) + 1)
+                .otherwise(F.lit(r) + _idiv(rank - F.lit(cut) - 1, q) + 1)
+            ).cast("int")
+
+    first_b = bin_of(F.col("__before") + 1)
+    last_b = bin_of(F.col("__before") + F.col("__w"))
+    spanned = iv.select(
+        F.col(value_col),
+        F.explode(F.sequence(first_b, last_b)).alias("bin"),
+    )
+    n_of_bin = F.when(F.col("bin") <= F.lit(r), F.lit(q + 1)).otherwise(F.lit(q))
+    if q == 0:
+        n_of_bin = F.lit(1)
+    return spanned.groupBy("bin").agg(
+        F.max(n_of_bin).cast("long").alias("n"),
         F.min(value_col).alias("lo"),
         F.max(value_col).alias("hi"),
     )
