@@ -123,3 +123,58 @@ def first_seen_cumulative(
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    unit_days: int = 7,
+) -> DataFrame:
+    """Cohort retention triangle: users are cohorted by the period (of
+    ``unit_days`` days, epoch-anchored at 1970-01-01) of their FIRST
+    event; for each (cohort, offset) the row reports how many cohort
+    members were active ``offset`` periods later and the retention rate
+    against the cohort's size — the standard growth-analytics view
+    (offset 0 is the cohort size itself by construction: every user is
+    active in their first period).
+
+    Plan shape, scale-first: raw events collapse to DISTINCT
+    (user, period) immediately (one partial-agg shuffle — the only time
+    event-cardinality data moves), the per-user first period is a second
+    aggregate of THAT (user-cardinality), and the triangle is a
+    user-keyed hash join of the two small frames plus one count
+    aggregate. Nothing is per-event after the first aggregate; no
+    count(DISTINCT) window. The epoch-anchored period index (integer
+    ``floor(days_since_epoch / unit)``) keeps the grouping
+    data-independent, so two corpora or engines cohort identically.
+
+    Returns ``(cohort_period BIGINT, period_offset BIGINT,
+    n_active BIGINT, retention DOUBLE)`` with retention rounded to 6."""
+    if unit_days <= 0:
+        raise ValueError("cohort_retention: unit_days must be positive")
+    period = (
+        F.floor(
+            F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date"))
+            / F.lit(unit_days)
+        )
+    ).cast("long")
+    active = events.select(F.col(user_col).alias("__u"), period.alias("__p")).distinct()
+    first = active.groupBy("__u").agg(F.min("__p").alias("__cohort"))
+    tri = (
+        active.join(first, "__u")
+        .groupBy(F.col("__cohort").alias("cohort_period"), (F.col("__p") - F.col("__cohort")).alias("period_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    size = tri.filter(F.col("period_offset") == 0).select(
+        F.col("cohort_period"), F.col("n_active").alias("__size")
+    )
+    return (
+        tri.join(F.broadcast(size), "cohort_period")
+        .select(
+            "cohort_period",
+            "period_offset",
+            "n_active",
+            F.round(F.col("n_active").cast("double") / F.col("__size").cast("double"), 6).alias("retention"),
+        )
+    )

@@ -260,6 +260,154 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str, depth: int = CM
     )
 
 
+# ------------------------------------------------------------- HyperLogLog
+HLL_P = 10
+_HLL_WBITS = 52  # 13 md5 hex chars of rho material
+_HLL_POWERS = [1 << k for k in range(_HLL_WBITS)]
+
+
+def _hll_alpha(m: int) -> float:
+    """Standard HLL bias constant (Flajolet et al. 2007, Fig. 3)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_check_p(p: int) -> int:
+    # j comes from a 12-bit md5 prefix; m must divide 4096 for % m to be
+    # uniform, i.e. any power of two up to 2^12
+    if not 4 <= p <= 12:
+        raise ValueError(f"hll: p must be in [4, 12], got {p}")
+    return 1 << p
+
+
+def hll_registers(
+    df: DataFrame, col: str, group_cols: "tuple[str, ...]" = (), p: int = HLL_P
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007) for ``col``,
+    optionally per group: ``(group..., j, rho)`` with at most ``m = 2^p``
+    rows per group — the third mergeable sketch next to KMV (distinct)
+    and CMS (frequency), and the one whose memory is CONSTANT in both
+    the data and the distinct count (KMV keeps k hashes; HLL keeps m
+    6-bit maxima).
+
+    Determinism/oracle contract (same md5 discipline as
+    :func:`md5_frac` / :func:`cms_hash`): register index j = the 12-bit
+    md5 prefix mod m; rho = leading-zero count of the NEXT 52 hash bits
+    plus one, computed as ``53 - bit_length(w)`` where bit_length is the
+    count of powers of two ≤ w over a LITERAL power array — exact
+    integer comparisons only, no log2/bin() whose engine-specific
+    rounding could knife-edge (w = 0 falls out naturally as rho = 53).
+    Duplicates need no pre-distinct: max(rho) absorbs them.
+
+    Scale shape: one narrow md5 map, one partial-agg shuffle of
+    (group, j, rho) triples, ≤ m rows per group out — a 100 TB column
+    sketches into 2^p rows."""
+    m = _hll_check_p(p)
+    x = F.md5(F.col(col).cast("string"))
+    j = (F.conv(F.substring(x, 1, 3), 16, 10).cast("long") % m).alias("j")
+    w = F.conv(F.substring(x, 4, 13), 16, 10).cast("long")
+    bitlen = F.size(F.filter(F.lit(_HLL_POWERS), lambda pw: pw <= w))
+    rho = (F.lit(_HLL_WBITS + 1) - bitlen).cast("int").alias("rho")
+    g = [F.col(c) for c in group_cols]
+    return (
+        df.select(*g, j, rho)
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(
+    sketches: "list[DataFrame]", group_cols: "tuple[str, ...]" = ()
+) -> DataFrame:
+    """Register-wise max: the sketch of the UNION — store one register
+    table per day/source/shard, merge later without rescanning (the
+    merge is exact: max is associative/commutative/idempotent, so
+    merge(sketch(A), sketch(B)) is BIT-IDENTICAL to sketch(A ∪ B))."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*group_cols, "j").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: "tuple[str, ...]" = (), p: int = HLL_P
+) -> DataFrame:
+    """Distinct-count estimate from a register table:
+    ``alpha_m · m² / Σ 2^-rho`` with the standard small-range linear
+    counting correction (E ≤ 2.5m and empty registers exist →
+    ``m·ln(m/V)``). The harmonic sum is EXACT integer arithmetic on both
+    engines: Σ 2^-rho is computed as ``Σ 2^(53-rho) / 2^53`` where every
+    term is a BIGINT shift (rho ≤ 53), and the single division by the
+    exact total happens once, in IEEE double, identically everywhere.
+    The only transcendental is the linear-counting ``ln``, whose ≤1-ulp
+    engine spread the integer rounding of the estimate absorbs except on
+    an astronomically thin boundary (same residual class as the
+    documented js_divergence rule).
+
+    Returns ``(group..., est_distinct BIGINT, n_registers BIGINT)``."""
+    m = _hll_check_p(p)
+    a_m2_s = _hll_alpha(m) * m * m * float(1 << (_HLL_WBITS + 1))
+    term = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_WBITS + 1} - rho AS INT))"
+    )
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__cnt"), F.sum(term).alias("__s")
+    )
+    s_total = (
+        F.col("__s")
+        + (F.lit(m) - F.col("__cnt")) * F.lit(1 << (_HLL_WBITS + 1))
+    ).cast("double")
+    e_raw = F.lit(a_m2_s) / s_total
+    v = (F.lit(m) - F.col("__cnt")).cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (F.col("__cnt") < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return agg.select(
+        *group_cols,
+        F.floor(est + F.lit(0.5)).cast("long").alias("est_distinct"),
+        F.col("__cnt").cast("long").alias("n_registers"),
+    )
+
+
+def sql_hll_estimate(
+    table: str, col: str, group_cols: "tuple[str, ...]" = (), p: int = HLL_P
+) -> str:
+    """Exact DuckDB twin of hll_registers → hll_estimate: identical hex
+    slicing, the same literal power array for bit_length, the same exact
+    BIGINT harmonic total, the same double formula with the same alpha
+    literal — generated from ONE place so the two engines cannot
+    drift."""
+    m = _hll_check_p(p)
+    a_m2_s = repr(_hll_alpha(m) * m * m * float(1 << (_HLL_WBITS + 1)))
+    powers = ", ".join(str(v) for v in _HLL_POWERS)
+    g = ", ".join(group_cols)
+    g_pre = (g + ", ") if g else ""
+    return (
+        f"WITH hx AS (SELECT {g_pre}md5(CAST({col} AS VARCHAR)) AS h FROM {table}), "
+        f"hb AS (SELECT {g_pre}"
+        f"  CAST(('0x'||substr(h,1,3))::BIGINT % {m} AS BIGINT) AS j, "
+        f"  ('0x'||substr(h,4,13))::BIGINT AS w FROM hx), "
+        f"hr AS (SELECT {g_pre}j, max({_HLL_WBITS + 1} - len(list_filter([{powers}], "
+        f"  pw -> pw <= w))) AS rho FROM hb GROUP BY {', '.join([*group_cols, 'j'])}), "
+        f"ha AS (SELECT {g_pre}count(*) AS cnt, "
+        f"  sum(1::BIGINT << CAST({_HLL_WBITS + 1} - rho AS INTEGER)) AS s "
+        f"  FROM hr{(' GROUP BY ' + g) if g else ''}), "
+        f"he AS (SELECT {g_pre}cnt, CAST(s + ({m} - cnt) * "
+        f"  (1::BIGINT << {_HLL_WBITS + 1}) AS DOUBLE) AS st FROM ha) "
+        f"SELECT {g_pre}CAST(floor(CASE WHEN ({a_m2_s} / st) <= {2.5 * m!r} "
+        f"  AND cnt < {m} "
+        f"  THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - cnt AS DOUBLE)) "
+        f"  ELSE {a_m2_s} / st END + 0.5) AS BIGINT) AS est_distinct, "
+        f"CAST(cnt AS BIGINT) AS n_registers FROM he"
+    )
+
+
 # ----------------------------------------------------- epoch shuffle / mixing
 def epoch_shuffle_key(key_col, epoch: int):
     """Deterministic per-epoch shuffle key: the md5 28-bit prefix of

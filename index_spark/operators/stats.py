@@ -692,3 +692,71 @@ def ks_drift(
         ).alias("__g"),
     )
     return gaps.groupBy("n_a", "n_b").agg(F.round(F.max("__g"), 6).alias("d_stat"))
+
+
+def grouped_linear_trend(
+    df: DataFrame,
+    group_cols: "Sequence[str]",
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line of ``y`` on ``x`` — the
+    trend report a monitoring/curation pipeline runs over every segment
+    at once (revenue slope per priority class, volume drift per source)
+    — via EXACT integer sufficient statistics: one aggregate computes
+    (n, Σx, Σy, Σxy, Σx², Σy²) per group as ``decimal(38,0)`` (DuckDB:
+    HUGEINT — both integer-exact, combine-order-independent), and the
+    closed-form slope/intercept/r² are derived from those exact integers
+    in a fixed double expression identical on both engines. No window,
+    no iteration, no float accumulation anywhere: ONE partial-agg
+    shuffle regardless of group count or rows — at 100 TB this is the
+    cheapest shape a regression can take.
+
+    Both columns must be integral (cents, days, counts) — the exactness
+    contract is what lets the oracle hash-match; a double input would
+    reintroduce combine-order float sums, so it raises.
+
+    Groups with zero x-variance (a single distinct x) admit no line and
+    are EXCLUDED; constant-y groups get r² = NULL (0/0 in the definition).
+    Returns ``(group..., n_points BIGINT, slope, intercept, r2)``
+    rounded to 6 decimals."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    for c in (x_col, y_col):
+        t = df.schema[c].dataType
+        if not isinstance(t, (ByteType, ShortType, IntegerType, LongType)):
+            raise ValueError(
+                f"grouped_linear_trend: {c} must be integral (got {t.simpleString()}); "
+                "pre-convert money to cents / dates to day numbers"
+            )
+    dx = F.col(x_col).cast("decimal(38,0)")
+    dy = F.col(y_col).cast("decimal(38,0)")
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(dx).alias("__sx"),
+        F.sum(dy).alias("__sy"),
+        F.sum(dx * dy).alias("__sxy"),
+        F.sum(dx * dx).alias("__sxx"),
+        F.sum(dy * dy).alias("__syy"),
+    )
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    deny = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    num_d, den_d, deny_d = (c.cast("double") for c in (num, den, deny))
+    slope = num_d / den_d
+    intercept = (
+        F.col("__sy").cast("double") - slope * F.col("__sx").cast("double")
+    ) / F.col("__n").cast("double")
+    r2 = (num_d * num_d) / (den_d * deny_d)
+    return (
+        stats.filter(den != F.lit(0))
+        .select(
+            *group_cols,
+            F.col("__n").cast("long").alias("n_points"),
+            F.round(slope, 6).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+            F.when(deny == F.lit(0), F.lit(None).cast("double"))
+            .otherwise(F.round(r2, 6))
+            .alias("r2"),
+        )
+    )

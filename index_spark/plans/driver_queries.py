@@ -4447,6 +4447,58 @@ def q_containment_pairs(spark, sf_dir):
     return containment_join_exact(docs, threshold=0.9)
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct users per event type — the constant-memory
+    mergeable twin of `kmv_groups` (KMV keeps k hashes; HLL keeps 2^p
+    register maxima, so sketch size is independent of BOTH data volume
+    and cardinality). Registers, harmonic total, and the estimate are
+    deterministic md5/integer arithmetic; the oracle replays every
+    register and the same double formula (sql_hll_estimate — generated
+    from the SAME constants, so the engines cannot drift)."""
+    from index_spark.operators.sampling import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_estimate(hll_registers(ev, "user_id", ("event_type",)), ("event_type",))
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Daily cohort retention triangle over the events table: users
+    cohorted by the epoch-anchored day of their first event; each
+    (cohort, offset) row counts still-active members and the retention
+    rate vs the cohort's size. Events collapse to distinct (user, day)
+    in the FIRST aggregate — nothing downstream is per-event — and no
+    count(DISTINCT) window appears anywhere. (Daily units give the
+    fixtures a real triangle; at corpus scale pass unit_days=7/30.)"""
+    from index_spark.operators.funnel import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, unit_days=1)
+
+
+def q_priority_trend(spark, sf_dir):
+    """Per-priority revenue trend: OLS slope/intercept/r² of daily order
+    revenue (exact integer cents) on the day number, per order priority —
+    ONE aggregate of exact decimal sufficient statistics per group
+    (grouped_linear_trend), closed-form doubles only at the very end.
+    The day pre-aggregate keeps x/y magnitudes small and point counts
+    bounded by the calendar."""
+    from index_spark.operators.stats import grouped_linear_trend
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderpriority"),
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).cast("long").alias("x"),
+            _cents(F.col("o_totalprice")).alias("__c"),
+        )
+        .groupBy("o_orderpriority", "x")
+        .agg(F.sum("__c").alias("y"))
+    )
+    return grouped_linear_trend(daily, ["o_orderpriority"], "x", "y")
+
+
 def q_ks_drift(spark, sf_dir):
     """Two-sample Kolmogorov-Smirnov drift statistic between early and
     late order cohorts on total price (integer cents): the standard
@@ -6208,6 +6260,47 @@ def build_oracles() -> dict[str, str]:
         "  / ((sxx - sx*sx/CAST(n AS DOUBLE)) * (syy - sy*sy/CAST(n AS DOUBLE))), 6) AS r2 "
         "FROM s"
     )
+    # round-8: the HLL twin is GENERATED from the operator's own
+    # constants (alpha literal, power array, hex slicing) — one source of
+    # truth for both engines
+    from index_spark.operators.sampling import sql_hll_estimate
+
+    out["hll_distinct"] = sql_hll_estimate("events", "user_id", ("event_type",))
+    out["cohort_retention"] = (
+        "WITH a AS (SELECT DISTINCT user_id AS u, CAST(floor("
+        "  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 1.0) "
+        "  AS BIGINT) AS p FROM events), "
+        "f AS (SELECT u, min(p) AS c FROM a GROUP BY 1), "
+        "t AS (SELECT c AS cohort_period, a.p - f.c AS period_offset, "
+        "  CAST(count(*) AS BIGINT) AS n_active FROM a JOIN f USING (u) "
+        "  GROUP BY 1, 2), "
+        "sz AS (SELECT cohort_period, n_active AS s FROM t WHERE period_offset = 0) "
+        "SELECT t.cohort_period, t.period_offset, t.n_active, "
+        "round(CAST(t.n_active AS DOUBLE) / CAST(sz.s AS DOUBLE), 6) AS retention "
+        "FROM t JOIN sz USING (cohort_period)"
+    )
+    out["priority_trend"] = (
+        # same fixed expression tree as grouped_linear_trend: exact
+        # integer sufficient stats (HUGEINT here, decimal(38,0) in
+        # Spark), doubles only in the final closed form, identical
+        # parenthesization
+        "WITH d AS (SELECT o_orderpriority, "
+        "  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x, "
+        f"  sum({_sql_cents('o_totalprice')}) AS y FROM orders GROUP BY 1, 2), "
+        "s AS (SELECT o_orderpriority, count(*) AS n, sum(x) AS sx, "
+        "  sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy "
+        "  FROM d GROUP BY 1) "
+        "SELECT o_orderpriority, CAST(n AS BIGINT) AS n_points, "
+        "round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope, "
+        "round((CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE) "
+        "  / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE)) "
+        "  / CAST(n AS DOUBLE), 6) AS intercept, "
+        "CASE WHEN n*syy - sy*sy = 0 THEN NULL ELSE "
+        "round((CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)) "
+        "  / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) "
+        "END AS r2 "
+        "FROM s WHERE n*sxx - sx*sx <> 0"
+    )
     out["ohlc_hourly"] = (
         "WITH e AS (SELECT event_type, epoch_us(ts)//3600000000 AS h, value, "
         "  epoch_us(ts) AS tu, event_id, "
@@ -6348,8 +6441,7 @@ def build_oracles() -> dict[str, str]:
 _GATE_PRIORITY_R8 = [
     # brand-new in round 8 (no driver row exists yet): FIRST, so even a
     # narrower-than-50 gate window still certifies them this round.
-    # (placeholder — new round-8 queries are inserted here as they land;
-    # each one pushes an r04 fill off the end of the list.)
+    "hll_distinct", "cohort_retention", "priority_trend",
     # r03-latest (47, per CORRECTNESS_r01–r07: every query whose LATEST
     # green driver row is r03).  Leads with the §2.5 time-travel surface
     # and the six fills the r7 rotation bumped (asof_* / stream_user_state
@@ -6369,13 +6461,10 @@ _GATE_PRIORITY_R8 = [
     "q20_volume_suppliers", "q21_waiting_suppliers", "event_transitions",
     "label_centroids", "kmv_union", "stream_funnel", "triangle_parts",
     "segment_dedup",
-    # r04-latest fills (3 of 12): oldest cohort after r03, preferring
-    # queries WITHOUT a judge-side r7 oracle re-verification
-    # (full_pipeline / incremental_dedup / split_leakage / equidepth_hist
-    # carry a fresh r7 pass† and wait for r9 with the other r04
-    # leftovers: mor_delete, domain_cap, boolean_retrieval,
-    # winsorized_stats, kmv_groups).
-    "stream_dedup_ingest", "udtf_tokens", "erase_roundtrip",
+    # (the 3 r04 fills the pre-new-query draft carried —
+    # stream_dedup_ingest / udtf_tokens / erase_roundtrip — dropped off
+    # the end when the three round-8 queries landed; the full 12-query
+    # r04 cohort is the r9 rotation, per the documented cadence.)
 ]
 
 
@@ -6471,6 +6560,10 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "heaps_fit": q_heaps_fit,
         "containment_pairs": q_containment_pairs,
+        # round-8 additions: HLL sketch, cohort retention, grouped OLS
+        "hll_distinct": q_hll_distinct,
+        "cohort_retention": q_cohort_retention,
+        "priority_trend": q_priority_trend,
         "kmv_groups": q_kmv_groups,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,
