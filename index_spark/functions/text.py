@@ -365,17 +365,26 @@ def spread_for_cpu(df):
 # the eager-AQE-execution bug with no test signal.
 _SPREAD_SAFE_NODES = frozenset(
     {
-        # leaves
-        "Relation", "LogicalRDD", "LocalRelation", "OneRowRelation",
-        "Range", "ExternalRDD",
+        # leaves (RelationV2 = any DSv2 scan; InMemoryRelation = a cached
+        # frame — both provably narrow, and missing them costs callers an
+        # unconditional repartition of already-wide frames)
+        "Relation", "RelationV2", "InMemoryRelation", "LogicalRDD",
+        "LocalRelation", "OneRowRelation", "Range", "ExternalRDD",
         # per-row / narrow unary ops
         "Project", "Filter", "Generate", "Sample", "SubqueryAlias",
         "LocalLimit", "SerializeFromObject", "DeserializeToObject",
         # Union is narrow (concatenation of children's partitions)
         "Union",
+        # PHYSICAL nodes: InMemoryRelation prints its cached physical
+        # plan as child lines — allow the narrow ones (a cached frame
+        # whose plan holds an Exchange/AQEShuffleRead still fails safe:
+        # those names are absent here)
+        "FileScan", "ColumnarToRow", "InputAdapter", "Scan",
+        "WholeStageCodegen",
     }
 )
-_NODE_NAME_RE = re.compile(r"^[\s:+|-]*'?([A-Za-z][A-Za-z0-9]*)")
+# tree art may include the WholeStageCodegen star marker `*(n) `
+_NODE_NAME_RE = re.compile(r"^[\s:+|\-*()0-9]*'?([A-Za-z][A-Za-z0-9]*)")
 
 
 def _plan_has_shuffle(df) -> bool:

@@ -166,15 +166,17 @@ def cohort_retention(
         .groupBy(F.col("__cohort").alias("cohort_period"), (F.col("__p") - F.col("__cohort")).alias("period_offset"))
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
-    size = tri.filter(F.col("period_offset") == 0).select(
-        F.col("cohort_period"), F.col("n_active").alias("__size")
-    )
-    return (
-        tri.join(F.broadcast(size), "cohort_period")
-        .select(
-            "cohort_period",
-            "period_offset",
-            "n_active",
-            F.round(F.col("n_active").cast("double") / F.col("__size").cast("double"), 6).alias("retention"),
-        )
+    # cohort size via a window over the TINY triangle (≤ periods² rows):
+    # a tri.filter(offset == 0) self-join would re-plan the whole
+    # active/first/tri subtree a second time per action (ReuseExchange
+    # dedupes the event shuffle files, not the downstream join + agg)
+    w = Window.partitionBy("cohort_period")
+    size = F.max(F.when(F.col("period_offset") == 0, F.col("n_active"))).over(w)
+    return tri.select(
+        "cohort_period",
+        "period_offset",
+        "n_active",
+        F.round(F.col("n_active").cast("double") / size.cast("double"), 6).alias(
+            "retention"
+        ),
     )

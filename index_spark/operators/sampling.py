@@ -352,15 +352,21 @@ def hll_estimate(
     Returns ``(group..., est_distinct BIGINT, n_registers BIGINT)``."""
     m = _hll_check_p(p)
     a_m2_s = _hll_alpha(m) * m * m * float(1 << (_HLL_WBITS + 1))
+    # per-term 2^(53-rho) fits BIGINT (rho >= 1 for present registers),
+    # but the TOTAL with the empty-register fill reaches m * 2^53 = up to
+    # 2^65 at p=12 — sum and fill in decimal(38,0) (DuckDB twin:
+    # HUGEINT), or silent long wrap-around would corrupt every p >= 11
+    # estimate (review finding, round 8)
     term = F.expr(
         f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_WBITS + 1} - rho AS INT))"
-    )
+    ).cast("decimal(38,0)")
     agg = registers.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("__cnt"), F.sum(term).alias("__s")
     )
     s_total = (
         F.col("__s")
-        + (F.lit(m) - F.col("__cnt")) * F.lit(1 << (_HLL_WBITS + 1))
+        + (F.lit(m) - F.col("__cnt")).cast("decimal(38,0)")
+        * F.lit(1 << (_HLL_WBITS + 1)).cast("decimal(38,0)")
     ).cast("double")
     e_raw = F.lit(a_m2_s) / s_total
     v = (F.lit(m) - F.col("__cnt")).cast("double")
@@ -396,10 +402,11 @@ def sql_hll_estimate(
         f"hr AS (SELECT {g_pre}j, max({_HLL_WBITS + 1} - len(list_filter([{powers}], "
         f"  pw -> pw <= w))) AS rho FROM hb GROUP BY {', '.join([*group_cols, 'j'])}), "
         f"ha AS (SELECT {g_pre}count(*) AS cnt, "
-        f"  sum(1::BIGINT << CAST({_HLL_WBITS + 1} - rho AS INTEGER)) AS s "
+        f"  sum(CAST(1::BIGINT << CAST({_HLL_WBITS + 1} - rho AS INTEGER) "
+        f"    AS HUGEINT)) AS s "
         f"  FROM hr{(' GROUP BY ' + g) if g else ''}), "
-        f"he AS (SELECT {g_pre}cnt, CAST(s + ({m} - cnt) * "
-        f"  (1::BIGINT << {_HLL_WBITS + 1}) AS DOUBLE) AS st FROM ha) "
+        f"he AS (SELECT {g_pre}cnt, CAST(s + ({m} - cnt)::HUGEINT * "
+        f"  (1::HUGEINT << {_HLL_WBITS + 1}) AS DOUBLE) AS st FROM ha) "
         f"SELECT {g_pre}CAST(floor(CASE WHEN ({a_m2_s} / st) <= {2.5 * m!r} "
         f"  AND cnt < {m} "
         f"  THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - cnt AS DOUBLE)) "

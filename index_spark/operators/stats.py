@@ -729,6 +729,29 @@ def grouped_linear_trend(
                 f"grouped_linear_trend: {c} must be integral (got {t.simpleString()}); "
                 "pre-convert money to cents / dates to day numbers"
             )
+    # LOUD overflow guard (review finding, round 8): a decimal(38,0)
+    # overflow in Spark's non-ANSI arithmetic yields NULL, which the
+    # den != 0 filter would silently DROP (the DuckDB twin raises on the
+    # same input — engine divergence). One cheap global aggregate bounds
+    # every downstream product: |num| <= 2·n²·max|x|·max|y|,
+    # |den| <= 2·n²·max|x|², |deny| <= 2·n²·max|y|² — all < 10^38 or we
+    # refuse with the rescale recipe (days not microseconds, cents not
+    # micro-cents). n is the GLOBAL row count — conservative per group.
+    bounds = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.abs(F.col(x_col).cast("decimal(38,0)"))).alias("mx"),
+        F.max(F.abs(F.col(y_col).cast("decimal(38,0)"))).alias("my"),
+    ).first()
+    if bounds["n"]:
+        n_all = int(bounds["n"])
+        mmax = max(int(bounds["mx"] or 0), int(bounds["my"] or 0), 1)
+        if 2 * n_all * n_all * mmax * mmax >= 10**38:
+            raise ValueError(
+                "grouped_linear_trend: sufficient statistics could overflow "
+                f"decimal(38,0) (rows={n_all}, max|x|,|y|={mmax}); rescale the "
+                "inputs (e.g. days instead of microseconds, cents instead of "
+                "micro-cents) or pre-aggregate per x"
+            )
     dx = F.col(x_col).cast("decimal(38,0)")
     dy = F.col(y_col).cast("decimal(38,0)")
     stats = df.groupBy(*group_cols).agg(

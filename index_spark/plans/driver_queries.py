@@ -6358,7 +6358,7 @@ def build_oracles() -> dict[str, str]:
         # than the threshold (the operator never emits empty docs).
         "WITH d AS (SELECT doc_id, list_sort(list_distinct("
         "  regexp_extract_all(lower(text), '\\S+'))) AS s "
-        "  FROM documents WHERE doc_id % 3 = 0 AND len(trim(text)) > 0) "
+        "  FROM documents WHERE doc_id % 3 = 0 AND regexp_matches(text, '\S')) "
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
         "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
         "  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard "
@@ -6367,13 +6367,13 @@ def build_oracles() -> dict[str, str]:
         "  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5"
     )
     out["containment_pairs"] = (
-        # len(s) > 0 mirrors the operator's implicit exclusion of
+        # regexp_matches(text, '\\S') mirrors the operator's implicit exclusion of
         # token-less docs (they never enter per_doc); without it an
         # empty/whitespace-only doc yields 0/0 here, and DuckDB's NaN
         # compares GREATER than any threshold — phantom pairs.
         "WITH d AS (SELECT doc_id, list_sort(list_distinct("
         "  regexp_extract_all(lower(text), '\\S+'))) AS s "
-        "  FROM documents WHERE doc_id % 5 = 0 AND len(trim(text)) > 0) "
+        "  FROM documents WHERE doc_id % 5 = 0 AND regexp_matches(text, '\S')) "
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
         "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) "
         "  AS containment "

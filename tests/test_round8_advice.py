@@ -79,12 +79,30 @@ def test_plan_classifier_allowlist_is_authoritative():
     shows up in review: every entry must be one of the audited narrow
     nodes."""
     audited = {
-        "Relation", "LogicalRDD", "LocalRelation", "OneRowRelation",
-        "Range", "ExternalRDD", "Project", "Filter", "Generate", "Sample",
+        "Relation", "RelationV2", "InMemoryRelation", "LogicalRDD",
+        "LocalRelation", "OneRowRelation", "Range", "ExternalRDD",
+        "Project", "Filter", "Generate", "Sample",
         "SubqueryAlias", "LocalLimit", "SerializeFromObject",
         "DeserializeToObject", "Union",
+        # narrow PHYSICAL nodes (InMemoryRelation embeds its cached plan)
+        "FileScan", "ColumnarToRow", "InputAdapter", "Scan",
+        "WholeStageCodegen",
     }
     assert TX._SPREAD_SAFE_NODES == frozenset(audited)
+
+
+def test_plan_classifier_cached_frame_allows_probe(spark, documents):
+    """A persisted scan plans as InMemoryRelation — narrow; without it on
+    the allowlist spread_for_cpu would unconditionally round-robin an
+    already-wide cached corpus (the 1.5-2x regression its own docstring
+    measures)."""
+    cached = documents.select("doc_id", "text").persist()
+    try:
+        cached.count()
+        assert not TX._plan_has_shuffle(cached)
+        assert not TX._plan_has_shuffle(cached.filter(F.col("doc_id") > 2))
+    finally:
+        cached.unpersist()
 
 
 # ------------------------------------- 2. edit-distance short-class guard
@@ -153,7 +171,10 @@ def test_containment_oracle_excludes_tokenless_docs(spark, tmp_path):
     never produces."""
     rows = [
         (10, "   ", "s", "en"),
-        (20, "", "s", "en"),
+        # tab/newline-only: DuckDB trim() strips only spaces, so a
+        # len(trim(text)) guard passes this doc and reproduces the NaN
+        # phantom pair — the guard must be regexp_matches(text, '\\S')
+        (20, "\t\n", "s", "en"),
         (5, "alpha beta gamma", "s", "en"),
         (15, "alpha beta gamma delta", "s", "en"),
     ]
@@ -167,7 +188,7 @@ def test_containment_oracle_excludes_tokenless_docs(spark, tmp_path):
 def test_set_join_oracle_excludes_tokenless_docs(spark, tmp_path):
     rows = [
         (0, " ", "s", "en"),
-        (3, "", "s", "en"),
+        (3, "\n\t ", "s", "en"),
         (6, "alpha beta", "s", "en"),
         (9, "alpha beta", "s", "en"),
     ]

@@ -78,6 +78,19 @@ def test_hll_merge_equals_sketch_of_union(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
 
 
+def test_hll_p12_no_overflow(spark):
+    """Review finding (round 8): at p=12 the empty-register fill term
+    (m - cnt)·2^53 exceeds int64 whenever >1023 registers are empty —
+    a long sum silently wrapped while the HUGEINT oracle raised. The
+    decimal total must match the arbitrary-precision Python model."""
+    keys = [f"v{i}" for i in range(2800)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    est = hll_estimate(hll_registers(df, "k", p=12), p=12).first()["est_distinct"]
+    want = _py_estimate(_py_registers(keys, p=12), p=12)
+    assert est == want
+    assert abs(est - 2800) / 2800 < 0.1, est
+
+
 def test_hll_p_validation(spark):
     df = spark.createDataFrame([("a",)], "k string")
     with pytest.raises(ValueError):

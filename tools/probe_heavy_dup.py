@@ -80,14 +80,24 @@ def main() -> None:
     hist = {r["bin"]: (r["n"], r["lo"], r["hi"]) for r in
             equidepth_histogram(df, "v", "id", bins=args.bins).collect()}
     t_hist = time.time() - t0
-    per_bin = n // args.bins
-    heavy_bins = heavy_n // per_bin  # bins fully inside 42's rank interval
+    # ntile's split: first r bins hold q+1 rows, the rest q — valid for
+    # ANY --bins, not just divisors of --rows
+    q, r = divmod(n, args.bins)
+
+    def bin_bounds(b):  # rank interval (start, end] of bin b
+        if b <= r:
+            start = (b - 1) * (q + 1)
+            return start, start + q + 1
+        start = r * (q + 1) + (b - 1 - r) * q
+        return start, start + q
+
     assert len(hist) == args.bins
     for b, (cnt, lo, hi) in hist.items():
-        assert cnt == per_bin, (b, cnt)
-        if b <= heavy_bins:
+        start, end = bin_bounds(b)
+        assert cnt == end - start, (b, cnt, end - start)
+        if end <= heavy_n:  # bin fully inside 42's rank interval
             assert lo == HEAVY and hi == HEAVY, (b, lo, hi)
-        else:
+        elif start >= heavy_n:  # fully in the tail
             assert lo >= TAIL_BASE, (b, lo)
 
     print(
