@@ -386,3 +386,86 @@ def js_divergence(
             .cast("long") / F.lit(1.0e6)
         ).alias("jsd")
     )
+
+
+def pmi_top_pairs(
+    df: DataFrame,
+    top_k: int = 20,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_k`` adjacent-word collocations by pointwise mutual
+    information — the corpus-health view of its multiword units (strong
+    natural collocations like proper names rank high; a template flood
+    shows as a wall of near-identical boilerplate pairs):
+
+        pmi(w1, w2) = ln( (c12/N2) / ((c1/N1)·(c2/N1)) )
+
+    with c12 the corpus count of the adjacent pair, N2 total bigrams, c1/c2
+    unigram counts, N1 total tokens. The ratio is assembled as ONE exact
+    integer fraction — ``(c12·N1·N1) / (N2·c1·c2)`` in decimal(38,0)
+    (HUGEINT in the oracle) — so the only doubles are the final division
+    and ``ln``, identical-input IEEE ops on both engines. ``min_count``
+    floors c12 (hapax pairs have wildly inflated PMI — the standard
+    Church & Hanks 1990 guard).
+
+    Plan shape: the same map-side adjacent-pair zip as
+    :func:`bigram_nll` (materialized token array, no self-join, no
+    re-tokenize-per-element), one (w1, w2) hash agg, one (token) hash
+    agg, two unhinted hash joins on the unigram vocabulary (broadcast
+    only when AQE measures it small — a web-scale vocabulary is not),
+    and a TakeOrderedAndProject top-k on (rounded pmi desc, w1, w2) —
+    no global sort.
+
+    Returns ``(w1, w2, c12 BIGINT, pmi DOUBLE)`` rounded to 6."""
+    if min_count < 1:
+        raise ValueError("pmi_top_pairs: min_count must be >= 1")
+    tokd = TX.materialize_tokens(
+        TX.spread_for_cpu(df.select(F.col(id_col), F.col(text_col))),
+        text_col,
+        [id_col],
+        tok_expr=_tok_col(text_col),
+    )
+    t = F.col("__toks")
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pair_rows = tokd.select(F.explode(bigrams).alias("p")).select("p.w1", "p.w2")
+    c12 = pair_rows.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = tokd.select(F.explode(t).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # totals read EAGERLY and re-injected as literals (the js_divergence
+    # pattern): re-embedding the aggregate subplans would re-run both
+    # corpus-wide pipelines at action time
+    tot = uni.agg(F.sum("c").alias("n1")).crossJoin(
+        c12.agg(F.sum("c12").alias("n2"))
+    ).first()
+    if not tot["n2"]:
+        raise ValueError("pmi_top_pairs: corpus has no bigrams")
+    n1, n2 = int(tot["n1"]), int(tot["n2"])
+    scored = (
+        c12.filter(F.col("c12") >= min_count)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+    )
+    num = (
+        F.col("c12").cast("decimal(38,0)")
+        * F.lit(n1).cast("decimal(38,0)")
+        * F.lit(n1).cast("decimal(38,0)")
+    )
+    den = (
+        F.lit(n2).cast("decimal(38,0)")
+        * F.col("c1").cast("decimal(38,0)")
+        * F.col("c2").cast("decimal(38,0)")
+    )
+    pmi = F.round(F.log(num.cast("double") / den.cast("double")), 6)
+    return (
+        scored.select("w1", "w2", F.col("c12").cast("long").alias("c12"), pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_k)
+    )

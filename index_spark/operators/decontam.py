@@ -65,3 +65,43 @@ def ngram_contamination(
         F.countDistinct("h").alias("n_hits"),
         F.countDistinct("__bench_id").alias("n_bench_docs"),
     )
+
+
+def source_ngram_overlap(
+    df: DataFrame, k: int = 5, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Cross-source k-gram overlap matrix: for every source pair, how many
+    DISTINCT word k-grams they share — the inter-source contamination /
+    syndication heat map (a benchmark leak shows up as one source pair
+    lighting up; boilerplate floods as a whole hot row). Complements
+    :func:`ngram_contamination`, which scans the corpus against a known
+    benchmark; this one needs no reference set.
+
+    Hashes are 60-bit md5 prefixes (the KMV convention, not the 28-bit
+    MinHash one): overlap COUNTS would be inflated by birthday collisions
+    at 2^28 once the corpus holds billions of grams, while 60 bits keep
+    the count exact in practice and the shuffle payload at 8 bytes.
+
+    Plan shape: explode distinct-per-doc grams → DISTINCT (source, hash)
+    — gram-cardinality rows, the only big shuffle — then a self
+    equi-join on the hash (both sides the same exchange, reused) whose
+    per-hash fan-out is bounded by the SOURCE count, and one pair
+    aggregate. Returns ``(src_a, src_b, shared_grams)`` for src_a <
+    src_b, pairs sharing nothing omitted."""
+    g = TX.spread_for_cpu(df).select(
+        F.col(source_col).alias("__src"),
+        F.explode(F.array_distinct(TX.word_ngrams_all(F.col(text_col), k))).alias("__g"),
+    )
+    h = g.select(
+        "__src",
+        F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10).cast("long").alias("__h"),
+    ).distinct()
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__src") < F.col("b.__src")),
+        )
+        .groupBy(F.col("a.__src").alias("src_a"), F.col("b.__src").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )

@@ -4499,6 +4499,28 @@ def q_priority_trend(spark, sf_dir):
     return grouped_linear_trend(daily, ["o_orderpriority"], "x", "y")
 
 
+def q_pmi_pairs(spark, sf_dir):
+    """Top-20 adjacent-word collocations by PMI (min count 5) — exact
+    integer fraction (c12·N1²)/(N2·c1·c2) in decimal/HUGEINT, doubles
+    only at the final ln; top-k is TakeOrderedAndProject on the rounded
+    score with a (w1, w2) tie-break."""
+    from index_spark.operators.corpusstats import pmi_top_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_top_pairs(docs, top_k=20, min_count=5)
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source 5-gram overlap matrix: distinct shared word 5-grams
+    per source pair (60-bit md5 hashes — the KMV convention, collision-
+    free in practice where the 28-bit MinHash prefix would inflate
+    counts). The no-reference-set contamination heat map."""
+    from index_spark.operators.decontam import source_ngram_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_ngram_overlap(docs, k=5)
+
+
 def q_ks_drift(spark, sf_dir):
     """Two-sample Kolmogorov-Smirnov drift statistic between early and
     late order cohorts on total price (integer cents): the standard
@@ -6279,6 +6301,33 @@ def build_oracles() -> dict[str, str]:
         "round(CAST(t.n_active AS DOUBLE) / CAST(sz.s AS DOUBLE), 6) AS retention "
         "FROM t JOIN sz USING (cohort_period)"
     )
+    out["pmi_pairs"] = (
+        f"WITH toks AS (SELECT doc_id, {SQL_TOKS_LOWER} AS t FROM documents), "
+        "idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i "
+        "  FROM toks WHERE len(t) >= 2), "
+        "pairs AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM idx), "
+        "c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 "
+        "  FROM pairs GROUP BY 1,2), "
+        "uni AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS c "
+        "  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1), "
+        "n1 AS (SELECT CAST(sum(c) AS HUGEINT) AS n1 FROM uni), "
+        "n2 AS (SELECT CAST(sum(c12) AS HUGEINT) AS n2 FROM c12) "
+        "SELECT w1, w2, c12, "
+        "round(ln(CAST(CAST(c12 AS HUGEINT) * n1 * n1 AS DOUBLE) "
+        "  / CAST(n2 * CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) AS DOUBLE)), 6) AS pmi "
+        "FROM c12 JOIN uni a ON a.w = c12.w1 JOIN uni b ON b.w = c12.w2, n1, n2 "
+        "WHERE c12 >= 5 ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20"
+    )
+    out["source_overlap"] = (
+        f"WITH t AS (SELECT source, {SQL_TOKS_LOWER} AS w FROM documents), "
+        "idx AS (SELECT source, w, unnest(generate_series(1, len(w)-4)) AS i "
+        "  FROM t WHERE len(w) >= 5), "
+        "g AS (SELECT DISTINCT source, ('0x'||substr(md5(concat_ws(' ', "
+        "  w[i], w[i+1], w[i+2], w[i+3], w[i+4])),1,15))::BIGINT AS h FROM idx) "
+        "SELECT a.source AS src_a, b.source AS src_b, "
+        "CAST(count(*) AS BIGINT) AS shared_grams "
+        "FROM g a JOIN g b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2"
+    )
     out["priority_trend"] = (
         # same fixed expression tree as grouped_linear_trend: exact
         # integer sufficient stats (HUGEINT here, decimal(38,0) in
@@ -6561,9 +6610,14 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_fit": q_heaps_fit,
         "containment_pairs": q_containment_pairs,
         # round-8 additions: HLL sketch, cohort retention, grouped OLS
+        # (gate-fronted), plus two post-window additions whose driver
+        # rows land in the r9 gate (the r3/r4 precedent): PMI
+        # collocations and the cross-source n-gram overlap matrix
         "hll_distinct": q_hll_distinct,
         "cohort_retention": q_cohort_retention,
         "priority_trend": q_priority_trend,
+        "pmi_pairs": q_pmi_pairs,
+        "source_overlap": q_source_overlap,
         "kmv_groups": q_kmv_groups,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,

@@ -212,3 +212,69 @@ def test_grouped_linear_trend_rejects_floats(spark):
     df = spark.createDataFrame([("a", 1, 2.5)], "g string, x long, y double")
     with pytest.raises(ValueError, match="integral"):
         grouped_linear_trend(df, ["g"], "x", "y")
+
+
+# ------------------------------------------- PMI collocations / overlap
+
+
+def test_pmi_top_pairs_matches_python_model(spark):
+    from index_spark.operators.corpusstats import pmi_top_pairs
+
+    texts = [
+        "new york is a big city",
+        "new york new york big apple",
+        "the big city has new york vibes",
+        "apple pie in new york",
+        "big apple big apple big apple",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = [(r.w1, r.w2, r.c12, r.pmi) for r in pmi_top_pairs(df, top_k=5, min_count=2).collect()]
+
+    from collections import Counter
+
+    uni, big = Counter(), Counter()
+    for t in texts:
+        w = t.lower().split()
+        uni.update(w)
+        big.update(zip(w, w[1:]))
+    n1, n2 = sum(uni.values()), sum(big.values())
+    want = []
+    for (w1, w2), c12 in big.items():
+        if c12 < 2:
+            continue
+        pmi = round(math.log((c12 * n1 * n1) / (n2 * uni[w1] * uni[w2])), 6)
+        want.append((w1, w2, c12, pmi))
+    want.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert got == want[:5]
+
+    with pytest.raises(ValueError):
+        pmi_top_pairs(df, min_count=0)
+
+
+def test_source_ngram_overlap_matches_python_model(spark):
+    from index_spark.operators.decontam import source_ngram_overlap
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "s1"),
+        (1, "beta gamma delta epsilon zeta eta", "s2"),   # shares 2 5-grams w/ s1? no — shifted
+        (2, "alpha beta gamma delta epsilon theta", "s2"),  # shares 1 with s1
+        (3, "totally different text with no overlap here", "s3"),
+        (4, "alpha beta gamma delta epsilon zeta", "s3"),   # exact dup of doc 0
+        (5, "tiny", "s1"),                                   # < 5 tokens: no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.src_a, r.src_b): r.shared_grams for r in source_ngram_overlap(df, k=5).collect()}
+
+    grams = defaultdict(set)
+    for _, t, s in rows:
+        w = t.lower().split()
+        for i in range(len(w) - 4):
+            grams[s].add(" ".join(w[i : i + 5]))
+    want = {}
+    srcs = sorted(grams)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            n = len(grams[a] & grams[b])
+            if n:
+                want[(a, b)] = n
+    assert got == want
