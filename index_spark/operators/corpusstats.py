@@ -434,7 +434,13 @@ def pmi_top_pairs(
         F.slice(t, 2, n - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    pair_rows = tokd.select(F.explode(bigrams).alias("p")).select("p.w1", "p.w2")
+    # the n >= 2 guard mirrors bigram_nll: slice(t, 1, n-1) on a
+    # zero-token doc evaluates with length -1 and CRASHES the job
+    # (review finding, round 8 — invisible on the fixtures, which have
+    # no token-less docs); explode(NULL) drops the doc instead
+    pair_rows = tokd.select(
+        F.explode(F.when(n >= 2, bigrams)).alias("p")
+    ).select("p.w1", "p.w2")
     c12 = pair_rows.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = tokd.select(F.explode(t).alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("c")
@@ -448,6 +454,17 @@ def pmi_top_pairs(
     if not tot["n2"]:
         raise ValueError("pmi_top_pairs: corpus has no bigrams")
     n1, n2 = int(tot["n1"]), int(tot["n2"])
+    # loud overflow guard (same rule as grouped_linear_trend): every
+    # product below is bounded by n2·n1² (c12 <= n2, c1·c2 <= n1²), so
+    # one check keeps decimal(38,0) exact — past it, ANSI mode would
+    # kill the job and non-ANSI would silently NULL pairs out of the
+    # top-k while the HUGEINT oracle raises
+    if n2 * n1 * n1 >= 10**38:
+        raise ValueError(
+            f"pmi_top_pairs: corpus too large for exact decimal(38,0) PMI "
+            f"(n_tokens={n1}, n_bigrams={n2}); shard the corpus or "
+            "pre-aggregate counts and rescale"
+        )
     scored = (
         c12.filter(F.col("c12") >= min_count)
         .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")

@@ -88,14 +88,13 @@ def source_ngram_overlap(
     per-hash fan-out is bounded by the SOURCE count, and one pair
     aggregate. Returns ``(src_a, src_b, shared_grams)`` for src_a <
     src_b, pairs sharing nothing omitted."""
+    from index_spark.operators.sampling import md5_prefix60
+
     g = TX.spread_for_cpu(df).select(
         F.col(source_col).alias("__src"),
         F.explode(F.array_distinct(TX.word_ngrams_all(F.col(text_col), k))).alias("__g"),
     )
-    h = g.select(
-        "__src",
-        F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10).cast("long").alias("__h"),
-    ).distinct()
+    h = g.select("__src", md5_prefix60(F.col("__g")).alias("__h")).distinct()
     a, b = h.alias("a"), h.alias("b")
     return (
         a.join(

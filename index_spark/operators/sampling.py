@@ -117,6 +117,19 @@ def md5_frac(col: "F.Column") -> "F.Column":
     )
 
 
+def md5_prefix60(col: "F.Column") -> "F.Column":
+    """Deterministic 60-bit BIGINT hash from any column — the integer
+    sibling of :func:`md5_frac` (same ``_KMV_HEX_CHARS`` prefix, no
+    division). For consumers that need a near-collision-free compact
+    key (overlap counts, join keys) where the 28-bit MinHash prefix
+    would birthday-collide; one definition so the SQL twins'
+    ``('0x'||substr(md5(x),1,15))::BIGINT`` stays in lockstep."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, _KMV_HEX_CHARS), 16, 10)
+        .cast("long")
+    )
+
+
 def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     """K-minimum-values distinct-count sketch: hash every value to a uniform
     fraction of [0,1), keep the k smallest distinct hashes; if the kth
@@ -314,8 +327,12 @@ def hll_registers(
     bitlen = F.size(F.filter(F.lit(_HLL_POWERS), lambda pw: pw <= w))
     rho = (F.lit(_HLL_WBITS + 1) - bitlen).cast("int").alias("rho")
     g = [F.col(c) for c in group_cols]
+    # NULLs do not count as a value (count(DISTINCT) / HLL semantics):
+    # md5(NULL) would otherwise mint a phantom (NULL, 53) register on
+    # both engines — an oracle-invisible +1 (review finding, round 8)
     return (
-        df.select(*g, j, rho)
+        df.filter(F.col(col).isNotNull())
+        .select(*g, j, rho)
         .groupBy(*group_cols, "j")
         .agg(F.max("rho").alias("rho"))
     )
@@ -395,7 +412,8 @@ def sql_hll_estimate(
     g = ", ".join(group_cols)
     g_pre = (g + ", ") if g else ""
     return (
-        f"WITH hx AS (SELECT {g_pre}md5(CAST({col} AS VARCHAR)) AS h FROM {table}), "
+        f"WITH hx AS (SELECT {g_pre}md5(CAST({col} AS VARCHAR)) AS h "
+        f"  FROM {table} WHERE {col} IS NOT NULL), "
         f"hb AS (SELECT {g_pre}"
         f"  CAST(('0x'||substr(h,1,3))::BIGINT % {m} AS BIGINT) AS j, "
         f"  ('0x'||substr(h,4,13))::BIGINT AS w FROM hx), "

@@ -716,8 +716,11 @@ def grouped_linear_trend(
     contract is what lets the oracle hash-match; a double input would
     reintroduce combine-order float sums, so it raises.
 
-    Groups with zero x-variance (a single distinct x) admit no line and
-    are EXCLUDED; constant-y groups get r² = NULL (0/0 in the definition).
+    Rows where x or y is NULL are EXCLUDED (a pair is a point or it is
+    nothing — counting a row whose sums skip it would corrupt every
+    statistic). Groups with zero x-variance (a single distinct x) admit
+    no line and are EXCLUDED; constant-y groups get r² = NULL (0/0 in
+    the definition).
     Returns ``(group..., n_points BIGINT, slope, intercept, r2)``
     rounded to 6 decimals."""
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
@@ -729,6 +732,11 @@ def grouped_linear_trend(
                 f"grouped_linear_trend: {c} must be integral (got {t.simpleString()}); "
                 "pre-convert money to cents / dates to day numbers"
             )
+    # NULL x/y rows are EXCLUDED before anything counts (review finding,
+    # round 8): count(1) would tally every row while the sums skip
+    # NULLs — mismatched n silently corrupts slope/intercept/r² (and the
+    # count(*)-based SQL twin would CONFIRM the wrong answer)
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     # LOUD overflow guard (review finding, round 8): a decimal(38,0)
     # overflow in Spark's non-ANSI arithmetic yields NULL, which the
     # den != 0 filter would silently DROP (the DuckDB twin raises on the

@@ -6318,12 +6318,15 @@ def build_oracles() -> dict[str, str]:
         "FROM c12 JOIN uni a ON a.w = c12.w1 JOIN uni b ON b.w = c12.w2, n1, n2 "
         "WHERE c12 >= 5 ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20"
     )
+    from index_spark.operators.sampling import _KMV_HEX_CHARS
+
     out["source_overlap"] = (
         f"WITH t AS (SELECT source, {SQL_TOKS_LOWER} AS w FROM documents), "
         "idx AS (SELECT source, w, unnest(generate_series(1, len(w)-4)) AS i "
         "  FROM t WHERE len(w) >= 5), "
         "g AS (SELECT DISTINCT source, ('0x'||substr(md5(concat_ws(' ', "
-        "  w[i], w[i+1], w[i+2], w[i+3], w[i+4])),1,15))::BIGINT AS h FROM idx) "
+        f"  w[i], w[i+1], w[i+2], w[i+3], w[i+4])),1,{_KMV_HEX_CHARS}))::BIGINT "
+        "  AS h FROM idx) "
         "SELECT a.source AS src_a, b.source AS src_b, "
         "CAST(count(*) AS BIGINT) AS shared_grams "
         "FROM g a JOIN g b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2"
@@ -6407,7 +6410,7 @@ def build_oracles() -> dict[str, str]:
         # than the threshold (the operator never emits empty docs).
         "WITH d AS (SELECT doc_id, list_sort(list_distinct("
         "  regexp_extract_all(lower(text), '\\S+'))) AS s "
-        "  FROM documents WHERE doc_id % 3 = 0 AND regexp_matches(text, '\S')) "
+        "  FROM documents WHERE doc_id % 3 = 0 AND regexp_matches(text, '\\S')) "
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
         "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
         "  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard "
@@ -6422,7 +6425,7 @@ def build_oracles() -> dict[str, str]:
         # compares GREATER than any threshold — phantom pairs.
         "WITH d AS (SELECT doc_id, list_sort(list_distinct("
         "  regexp_extract_all(lower(text), '\\S+'))) AS s "
-        "  FROM documents WHERE doc_id % 5 = 0 AND regexp_matches(text, '\S')) "
+        "  FROM documents WHERE doc_id % 5 = 0 AND regexp_matches(text, '\\S')) "
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
         "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) "
         "  AS containment "

@@ -278,3 +278,35 @@ def test_source_ngram_overlap_matches_python_model(spark):
             if n:
                 want[(a, b)] = n
     assert got == want
+
+
+# ------------------------------------ round-8 second-review regressions
+
+
+def test_pmi_survives_tokenless_docs(spark):
+    """slice(t, 1, n-1) with n=0 evaluates with length -1 and crashed
+    the job before the n >= 2 guard (review finding — fixtures have no
+    token-less docs, so only a test can hold this)."""
+    from index_spark.operators.corpusstats import pmi_top_pairs
+
+    texts = ["", "   ", "solo", "big apple big apple", "big apple pie"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = pmi_top_pairs(df, top_k=3, min_count=2).collect()
+    assert [(r.w1, r.w2) for r in rows][0] == ("big", "apple")
+
+
+def test_hll_ignores_nulls(spark):
+    df = spark.createDataFrame([("a",), (None,), (None,)], "k string")
+    est = hll_estimate(hll_registers(df, "k")).first()
+    assert est["est_distinct"] == 1 and est["n_registers"] == 1
+    # an all-NULL column sketches to an empty register table
+    allnull = spark.createDataFrame([(None,), (None,)], "k string")
+    assert hll_registers(allnull, "k").count() == 0
+
+
+def test_grouped_linear_trend_excludes_null_points(spark):
+    rows = [("g", 0, 2), ("g", 1, 5), ("g", 2, None), ("g", None, 7), ("g", 2, 8)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = grouped_linear_trend(df, ["g"], "x", "y").first()
+    want = _py_ols([(0, 2), (1, 5), (2, 8)])
+    assert (got["n_points"], got["slope"], got["intercept"], got["r2"]) == want
