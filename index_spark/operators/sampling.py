@@ -320,12 +320,7 @@ def hll_registers(
     Scale shape: one narrow md5 map, one partial-agg shuffle of
     (group, j, rho) triples, ≤ m rows per group out — a 100 TB column
     sketches into 2^p rows."""
-    m = _hll_check_p(p)
-    x = F.md5(F.col(col).cast("string"))
-    j = (F.conv(F.substring(x, 1, 3), 16, 10).cast("long") % m).alias("j")
-    w = F.conv(F.substring(x, 4, 13), 16, 10).cast("long")
-    bitlen = F.size(F.filter(F.lit(_HLL_POWERS), lambda pw: pw <= w))
-    rho = (F.lit(_HLL_WBITS + 1) - bitlen).cast("int").alias("rho")
+    j, rho = hll_register_cols(col, p)
     g = [F.col(c) for c in group_cols]
     # NULLs do not count as a value (count(DISTINCT) / HLL semantics):
     # md5(NULL) would otherwise mint a phantom (NULL, 53) register on
@@ -336,6 +331,20 @@ def hll_registers(
         .groupBy(*group_cols, "j")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def hll_register_cols(col: str, p: int = HLL_P) -> "tuple[F.Column, F.Column]":
+    """The (j, rho) register expressions behind :func:`hll_registers` —
+    exposed so the STREAMING twin folds the identical columns through a
+    streaming max aggregation (max is a commutative idempotent monoid,
+    so micro-batch order cannot change the drained register table)."""
+    m = _hll_check_p(p)
+    x = F.md5(F.col(col).cast("string"))
+    j = (F.conv(F.substring(x, 1, 3), 16, 10).cast("long") % m).alias("j")
+    w = F.conv(F.substring(x, 4, 13), 16, 10).cast("long")
+    bitlen = F.size(F.filter(F.lit(_HLL_POWERS), lambda pw: pw <= w))
+    rho = (F.lit(_HLL_WBITS + 1) - bitlen).cast("int").alias("rho")
+    return j, rho
 
 
 def hll_merge(

@@ -4499,6 +4499,25 @@ def q_priority_trend(spark, sf_dir):
     return grouped_linear_trend(daily, ["o_orderpriority"], "x", "y")
 
 
+def q_stream_hll(spark, sf_dir):
+    """Streaming twin of `hll_distinct`: HLL registers maintained as
+    streaming max-aggregation state (bounded at groups × 2^p rows
+    forever), drained with availableNow, then estimated in batch — the
+    SAME oracle as the batch query, so the streaming fold is
+    hash-gated against the exact SQL replay."""
+    import uuid as _uuid
+
+    from index_spark.operators.sampling import hll_estimate
+    from index_spark.streaming import read_events_stream, run_available_now
+    from index_spark.streaming.events import hll_registers_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    regs = run_available_now(
+        hll_registers_stream(stream), "sl" + _uuid.uuid4().hex[:10]
+    )
+    return hll_estimate(regs, ("event_type",))
+
+
 def q_pmi_pairs(spark, sf_dir):
     """Top-20 adjacent-word collocations by PMI (min count 5) — exact
     integer fraction (c12·N1²)/(N2·c1·c2) in decimal/HUGEINT, doubles
@@ -6288,6 +6307,9 @@ def build_oracles() -> dict[str, str]:
     from index_spark.operators.sampling import sql_hll_estimate
 
     out["hll_distinct"] = sql_hll_estimate("events", "user_id", ("event_type",))
+    # the streaming twin drains to the SAME register table, so it shares
+    # the batch oracle verbatim
+    out["stream_hll"] = out["hll_distinct"]
     out["cohort_retention"] = (
         "WITH a AS (SELECT DISTINCT user_id AS u, CAST(floor("
         "  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 1.0) "
@@ -6621,6 +6643,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_trend": q_priority_trend,
         "pmi_pairs": q_pmi_pairs,
         "source_overlap": q_source_overlap,
+        "stream_hll": q_stream_hll,
         "kmv_groups": q_kmv_groups,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,

@@ -255,6 +255,29 @@ def attributed_purchases(
     ).select("user_id", "click_id", "purchase_id", "click_us", "purchase_us")
 
 
+def hll_registers_stream(
+    events: DataFrame, col: str = "user_id", group_col: str = "event_type", p: int = 10
+) -> DataFrame:
+    """Streaming HyperLogLog register maintenance: fold each micro-batch
+    into the per-(group, register) ``max(rho)`` state — max is a
+    commutative idempotent monoid, so arrival order, batch boundaries,
+    and retries cannot move the drained register table off the batch
+    build's (``operators.sampling.hll_registers`` — the identical
+    column expressions via ``hll_register_cols``). State size is
+    bounded at groups × 2^p rows regardless of stream length: the
+    constant-memory distinct-count a metrics pipeline keeps per
+    type/day forever. Works on stream and batch frames alike."""
+    from index_spark.operators.sampling import hll_register_cols
+
+    j, rho = hll_register_cols(col, p)
+    return (
+        events.filter(F.col(col).isNotNull())
+        .select(F.col(group_col), j, rho)
+        .groupBy(group_col, "j")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
 def dedup_stream(events: DataFrame, delay: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id. ``dropDuplicatesWithinWatermark``
     keeps dedup state only ``delay`` past the watermark — the streaming twin

@@ -310,3 +310,21 @@ def test_grouped_linear_trend_excludes_null_points(spark):
     got = grouped_linear_trend(df, ["g"], "x", "y").first()
     want = _py_ols([(0, 2), (1, 5), (2, 8)])
     assert (got["n_points"], got["slope"], got["intercept"], got["r2"]) == want
+
+
+def test_stream_hll_registers_equal_batch(spark, sf_dir):
+    """The streaming register fold drained with availableNow must be
+    BIT-identical to the batch build (max is order/batch-insensitive)."""
+    import uuid
+
+    from index_spark.sources import load_table
+    from index_spark.streaming import read_events_stream, run_available_now
+    from index_spark.streaming.events import hll_registers_stream
+
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    got = run_available_now(
+        hll_registers_stream(stream), "t8hll" + uuid.uuid4().hex[:8]
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = hll_registers(ev, "user_id", ("event_type",))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
