@@ -791,3 +791,298 @@ def grouped_linear_trend(
             .alias("r2"),
         )
     )
+
+
+def _require_integral(df: DataFrame, cols: Sequence[str], op: str) -> None:
+    """Exactness contract shared by the sufficient-statistics operators:
+    every input column must be integral (cents, days, counts) so the
+    decimal(38,0) sums are exact and combine-order-independent — a double
+    input would reintroduce float accumulation and break the oracle
+    hash-match."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    for c in cols:
+        t = df.schema[c].dataType
+        if not isinstance(t, (ByteType, ShortType, IntegerType, LongType)):
+            raise ValueError(
+                f"{op}: {c} must be integral (got {t.simpleString()}); "
+                "pre-convert money to cents / dates to day numbers"
+            )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: Sequence[str], *, min_points: int = 2
+) -> DataFrame:
+    """Pairwise Pearson correlation over ``cols`` — the feature-redundancy
+    screen a curation pipeline runs before weighting quality signals —
+    computed like :func:`grouped_linear_trend`: ONE aggregate collects
+    exact ``decimal(38,0)`` sufficient statistics (per pair: n, Σx, Σy,
+    Σxy, Σx², Σy² under the pair's both-non-NULL mask — *pairwise-complete*
+    observations), and the closed-form correlation is derived from those
+    exact integers in a fixed double expression identical on both engines:
+
+        corr = (n·Σxy − Σx·Σy) / √((n·Σx² − Σx²ₛ)·(n·Σy² − Σy²ₛ))
+
+    Plan shape: one partial-agg shuffle to ONE row regardless of table
+    size (k(k−1)/2 · 6 aggregate expressions for k columns — k is a
+    handful of curated features, not data-sized), then a map-side explode
+    of the literal pair structs. At 100 TB this is the cheapest shape a
+    correlation matrix can take; nothing downstream of the aggregate
+    touches data.
+
+    Columns must be integral (see ``_require_integral``). Pairs with
+    fewer than ``min_points`` complete observations or zero variance on
+    either side get ``corr = NULL`` (they admit no correlation).
+
+    Returns ``(col_x, col_y, n_points BIGINT, corr DOUBLE)`` — one row per
+    unordered pair, ``col_x`` earlier in ``cols`` than ``col_y``, corr
+    rounded to 6 decimals.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError(f"correlation_matrix needs >= 2 columns, got {cols}")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"correlation_matrix: duplicate columns in {cols}")
+    _require_integral(df, cols, "correlation_matrix")
+    # LOUD overflow guard (same contract as grouped_linear_trend): a
+    # decimal(38,0) overflow in Spark's non-ANSI arithmetic yields NULL,
+    # which would surface as a silently-NULL correlation while the DuckDB
+    # twin's HUGEINT either holds or raises — engine divergence. Bound
+    # every product: |n·Σxy| ≤ n²·max|x|·max|y| < 10^38 / 2, conservative
+    # with the global max magnitude across all columns.
+    bounds = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.max(F.abs(F.col(c).cast("decimal(38,0)"))).alias(f"m{i}")
+            for i, c in enumerate(cols)
+        ],
+    ).first()
+    if bounds["n"]:
+        n_all = int(bounds["n"])
+        mmax = max(max(int(bounds[f"m{i}"] or 0) for i in range(len(cols))), 1)
+        if 2 * n_all * n_all * mmax * mmax >= 10**38:
+            raise ValueError(
+                "correlation_matrix: sufficient statistics could overflow "
+                f"decimal(38,0) (rows={n_all}, max magnitude={mmax}); rescale "
+                "the inputs (e.g. cents not micro-cents) or pre-aggregate"
+            )
+    pairs = [(i, j) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+    aggs = []
+    for i, j in pairs:
+        x, y = F.col(cols[i]), F.col(cols[j])
+        mask = x.isNotNull() & y.isNotNull()
+        dx = F.when(mask, x.cast("decimal(38,0)"))
+        dy = F.when(mask, y.cast("decimal(38,0)"))
+        p = f"__p{i}_{j}"
+        aggs += [
+            F.sum(F.when(mask, F.lit(1)).otherwise(F.lit(0)))
+            .cast("decimal(38,0)")
+            .alias(f"{p}_n"),
+            F.sum(dx).alias(f"{p}_sx"),
+            F.sum(dy).alias(f"{p}_sy"),
+            F.sum(dx * dy).alias(f"{p}_sxy"),
+            F.sum(dx * dx).alias(f"{p}_sxx"),
+            F.sum(dy * dy).alias(f"{p}_syy"),
+        ]
+    agg = df.agg(*aggs)
+    structs = []
+    for i, j in pairs:
+        p = f"__p{i}_{j}"
+        n = F.col(f"{p}_n")
+        num = n * F.col(f"{p}_sxy") - F.col(f"{p}_sx") * F.col(f"{p}_sy")
+        denx = n * F.col(f"{p}_sxx") - F.col(f"{p}_sx") * F.col(f"{p}_sx")
+        deny = n * F.col(f"{p}_syy") - F.col(f"{p}_sy") * F.col(f"{p}_sy")
+        corr = F.when(
+            (n < F.lit(min_points)) | (denx == F.lit(0)) | (deny == F.lit(0)),
+            F.lit(None).cast("double"),
+        ).otherwise(
+            F.round(
+                num.cast("double")
+                / F.sqrt(denx.cast("double") * deny.cast("double")),
+                6,
+            )
+        )
+        structs.append(
+            F.struct(
+                F.lit(cols[i]).alias("col_x"),
+                F.lit(cols[j]).alias("col_y"),
+                n.cast("long").alias("n_points"),
+                corr.alias("corr"),
+            )
+        )
+    return agg.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier summary via the median absolute deviation:
+    ``median`` = exact discrete p50 of the values, ``mad`` = exact
+    discrete p50 of ``|value − median|``, and a row is an outlier iff
+    ``|value − median| > k·mad`` — the standard heavy-tail-safe screen
+    where z-scores break (the mean and stddev are themselves dragged by
+    the outliers being hunted; cf. ``timeseries.hourly_anomaly`` for the
+    z-score form on well-behaved data).
+
+    Exactness: values must be integral (see ``_require_integral``), so
+    median, deviations, and MAD are exact integers; the only float is the
+    ``k``-threshold compare, one IEEE multiply per row with both operands
+    exact — identical on any engine. With ``mad = 0`` (over half the
+    group at the median) the rule degenerates to ``deviation > 0``
+    exactly as written.
+
+    Plan shape: ONE exchange hashed on the group key carries the whole
+    operator — rank/median, deviation rank/MAD are windows over the same
+    partitioning (two in-partition sorts, no second shuffle), and the
+    final per-group rollup rides the same key. NULL values are excluded
+    (``percentile_disc`` semantics; a group of only NULLs disappears).
+
+    Returns ``(group_cols…, n BIGINT, median BIGINT, mad BIGINT,
+    n_outliers BIGINT)``.
+    """
+    group_cols = list(group_cols)
+    _require_integral(df, [value_col], "mad_outlier_stats")
+    if not (float(k) >= 0):
+        raise ValueError(f"mad_outlier_stats: k must be >= 0, got {k}")
+    v = F.col(value_col).cast("long")
+    w_all = Window.partitionBy(*group_cols)
+    ranked = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, v.alias("__v"))
+        .select(
+            *group_cols,
+            "__v",
+            F.row_number().over(Window.partitionBy(*group_cols).orderBy("__v")).alias("__rn"),
+            F.count(F.lit(1)).over(w_all).alias("__n"),
+        )
+    )
+    # the value AT rank ceil(0.5·n): row_number is unique, so max(case)
+    # over the partition reads exactly one row — the discrete median
+    # without a join back
+    med = ranked.select(
+        *group_cols,
+        "__v",
+        "__n",
+        F.max(
+            F.when(F.col("__rn") == F.ceil(F.lit(0.5) * F.col("__n")), F.col("__v"))
+        ).over(w_all).alias("__med"),
+    )
+    dev = med.select(
+        *group_cols,
+        "__n",
+        "__med",
+        F.abs(F.col("__v") - F.col("__med")).alias("__dev"),
+    )
+    dev = dev.select(
+        *group_cols,
+        "__n",
+        "__med",
+        "__dev",
+        F.row_number()
+        .over(Window.partitionBy(*group_cols).orderBy("__dev"))
+        .alias("__rn2"),
+    )
+    mad = dev.select(
+        *group_cols,
+        "__med",
+        "__dev",
+        F.max(
+            F.when(F.col("__rn2") == F.ceil(F.lit(0.5) * F.col("__n")), F.col("__dev"))
+        ).over(w_all).alias("__mad"),
+    )
+    flag = F.col("__dev").cast("double") > F.lit(float(k)) * F.col("__mad").cast("double")
+    return mad.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("__med").alias("median"),
+        F.max("__mad").alias("mad"),
+        F.sum(F.when(flag, F.lit(1)).otherwise(F.lit(0))).cast("long").alias("n_outliers"),
+    )
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns, plus Cramér's V — the standard association screen a curation
+    pipeline runs between metadata facets (source × language, event type
+    × hour band): V ≈ 0 says the facets are independent, V → 1 says one
+    determines the other (a leakage / confounding signal for sampling).
+
+    Exactness: observed counts, row/column totals, and N are exact
+    integers; each cell's contribution ``(O − E)²/E`` (E = R·C/N) is a
+    fixed double expression over those integers, quantized to an e-12
+    integer via ``floor(t·1e12 + 0.5)`` and summed as BIGINT — the same
+    combine-order-independent quantizer as
+    :func:`.corpusstats.js_divergence`, because the cell count can exceed
+    any single sorted fold. Cramér's V is derived from the ROUNDED chi²
+    so both engines read the same 6-decimal input.
+
+    Plan shape: one hash-agg to the contingency cells (|A|·|B| rows —
+    categorical by contract), two tiny re-aggregations for the marginals,
+    cell-level joins on the marginal keys, one-row output. The grand
+    totals are read eagerly and injected as literals (the
+    ``js_divergence`` pattern), which also powers the loud BIGINT
+    overflow guard: chi² ≤ N·(min(|A|,|B|)−1) must stay under 2^63 after
+    the e-12 quantization, else we refuse and say to sample.
+
+    NULL in either column excludes the row (a cell is a pair or it is
+    nothing). Returns one row ``(n BIGINT, n_cells BIGINT, dof BIGINT,
+    chi2 DOUBLE, cramers_v DOUBLE)``; ``cramers_v`` is NULL when either
+    side has a single category (dof = 0).
+    """
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    trow = cells.agg(
+        F.sum("__o").alias("n"),
+        F.count_distinct(F.col(col_a)).alias("ka"),
+        F.count_distinct(F.col(col_b)).alias("kb"),
+    ).first()
+    if not trow["n"]:
+        raise ValueError("chi2_independence: no non-NULL (a, b) pairs")
+    n_tot, ka, kb = int(trow["n"]), int(trow["ka"]), int(trow["kb"])
+    min_dim = min(ka, kb)
+    # chi² ≤ N·(min_dim−1); the e-12 quantized sum must fit BIGINT
+    if n_tot * max(min_dim - 1, 1) >= 2**63 // 10**12:
+        raise ValueError(
+            f"chi2_independence: quantized chi-squared could overflow BIGINT "
+            f"(n={n_tot}, min_dim={min_dim}); test on a sample — at this scale "
+            "any dependence is already significant"
+        )
+    ra = cells.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
+    cb = cells.groupBy(col_b).agg(F.sum("__o").alias("__cb"))
+    # the statistic sums over the FULL |A|×|B| grid: a category pair that
+    # never co-occurs still contributes (0−E)²/E = E — summing observed
+    # cells only would understate chi² exactly where dependence is
+    # strongest. The marginal cross product IS the grid and carries both
+    # marginals for free; both sides are categorical-small by contract.
+    grid = ra.crossJoin(F.broadcast(cb))
+    full = grid.join(cells, [col_a, col_b], "left").select(
+        "__ra", "__cb", F.coalesce(F.col("__o"), F.lit(0)).alias("__o")
+    )
+    n_d = F.lit(float(n_tot))
+    e = F.col("__ra").cast("double") * F.col("__cb").cast("double") / n_d
+    d = F.col("__o").cast("double") - e
+    term = d * d / e
+    q = full.select(F.floor(term * F.lit(1.0e12) + F.lit(0.5)).alias("__q"))
+    chi2 = (
+        F.floor((F.sum("__q") + F.lit(500000)) / F.lit(1000000.0)).cast("long")
+        / F.lit(1.0e6)
+    )
+    out = q.agg(chi2.alias("__chi2")).select(
+        F.lit(n_tot).cast("long").alias("n"),
+        F.lit(ka * kb).cast("long").alias("n_cells"),
+        F.lit((ka - 1) * (kb - 1)).cast("long").alias("dof"),
+        F.col("__chi2").alias("chi2"),
+        (
+            F.lit(None).cast("double")
+            if min_dim < 2
+            else F.round(
+                F.sqrt(F.col("__chi2") / F.lit(float(n_tot * (min_dim - 1)))), 6
+            )
+        ).alias("cramers_v"),
+    )
+    return out

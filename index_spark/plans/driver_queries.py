@@ -4518,6 +4518,64 @@ def q_stream_hll(spark, sf_dir):
     return hll_estimate(regs, ("event_type",))
 
 
+def q_corr_lineitem(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over the lineitem numeric
+    facets (quantity, price, discount, tax — all as exact integer
+    cents/units): ONE aggregate of exact decimal sufficient statistics
+    for all 6 pairs, then a map-side explode of the pair structs —
+    nothing after the single partial-agg shuffle touches data."""
+    from index_spark.operators.stats import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        _cents(F.col("l_extendedprice")).alias("price_c"),
+        _cents(F.col("l_discount")).alias("disc_c"),
+        _cents(F.col("l_tax")).alias("tax_c"),
+    )
+    return correlation_matrix(li, ["qty", "price_c", "disc_c", "tax_c"])
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Per-priority robust outlier screen on order value: exact discrete
+    median, exact MAD, and the |v−med| > 3·MAD count — all windows over
+    ONE group-key exchange (two in-partition sorts, no joins), values as
+    exact integer cents so median/MAD replay exactly in SQL."""
+    from index_spark.operators.stats import mad_outlier_stats
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", _cents(F.col("o_totalprice")).alias("cents")
+    )
+    return mad_outlier_stats(orders, ["o_orderpriority"], "cents", k=3.0)
+
+
+def q_chi2_events(spark, sf_dir):
+    """Chi-squared independence of event type × hour-of-day (epoch-hour
+    mod 24 — pure integer arithmetic, timezone-free): contingency cells
+    from one hash-agg, the full |A|×|B| grid from the marginal cross
+    product (absent cells still contribute E), per-cell contributions
+    quantized to e-12 integers and BIGINT-summed (the js_divergence
+    quantizer), one-row output with Cramér's V."""
+    from index_spark.operators.stats import chi2_independence
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(F.expr("ts_us div 3600000000"), F.lit(24)).alias("hod"),
+    )
+    return chi2_independence(ev, "event_type", "hod")
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights of every non-src0 document against the
+    src0 target distribution: hashed-bigram (md5-prefix60 mod 256)
+    add-1-smoothed bucket distributions, per-doc Σ count·ln(p_t/p_r) as a
+    sorted left-to-right fold — the Xie et al. 2023 data-selection scorer
+    with every step SQL-replayable."""
+    from index_spark.operators.selection import dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_log_weights(docs, "src0", n_buckets=256)
+
+
 def q_pmi_pairs(spark, sf_dir):
     """Top-20 adjacent-word collocations by PMI (min count 5) — exact
     integer fraction (c12·N1²)/(N2·c1·c2) in decimal/HUGEINT, doubles
@@ -6310,6 +6368,110 @@ def build_oracles() -> dict[str, str]:
     # the streaming twin drains to the SAME register table, so it shares
     # the batch oracle verbatim
     out["stream_hll"] = out["hll_distinct"]
+    # round-8 continuation: correlation matrix — the 6 pair rows are
+    # GENERATED from one column list so the SQL twin can't drift from the
+    # operator's pair enumeration (same fixed expression tree as
+    # priority_trend: HUGEINT sufficient stats, doubles only at the end)
+    _CORR_COLS = ["qty", "price_c", "disc_c", "tax_c"]
+    _corr_pair_rows = []
+    for _i in range(len(_CORR_COLS)):
+        for _j in range(_i + 1, len(_CORR_COLS)):
+            _a, _b = _CORR_COLS[_i], _CORR_COLS[_j]
+            _num = f"n*s_{_a}_{_b} - s_{_a}*s_{_b}"
+            _dx = f"n*s_{_a}_{_a} - s_{_a}*s_{_a}"
+            _dy = f"n*s_{_b}_{_b} - s_{_b}*s_{_b}"
+            _corr_pair_rows.append(
+                f"SELECT '{_a}' AS col_x, '{_b}' AS col_y, "
+                f"CAST(n AS BIGINT) AS n_points, "
+                f"CASE WHEN ({_dx}) = 0 OR ({_dy}) = 0 THEN NULL ELSE "
+                f"round(CAST({_num} AS DOUBLE) / sqrt(CAST({_dx} AS DOUBLE) "
+                f"* CAST({_dy} AS DOUBLE)), 6) END AS corr FROM s"
+            )
+    _corr_sums = ", ".join(
+        f"sum(CAST({a} AS HUGEINT)) AS s_{a}" for a in _CORR_COLS
+    ) + ", " + ", ".join(
+        f"sum(CAST({_CORR_COLS[i]} AS HUGEINT)*{_CORR_COLS[j]}) "
+        f"AS s_{_CORR_COLS[i]}_{_CORR_COLS[j]}"
+        for i in range(len(_CORR_COLS))
+        for j in range(i, len(_CORR_COLS))
+    )
+    out["corr_lineitem"] = (
+        "WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS qty, "
+        f"{_sql_cents('l_extendedprice')} AS price_c, "
+        f"{_sql_cents('l_discount')} AS disc_c, "
+        f"{_sql_cents('l_tax')} AS tax_c FROM lineitem), "
+        f"s AS (SELECT count(*) AS n, {_corr_sums} FROM b) "
+        + " UNION ALL ".join(_corr_pair_rows)
+    )
+    out["mad_outliers"] = (
+        # same two-window rank formulation as the operator: value at rank
+        # ceil(0.5·n) is the discrete median, then the same over |v−med|
+        "WITH r AS (SELECT o_orderpriority AS g, "
+        f"{_sql_cents('o_totalprice')} AS v, "
+        f"row_number() OVER (PARTITION BY o_orderpriority ORDER BY {_sql_cents('o_totalprice')}) AS rn, "
+        "count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders), "
+        "m AS (SELECT g, v, n, max(CASE WHEN rn = ceil(0.5*n) THEN v END) "
+        "  OVER (PARTITION BY g) AS med FROM r), "
+        "d AS (SELECT g, n, med, abs(v - med) AS dev, "
+        "  row_number() OVER (PARTITION BY g ORDER BY abs(v - med)) AS rn2 FROM m), "
+        "md AS (SELECT g, med, dev, max(CASE WHEN rn2 = ceil(0.5*n) THEN dev END) "
+        "  OVER (PARTITION BY g) AS mad FROM d) "
+        "SELECT g AS o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+        "max(med) AS median, max(mad) AS mad, "
+        "CAST(sum(CASE WHEN CAST(dev AS DOUBLE) > 3.0 * CAST(mad AS DOUBLE) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
+        "FROM md GROUP BY 1"
+    )
+    out["chi2_events"] = (
+        # full-grid chi²: the marginal cross product supplies the absent
+        # cells (they contribute E); per-cell terms quantized to e-12
+        # integers (floor(t·1e12 + 0.5)) and summed as BIGINT — the
+        # js_divergence quantizer, identical parenthesization to the
+        # operator's double expression
+        "WITH p AS (SELECT event_type AS a, (epoch_us(ts)//3600000000) % 24 AS b "
+        "  FROM events WHERE event_type IS NOT NULL), "
+        "cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM p GROUP BY 1, 2), "
+        "ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1), "
+        "cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1), "
+        "tot AS (SELECT sum(o) AS n, count(DISTINCT a) AS ka, "
+        "  count(DISTINCT b) AS kb FROM cells), "
+        "grid AS (SELECT ra.a, ra.ra, cb.b, cb.cb FROM ra, cb), "
+        "fl AS (SELECT g.ra, g.cb, coalesce(c.o, 0) AS o FROM grid g "
+        "  LEFT JOIN cells c ON c.a = g.a AND c.b = g.b), "
+        "q AS (SELECT floor(((CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "  * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "  / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))) * 1e12 + 0.5) AS q "
+        "  FROM fl, tot), "
+        "x AS (SELECT CAST(floor((sum(q) + 500000) / 1000000.0) AS BIGINT) / 1.0e6 AS chi2 FROM q) "
+        "SELECT CAST(n AS BIGINT) AS n, CAST(ka * kb AS BIGINT) AS n_cells, "
+        "CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof, chi2, "
+        "CASE WHEN least(ka, kb) < 2 THEN NULL ELSE "
+        "round(sqrt(chi2 / CAST(n * (least(ka, kb) - 1) AS DOUBLE)), 6) END AS cramers_v "
+        "FROM x, tot"
+    )
+    from index_spark.operators.sampling import _KMV_HEX_CHARS as _HEX60
+
+    out["dsir_weights"] = (
+        # hashed-bigram DSIR: same md5-prefix60 bucket rule, add-1
+        # smoothing over exact BIGINT counts, per-doc sorted fold
+        f"WITH toks AS (SELECT doc_id, source, {SQL_TOKS_LOWER} AS t FROM documents), "
+        "idx AS (SELECT doc_id, source, t, unnest(generate_series(1, len(t)-1)) AS i "
+        "  FROM toks WHERE len(t) >= 2), "
+        "pr AS (SELECT doc_id, source = 'src0' AS tgt, "
+        f"  ('0x'||substr(md5(t[i]||' '||t[i+1]),1,{_HEX60}))::BIGINT % 256 AS b FROM idx), "
+        "tf AS (SELECT doc_id, tgt, b, CAST(count(*) AS BIGINT) AS tf "
+        "  FROM pr GROUP BY 1, 2, 3), "
+        "bk AS (SELECT b, coalesce(sum(CASE WHEN tgt THEN tf END), 0) AS ct, "
+        "  coalesce(sum(CASE WHEN NOT tgt THEN tf END), 0) AS cr FROM tf GROUP BY 1), "
+        "tot AS (SELECT sum(ct) AS t_tot, sum(cr) AS r_tot FROM bk), "
+        "lam AS (SELECT b, ln((CAST(ct + 1 AS DOUBLE) * CAST(r_tot + 256 AS DOUBLE)) "
+        "  / (CAST(cr + 1 AS DOUBLE) * CAST(t_tot + 256 AS DOUBLE))) AS lam "
+        "  FROM bk, tot), "
+        "c AS (SELECT doc_id, tf, CAST(tf AS DOUBLE) * lam AS c "
+        "  FROM tf JOIN lam USING (b) WHERE NOT tgt) "
+        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_grams, "
+        "round(list_sum(list(c ORDER BY c)), 6) AS log_w FROM c GROUP BY 1"
+    )
     out["cohort_retention"] = (
         "WITH a AS (SELECT DISTINCT user_id AS u, CAST(floor("
         "  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 1.0) "
@@ -6644,6 +6806,13 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": q_pmi_pairs,
         "source_overlap": q_source_overlap,
         "stream_hll": q_stream_hll,
+        # round-8 continuation: correlation matrix, MAD outliers,
+        # chi-squared independence, DSIR importance weights — post-window
+        # additions whose driver rows land in the r9 gate
+        "corr_lineitem": q_corr_lineitem,
+        "mad_outliers": q_mad_outliers,
+        "chi2_events": q_chi2_events,
+        "dsir_weights": q_dsir_weights,
         "kmv_groups": q_kmv_groups,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,
