@@ -1086,3 +1086,128 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         ).alias("cramers_v"),
     )
     return out
+
+
+def gini_concentration(
+    df: DataFrame, group_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative integral quantity —
+    the concentration screen a curation pipeline runs over source /
+    domain / customer mass (G → 0: evenly spread; G → 1: one member
+    holds everything, the "is this corpus secretly one domain" signal).
+
+    The rank formulation over values sorted ASCENDING,
+
+        G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)
+
+    is exact in integers: the rank-weighted sum is invariant under tie
+    order (equal values at adjacent ranks swap freely), so row_number's
+    nondeterminism among ties never reaches the result. One group-key
+    exchange: rank window + final aggregate ride the same partitioning.
+
+    Values must be integral and non-negative (Gini is undefined below
+    zero — checked eagerly, together with the decimal(38,0) overflow
+    guard on n²·max(x)). NULLs are excluded; a group with total 0 gets
+    ``gini = NULL``. Returns ``(group…, n BIGINT, total BIGINT,
+    gini DOUBLE)`` rounded to 6.
+    """
+    group_cols = list(group_cols)
+    _require_integral(df, [value_col], "gini_concentration")
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, F.col(value_col).cast("long").alias("__v")
+    )
+    brow = vals.agg(
+        F.count(F.lit(1)).alias("n"), F.min("__v").alias("mn"), F.max("__v").alias("mx")
+    ).first()
+    if brow["n"]:
+        if int(brow["mn"]) < 0:
+            raise ValueError(
+                f"gini_concentration: negative values (min={brow['mn']}) — "
+                "Gini is defined for non-negative quantities"
+            )
+        n_all, mx = int(brow["n"]), max(int(brow["mx"]), 1)
+        if 2 * n_all * n_all * mx >= 10**38:
+            raise ValueError(
+                "gini_concentration: rank-weighted sum could overflow "
+                f"decimal(38,0) (rows={n_all}, max={mx}); rescale or pre-aggregate"
+            )
+    ranked = vals.select(
+        *group_cols,
+        "__v",
+        F.row_number()
+        .over(Window.partitionBy(*group_cols).orderBy("__v"))
+        .cast("decimal(38,0)")
+        .alias("__i"),
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(F.col("__v").cast("decimal(38,0)")).alias("__s"),
+        F.sum(F.col("__i") * F.col("__v")).alias("__iws"),
+    )
+    n, s = F.col("__n"), F.col("__s")
+    num = F.lit(2).cast("decimal(38,0)") * F.col("__iws") - (n + F.lit(1)) * s
+    den = n * s
+    return agg.select(
+        *group_cols,
+        n.cast("long").alias("n"),
+        s.cast("long").alias("total"),
+        F.when(den == F.lit(0), F.lit(None).cast("double"))
+        .otherwise(F.round(num.cast("double") / den.cast("double"), 6))
+        .alias("gini"),
+    )
+
+
+def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit profile vs Benford's law — the classic
+    fabricated-/synthetic-data smell test for naturally-occurring
+    positive quantities (amounts, populations, file sizes): organic
+    heavy-tailed data leans log-uniform (digit 1 ≈ 30.1%), templated or
+    uniformly-generated data does not.
+
+    Values must be integral; only strictly positive rows count (zero and
+    negative have no first significant digit — excluded, like NULL). The
+    first digit is the first character of the decimal string — pure
+    integer/string ops, identical on any engine. ``share`` is the
+    observed fraction, ``benford`` the law's log10(1 + 1/d); both are
+    single-expression doubles over exact integer inputs, rounded to 6.
+
+    Plan shape: one projection + one 9-bucket hash-agg over the table,
+    then a broadcast of the one-row total onto the literal digit frame —
+    output is ALWAYS exactly 9 rows (absent digits appear with n = 0,
+    the strongest red flag of all). Raises if no positive values exist.
+
+    Returns ``(digit INT, n BIGINT, share DOUBLE, benford DOUBLE)``.
+    """
+    _require_integral(df, [value_col], "benford_profile")
+    counts = (
+        df.filter(F.col(value_col) > 0)
+        .select(
+            F.substring(F.col(value_col).cast("long").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("__tot"))
+    trow = tot.first()
+    if not trow["__tot"]:
+        raise ValueError("benford_profile: no positive values")
+    digits = df.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    return (
+        digits.join(counts, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+        .select(
+            "digit",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.lit(float(int(trow["__tot"]))), 6
+            ).alias("share"),
+            F.round(
+                F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 6
+            ).alias("benford"),
+        )
+    )

@@ -191,3 +191,152 @@ def ohlc_hourly(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def acf_series(
+    counts: DataFrame,
+    group_cols,
+    t_col: str,
+    x_col: str,
+    lags,
+) -> DataFrame:
+    """Per-group sample autocorrelation function over a REGULAR integer
+    grid: ``counts`` holds one row per observed bucket ``(group…, t, x)``
+    with integral ``t`` (hour index, day number) and integral ``x``
+    (count, cents); buckets absent between the group's min and max t are
+    ZERO — the natural encoding for event-count series, and what makes
+    the whole estimator sparse-safe (zero terms vanish from every sum,
+    so nothing is ever gap-filled).
+
+    The standard estimator, exact to the last bit: with m = S/n over the
+    full n = max−min+1 calendar,
+
+        r(k) = Σ_{t=k+1..n} (x_t − m)(x_{t−k} − m)  /  Σ_t (x_t − m)²
+
+    is assembled from INTEGER sufficient statistics only — multiplying
+    both sides by n² clears every fraction:
+
+        n²·num(k) = n²·P(k) − n·S·(Sh(k)+St(k)) + (n−k)·S²
+        n²·den    = n²·SS − n·S²
+
+    with P(k) = Σ x_t·x_{t−k} (a lag-k equi self-join of the NONZERO
+    buckets), Sh/St the head/tail window sums, all in ``decimal(38,0)``
+    (HUGEINT in the oracle twin). The only double is the final division,
+    rounded to 6 — an autocorrelogram that hash-matches across engines.
+
+    Plan shape: one hash-agg for the per-group stats, one conditional
+    re-aggregation per (group, lag) for Sh/St (the lag list is a literal
+    explode — |lags| is a handful), and ONE equi hash join on
+    ``(group, t−k)`` for all lags at once. Nothing scales with the
+    calendar length except the nonzero buckets themselves.
+
+    Lags with k ≥ n, and groups with zero variance, yield ``acf = NULL``
+    (no overlapping pairs / undefined). Returns
+    ``(group…, lag INT, n BIGINT, acf DOUBLE)`` — one row per group per
+    requested lag.
+    """
+    group_cols = list(group_cols)
+    lags = [int(k) for k in lags]
+    if not lags or len(set(lags)) != len(lags) or min(lags) < 1:
+        raise ValueError(f"acf_series: lags must be distinct positive ints, got {lags}")
+    from index_spark.operators.stats import _require_integral
+
+    _require_integral(counts, [t_col, x_col], "acf_series")
+    base = counts.groupBy(*group_cols).agg(
+        F.min(t_col).alias("__mn"),
+        F.max(t_col).alias("__mx"),
+        (F.max(t_col) - F.min(t_col) + F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(F.col(x_col).cast("decimal(38,0)")).alias("__s"),
+        F.sum(F.col(x_col).cast("decimal(38,0)") * F.col(x_col)).alias("__ss"),
+    )
+    # LOUD overflow guard (grouped_linear_trend contract): every product
+    # below is bounded by n²·SS and n·S·2S ≤ 2n²·SS
+    brow = base.agg(
+        F.max("__n").alias("n"), F.max("__ss").alias("ss"), F.max(F.abs("__s")).alias("s")
+    ).first()
+    if brow["n"] is not None:
+        n_m, ss_m = int(brow["n"]), max(int(brow["ss"] or 0), 1)
+        if 4 * n_m * n_m * ss_m >= 10**38:
+            raise ValueError(
+                f"acf_series: sufficient statistics could overflow decimal(38,0) "
+                f"(calendar length={n_m}, max Σx²={ss_m}); coarsen the buckets "
+                "or rescale x"
+            )
+    lag_arr = F.array(*[F.lit(k).cast("int") for k in sorted(lags)])
+    # Sh/St: one conditional re-aggregation of the nonzero buckets per lag
+    headtail = (
+        counts.select(*group_cols, F.col(t_col).alias("__t"), F.col(x_col).alias("__x"))
+        .join(base.select(*group_cols, "__mn", "__mx"), group_cols)
+        .select(*group_cols, "__t", "__x", "__mn", "__mx", F.explode(lag_arr).alias("lag"))
+        .groupBy(*group_cols, "lag")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__t") >= F.col("__mn") + F.col("lag"),
+                        F.col("__x").cast("decimal(38,0)"),
+                    )
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__sh"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__t") <= F.col("__mx") - F.col("lag"),
+                        F.col("__x").cast("decimal(38,0)"),
+                    )
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__st"),
+        )
+    )
+    # P(k): lag-k products via ONE equi hash join on (group, t−k)
+    probe = counts.select(
+        *group_cols,
+        F.explode(lag_arr).alias("lag"),
+        F.col(t_col).alias("__tp"),
+        F.col(x_col).cast("decimal(38,0)").alias("__xp"),
+    )
+    target = counts.select(
+        *group_cols, F.col(t_col).alias("__tt"), F.col(x_col).cast("decimal(38,0)").alias("__xt")
+    )
+    pk = (
+        probe.join(
+            target,
+            [probe[c] == target[c] for c in group_cols]
+            + [probe["__tp"] - probe["lag"] == target["__tt"]],
+        )
+        .select(*[probe[c] for c in group_cols], probe["lag"], (F.col("__xp") * F.col("__xt")).alias("__prod"))
+        .groupBy(*group_cols, "lag")
+        .agg(F.sum("__prod").alias("__p"))
+    )
+    joined = (
+        headtail.join(pk, group_cols + ["lag"], "left")
+        .join(base, group_cols)
+        .select(
+            *group_cols,
+            "lag",
+            F.col("__n"),
+            F.coalesce(F.col("__p"), F.lit(0).cast("decimal(38,0)")).alias("__p"),
+            "__sh",
+            "__st",
+            "__s",
+            "__ss",
+        )
+    )
+    n = F.col("__n")
+    k = F.col("lag").cast("decimal(38,0)")
+    num = (
+        n * n * F.col("__p")
+        - n * F.col("__s") * (F.col("__sh") + F.col("__st"))
+        + (n - k) * (F.col("__s") * F.col("__s"))
+    )
+    den = n * n * F.col("__ss") - n * (F.col("__s") * F.col("__s"))
+    return joined.select(
+        *group_cols,
+        F.col("lag").cast("int").alias("lag"),
+        n.cast("long").alias("n"),
+        F.when(
+            (den == F.lit(0)) | (k >= n), F.lit(None).cast("double")
+        ).otherwise(F.round(num.cast("double") / den.cast("double"), 6)).alias("acf"),
+    )

@@ -4564,6 +4564,71 @@ def q_chi2_events(spark, sf_dir):
     return chi2_independence(ev, "event_type", "hod")
 
 
+def q_acf_hourly(spark, sf_dir):
+    """Per-type autocorrelogram of the hourly event-count series (lags
+    1/2/3/24): exact integer sufficient statistics over the zero-filled
+    calendar — the n²-scaled estimator clears every fraction, so the
+    only double is the final division. One hash-agg, one conditional
+    (group, lag) re-aggregation, ONE equi self-join on (type, hour−k)
+    for all lags."""
+    from index_spark.operators.timeseries import acf_series
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts_us div 3600000000").alias("h")
+    )
+    counts = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("x"))
+    return acf_series(counts, ["event_type"], "h", "x", [1, 2, 3, 24])
+
+
+def q_gini_orders(spark, sf_dir):
+    """Revenue concentration per order priority: exact-integer Gini over
+    order value in cents (rank formulation — tie-order-invariant), one
+    group-key exchange for rank window + final aggregate."""
+    from index_spark.operators.stats import gini_concentration
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", _cents(F.col("o_totalprice")).alias("cents")
+    )
+    return gini_concentration(orders, ["o_orderpriority"], "cents")
+
+
+def q_benford_prices(spark, sf_dir):
+    """First-significant-digit profile of extended price (integer cents)
+    vs Benford's law — always exactly 9 rows (absent digits at n = 0);
+    one projection + one 9-bucket hash-agg over the table."""
+    from index_spark.operators.stats import benford_profile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        _cents(F.col("l_extendedprice")).alias("cents")
+    )
+    return benford_profile(li, "cents")
+
+
+def q_stream_cms(spark, sf_dir):
+    """Streaming twin of the count-min sketch: cells maintained as
+    streaming COUNT state (bounded at depth×width rows forever), drained
+    with availableNow, then probed for the top-10 heavy users — the
+    estimates hash-gate against the exact SQL hash replay, so the
+    streaming fold is bit-verified like the batch build."""
+    import uuid as _uuid
+
+    from index_spark.operators.sampling import cms_estimate
+    from index_spark.streaming import read_events_stream, run_available_now
+    from index_spark.streaming.events import cms_cells_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    cells = run_available_now(
+        cms_cells_stream(stream, "user_id"), "sc" + _uuid.uuid4().hex[:10]
+    )
+    ev = load_table(spark, sf_dir, "events")
+    true_counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    probes = true_counts.orderBy(F.col("true_n").desc(), F.col("user_id").asc()).limit(10)
+    est = cms_estimate(cells, probes.select("user_id"), "user_id")
+    return probes.join(est, "user_id").select(
+        "user_id", "true_n", "est_n", (F.col("est_n") - F.col("true_n")).alias("overcount")
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance log-weights of every non-src0 document against the
     src0 target distribution: hashed-bigram (md5-prefix60 mod 256)
@@ -6449,6 +6514,71 @@ def build_oracles() -> dict[str, str]:
         "round(sqrt(chi2 / CAST(n * (least(ka, kb) - 1) AS DOUBLE)), 6) END AS cramers_v "
         "FROM x, tot"
     )
+    out["acf_hourly"] = (
+        # the n²-scaled exact-integer ACF estimator, HUGEINT end-to-end;
+        # the only double is the final division (identical in Spark's
+        # decimal(38,0) build)
+        "WITH c AS (SELECT event_type AS g, epoch_us(ts)//3600000000 AS t, "
+        "  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), "
+        "b AS (SELECT g, min(t) AS mn, max(t) AS mx, max(t) - min(t) + 1 AS n, "
+        "  sum(CAST(x AS HUGEINT)) AS s, sum(CAST(x AS HUGEINT) * x) AS ss "
+        "  FROM c GROUP BY 1), "
+        "l AS (SELECT unnest([1, 2, 3, 24]) AS lag), "
+        "ht AS (SELECT c.g, l.lag, "
+        "  coalesce(sum(CASE WHEN c.t >= b.mn + l.lag THEN CAST(c.x AS HUGEINT) END), 0) AS sh, "
+        "  coalesce(sum(CASE WHEN c.t <= b.mx - l.lag THEN CAST(c.x AS HUGEINT) END), 0) AS st "
+        "  FROM c JOIN b USING (g), l GROUP BY 1, 2), "
+        "p AS (SELECT a.g, l.lag, sum(CAST(a.x AS HUGEINT) * t2.x) AS p "
+        "  FROM c a, l JOIN c t2 ON t2.g = a.g AND t2.t = a.t - l.lag GROUP BY 1, 2), "
+        "j AS (SELECT ht.g, ht.lag, b.n, b.s, b.ss, ht.sh, ht.st, "
+        "  coalesce(p.p, 0) AS p FROM ht JOIN b USING (g) "
+        "  LEFT JOIN p ON p.g = ht.g AND p.lag = ht.lag) "
+        "SELECT g AS event_type, CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n, "
+        "CASE WHEN (n*n*ss - n*s*s) = 0 OR lag >= n THEN NULL ELSE "
+        "round(CAST(n*n*p - n*s*(sh + st) + (n - lag)*s*s AS DOUBLE) "
+        "  / CAST(n*n*ss - n*s*s AS DOUBLE), 6) END AS acf FROM j"
+    )
+    out["gini_orders"] = (
+        "WITH v AS (SELECT o_orderpriority AS g, "
+        f"{_sql_cents('o_totalprice')} AS v FROM orders), "
+        "r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS i FROM v), "
+        "a AS (SELECT g, count(*) AS n, sum(CAST(v AS HUGEINT)) AS s, "
+        "  sum(CAST(i AS HUGEINT) * v) AS iws FROM r GROUP BY 1) "
+        "SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS total, "
+        "CASE WHEN n*s = 0 THEN NULL ELSE "
+        "round(CAST(2*iws - (n + 1)*s AS DOUBLE) / CAST(n*s AS DOUBLE), 6) END AS gini "
+        "FROM a"
+    )
+    out["benford_prices"] = (
+        "WITH v AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v "
+        "  FROM lineitem WHERE round(l_extendedprice*100) > 0), "
+        "c AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit, "
+        "  CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1), "
+        "t AS (SELECT sum(n) AS tot FROM c), "
+        "d AS (SELECT CAST(unnest(generate_series(1, 9)) AS INTEGER) AS digit) "
+        "SELECT d.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n, "
+        "round(CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS share, "
+        "round(log10(1.0 + 1.0 / CAST(d.digit AS DOUBLE)), 6) AS benford "
+        "FROM d LEFT JOIN c USING (digit), t"
+    )
+    out["stream_cms"] = (
+        # the streaming cells drain to the SAME sketch table as a batch
+        # cms_build over events.user_id, so the oracle replays every hash
+        # (cms_heavy recipe, user_id column)
+        "WITH tc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_n "
+        "  FROM events GROUP BY 1), "
+        "probes AS (SELECT user_id, true_n FROM tc ORDER BY true_n DESC, user_id ASC LIMIT 10), "
+        "cells AS (SELECT rr.i AS row, "
+        "  ('0x'||substr(md5(CAST(user_id AS VARCHAR) || '#cms' || rr.i),1,7))::BIGINT % 256 AS pos "
+        "  FROM events, range(0,3) rr(i)), "
+        "sk AS (SELECT row, pos, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY 1, 2), "
+        "pr AS (SELECT p.user_id, p.true_n, rr.i AS row, "
+        "  ('0x'||substr(md5(CAST(p.user_id AS VARCHAR) || '#cms' || rr.i),1,7))::BIGINT % 256 AS pos "
+        "  FROM probes p, range(0,3) rr(i)), "
+        "est AS (SELECT pr.user_id, pr.true_n, CAST(min(coalesce(sk.n, 0)) AS BIGINT) AS est_n "
+        "  FROM pr LEFT JOIN sk ON sk.row = pr.row AND sk.pos = pr.pos GROUP BY 1, 2) "
+        "SELECT user_id, true_n, est_n, CAST(est_n - true_n AS BIGINT) AS overcount FROM est"
+    )
     from index_spark.operators.sampling import _KMV_HEX_CHARS as _HEX60
 
     out["dsir_weights"] = (
@@ -6813,6 +6943,10 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "chi2_events": q_chi2_events,
         "dsir_weights": q_dsir_weights,
+        "acf_hourly": q_acf_hourly,
+        "gini_orders": q_gini_orders,
+        "benford_prices": q_benford_prices,
+        "stream_cms": q_stream_cms,
         "kmv_groups": q_kmv_groups,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,

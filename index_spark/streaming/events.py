@@ -278,6 +278,26 @@ def hll_registers_stream(
     )
 
 
+def cms_cells_stream(
+    events: DataFrame, col: str = "user_id", depth: int = 3, width: int = 256
+) -> DataFrame:
+    """Streaming count-min sketch maintenance: fold each micro-batch into
+    the per-(row, pos) COUNT state — count is a commutative sum monoid,
+    so arrival order and batch boundaries cannot move the drained cell
+    table off the batch build (``operators.sampling.cms_build``, whose
+    plan this IS: the explode + groupBy-count shape is stream-compatible
+    as-is, so the streaming twin delegates rather than re-deriving the
+    hash expressions). State is bounded at depth×width rows forever —
+    the constant-memory frequency table a metrics pipeline keeps per
+    stream. Unlike the HLL twin's max state, count is NOT idempotent:
+    replayed inputs double-count, so exactly-once delivery is the
+    engine's job (checkpointed sources / availableNow), not the
+    sketch's."""
+    from index_spark.operators.sampling import cms_build
+
+    return cms_build(events.filter(F.col(col).isNotNull()), col, depth, width)
+
+
 def dedup_stream(events: DataFrame, delay: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id. ``dropDuplicatesWithinWatermark``
     keeps dedup state only ``delay`` past the watermark — the streaming twin
