@@ -340,3 +340,119 @@ def acf_series(
             (den == F.lit(0)) | (k >= n), F.lit(None).cast("double")
         ).otherwise(F.round(num.cast("double") / den.cast("double"), 6)).alias("acf"),
     )
+
+
+def cusum_changepoint(
+    counts: DataFrame,
+    group_cols,
+    t_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Per-group CUSUM change-point scan over the same sparse regular
+    grid as :func:`acf_series` (one row per NONZERO bucket, zeros
+    implied between min and max t): the statistic is the maximum
+    deviation of cumulative mass from the uniform-in-time line,
+
+        stat = max_{1 ≤ p < n} | S_p / S_n − p / n |,   n = max−min+1
+
+    — a KS-style distance between "when the mass actually arrived" and
+    "mass spread evenly over the window"; the argmax position is the
+    change point (level shift, ramp start, burst boundary). Scaling by
+    n·S_n clears every fraction: D_p = n·S_p − p·S_n is exact
+    ``decimal(38,0)``, and the only double is the final division.
+
+    Sparse-exactness trick: D is LINEAR in p across a zero gap (each
+    empty bucket adds −S_n), so |D| is convex there and its maximum over
+    the gap sits at a gap endpoint — evaluating D only AT each nonzero
+    bucket and at the position JUST BEFORE each nonzero bucket covers
+    every candidate without materializing a single zero row. The scan is
+    one group-key window (prefix sums) + a constant-per-row candidate
+    pair + one argmax aggregate — nothing scales with calendar length.
+
+    Ties break to the EARLIEST position. Split positions must leave both
+    sides non-empty (p in [1, n−1]), so a group whose calendar has a
+    single cell admits no split and is ABSENT from the output; a group
+    with zero total mass returns ``stat = NULL``. Values must be integral
+    and non-negative (cumulative-mass semantics). Returns
+    ``(group…, n BIGINT, t_star BIGINT, stat DOUBLE)`` with ``t_star``
+    the absolute bucket index of the split (mass through t_star vs
+    after), stat rounded to 6.
+    """
+    group_cols = list(group_cols)
+    from index_spark.operators.stats import _require_integral
+
+    _require_integral(counts, [t_col, x_col], "cusum_changepoint")
+    brow = counts.agg(
+        F.count(F.lit(1)).alias("nz"),
+        F.min(x_col).alias("mnx"),
+        # global span bounds every group's span — conservative guard
+        (F.max(t_col) - F.min(t_col) + F.lit(1)).alias("span"),
+        F.max(F.abs(F.col(x_col).cast("decimal(38,0)"))).alias("mx"),
+    ).first()
+    if brow["nz"]:
+        if int(brow["mnx"]) < 0:
+            raise ValueError(
+                f"cusum_changepoint: negative values (min={brow['mnx']}) — "
+                "cumulative-mass change detection needs non-negative x"
+            )
+        span, mx = int(brow["span"]), max(int(brow["mx"] or 0), 1)
+        # |D| ≤ n·S_n ≤ n²·max(x); span here is global-max, conservative
+        if span * span * mx >= 10**38:
+            raise ValueError(
+                "cusum_changepoint: n·S_n could overflow decimal(38,0) "
+                f"(calendar length={span}, max x={mx}); coarsen buckets or rescale"
+            )
+    w_ord = Window.partitionBy(*group_cols).orderBy(t_col)
+    w_all = Window.partitionBy(*group_cols)
+    d38 = "decimal(38,0)"
+    rows = counts.select(
+        *group_cols,
+        F.col(t_col).alias("__t"),
+        F.col(x_col).cast(d38).alias("__x"),
+        F.sum(F.col(x_col).cast(d38)).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__sp"),
+        F.sum(F.col(x_col).cast(d38)).over(w_all).alias("__sn"),
+        F.min(t_col).over(w_all).alias("__mn"),
+        (F.max(t_col).over(w_all) - F.min(t_col).over(w_all) + F.lit(1))
+        .cast(d38)
+        .alias("__n"),
+    )
+    p = (F.col("__t") - F.col("__mn") + F.lit(1)).cast(d38)
+    n, sn = F.col("__n"), F.col("__sn")
+    d_at = n * F.col("__sp") - p * sn  # D at the bucket itself
+    d_before = n * (F.col("__sp") - F.col("__x")) - (p - F.lit(1)) * sn
+    cands = rows.select(
+        *group_cols,
+        "__n",
+        "__sn",
+        "__mn",
+        F.explode(
+            F.array(
+                F.struct(p.alias("p"), d_at.alias("d")),
+                F.struct((p - F.lit(1).cast(d38)).alias("p"), d_before.alias("d")),
+            )
+        ).alias("c"),
+    ).select(
+        *group_cols, "__n", "__sn", "__mn", F.col("c.p").alias("__p"), F.abs(F.col("c.d")).alias("__ad")
+    )
+    valid = cands.filter(
+        (F.col("__p") >= F.lit(1)) & (F.col("__p") <= F.col("__n") - F.lit(1))
+    )
+    # argmax with earliest-position tie-break: max over (|D|, −p) structs
+    best = valid.groupBy(*group_cols).agg(
+        F.max(F.struct(F.col("__ad").alias("ad"), (-F.col("__p")).alias("np"))).alias("__b"),
+        F.max("__n").alias("__n2"),
+        F.max("__sn").alias("__sn2"),
+        F.max("__mn").alias("__mn2"),
+    )
+    stat = F.col("__b.ad").cast("double") / (F.col("__n2") * F.col("__sn2")).cast("double")
+    return best.select(
+        *group_cols,
+        F.col("__n2").cast("long").alias("n"),
+        (F.col("__mn2") + (-F.col("__b.np")).cast("long") - F.lit(1)).cast("long").alias("t_star"),
+        F.when(
+            (F.col("__sn2") == F.lit(0)) | (F.col("__n2") < F.lit(2)),
+            F.lit(None).cast("double"),
+        ).otherwise(F.round(stat, 6)).alias("stat"),
+    )

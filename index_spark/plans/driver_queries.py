@@ -4580,6 +4580,21 @@ def q_acf_hourly(spark, sf_dir):
     return acf_series(counts, ["event_type"], "h", "x", [1, 2, 3, 24])
 
 
+def q_cusum_events(spark, sf_dir):
+    """Per-type CUSUM change-point over the hourly event-count series:
+    max deviation of cumulative mass from the uniform-in-time line,
+    exact n·S_n-scaled integers until the final division; the sparse
+    endpoint trick means zero hours never materialize (|D| is convex
+    across a gap, so gap maxima sit at observed-bucket boundaries)."""
+    from index_spark.operators.timeseries import cusum_changepoint
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts_us div 3600000000").alias("h")
+    )
+    counts = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("x"))
+    return cusum_changepoint(counts, ["event_type"], "h", "x")
+
+
 def q_gini_orders(spark, sf_dir):
     """Revenue concentration per order priority: exact-integer Gini over
     order value in cents (rank formulation — tie-order-invariant), one
@@ -6538,6 +6553,32 @@ def build_oracles() -> dict[str, str]:
         "round(CAST(n*n*p - n*s*(sh + st) + (n - lag)*s*s AS DOUBLE) "
         "  / CAST(n*n*ss - n*s*s AS DOUBLE), 6) END AS acf FROM j"
     )
+    out["cusum_events"] = (
+        # exact n·S_n-scaled CUSUM with the two-candidates-per-observed-
+        # bucket endpoint enumeration (gap interiors are dominated);
+        # argmax via (|D| DESC, p ASC) row_number — earliest-position ties
+        "WITH c AS (SELECT event_type AS g, epoch_us(ts)//3600000000 AS t, "
+        "  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), "
+        "r AS (SELECT g, t, CAST(x AS HUGEINT) AS x, "
+        "  sum(CAST(x AS HUGEINT)) OVER (PARTITION BY g ORDER BY t "
+        "    ROWS UNBOUNDED PRECEDING) AS sp, "
+        "  sum(CAST(x AS HUGEINT)) OVER (PARTITION BY g) AS sn, "
+        "  min(t) OVER (PARTITION BY g) AS mn, "
+        "  max(t) OVER (PARTITION BY g) - min(t) OVER (PARTITION BY g) + 1 AS n "
+        "  FROM c), "
+        "cand AS (SELECT g, n, sn, mn, t - mn + 1 AS p, "
+        "    abs(n*sp - (t - mn + 1)*sn) AS ad FROM r "
+        "  UNION ALL SELECT g, n, sn, mn, t - mn AS p, "
+        "    abs(n*(sp - x) - (t - mn)*sn) AS ad FROM r), "
+        "v AS (SELECT * FROM cand WHERE p >= 1 AND p <= n - 1), "
+        "b AS (SELECT g, n, sn, mn, p, ad, row_number() OVER "
+        "  (PARTITION BY g ORDER BY ad DESC, p ASC) AS rn FROM v) "
+        "SELECT g AS event_type, CAST(n AS BIGINT) AS n, "
+        "CAST(mn + p - 1 AS BIGINT) AS t_star, "
+        "CASE WHEN sn = 0 OR n < 2 THEN NULL ELSE "
+        "round(CAST(ad AS DOUBLE) / CAST(n*sn AS DOUBLE), 6) END AS stat "
+        "FROM b WHERE rn = 1"
+    )
     out["gini_orders"] = (
         "WITH v AS (SELECT o_orderpriority AS g, "
         f"{_sql_cents('o_totalprice')} AS v FROM orders), "
@@ -6944,6 +6985,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_events": q_chi2_events,
         "dsir_weights": q_dsir_weights,
         "acf_hourly": q_acf_hourly,
+        "cusum_events": q_cusum_events,
         "gini_orders": q_gini_orders,
         "benford_prices": q_benford_prices,
         "stream_cms": q_stream_cms,

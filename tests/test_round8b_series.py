@@ -173,3 +173,96 @@ def test_stream_cms_cells_equal_batch(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     want = cms_build(ev, "user_id")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# ------------------------------------------------------------- cusum
+def py_cusum(buckets):
+    mn, mx = min(buckets), max(buckets)
+    xs = [buckets.get(t, 0) for t in range(mn, mx + 1)]
+    n = len(xs)
+    sn = sum(xs)
+    if n < 2:
+        return None
+    best = None  # (abs_d, -p) maximized, then earliest p
+    sp = 0
+    for p0, x in enumerate(xs):
+        p = p0 + 1
+        sp += x
+        for pp, s in ((p, sp), (p - 1, sp - x)):
+            if 1 <= pp <= n - 1:
+                d = abs(n * s - pp * sn)
+                # zero-gap positions are dominated by segment endpoints
+                if best is None or (d, -pp) > best:
+                    best = (d, -pp)
+    if sn == 0:
+        return n, mn - best[1] - 1, None
+    return n, mn - best[1] - 1, best[0] / (n * sn)
+
+
+def py_cusum_brute(buckets):
+    # full zero-filled scan: every position p in [1, n-1]
+    mn, mx = min(buckets), max(buckets)
+    xs = [buckets.get(t, 0) for t in range(mn, mx + 1)]
+    n, sn = len(xs), sum(xs)
+    best, sp = None, 0
+    for p in range(1, n):
+        sp += xs[p - 1]
+        d = abs(n * sp - p * sn)
+        if best is None or (d, -p) > best:
+            best = (d, -p)
+    return n, mn - best[1] - 1, (best[0] / (n * sn) if sn else None)
+
+
+def test_cusum_endpoint_trick_equals_brute():
+    # property: evaluating only segment endpoints finds the true max
+    rng = random.Random(88)
+    for _ in range(200):
+        buckets = {}
+        for t in rng.sample(range(0, 50), rng.randrange(2, 12)):
+            buckets[t] = rng.randrange(0, 9)
+        if max(min(buckets), 0) == max(buckets):
+            continue
+        assert py_cusum(buckets) == py_cusum_brute(buckets)
+
+
+def test_cusum_changepoint_vs_python(spark):
+    from index_spark.operators.timeseries import cusum_changepoint
+
+    rng = random.Random(89)
+    rows, series = [], {}
+    for g in ["a", "b"]:
+        buckets = {}
+        shift = 120 if g == "a" else 60
+        for t in range(0, 200):
+            if rng.random() < 0.6:
+                buckets[t] = (2 if t < shift else 10) + rng.randrange(0, 3)
+        series[g] = buckets
+        rows += [(g, t, x) for t, x in buckets.items()]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    got = {
+        r["g"]: (r["n"], r["t_star"], r["stat"])
+        for r in cusum_changepoint(df, ["g"], "t", "x").collect()
+    }
+    for g in series:
+        n, ts, st = py_cusum_brute(series[g])
+        assert got[g][0] == n and got[g][1] == ts
+        assert got[g][2] == pytest.approx(round(st, 6), abs=1e-6)
+    # the detected change point sits near the planted shift
+    assert abs(got["a"][1] - 120) < 15 and abs(got["b"][1] - 60) < 15
+
+
+def test_cusum_changepoint_edges(spark):
+    from index_spark.operators.timeseries import cusum_changepoint
+
+    # zero total mass -> stat NULL; single calendar cell -> absent
+    df = spark.createDataFrame(
+        [("z", 0, 0), ("z", 5, 0), ("one", 7, 3)], "g string, t long, x long"
+    )
+    got = {r["g"]: r for r in cusum_changepoint(df, ["g"], "t", "x").collect()}
+    assert set(got) == {"z"}
+    assert got["z"]["stat"] is None
+    with pytest.raises(ValueError, match="negative"):
+        cusum_changepoint(
+            spark.createDataFrame([("g", 0, -1), ("g", 3, 5)], "g string, t long, x long"),
+            ["g"], "t", "x",
+        )
