@@ -723,15 +723,7 @@ def grouped_linear_trend(
     the definition).
     Returns ``(group..., n_points BIGINT, slope, intercept, r2)``
     rounded to 6 decimals."""
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
-
-    for c in (x_col, y_col):
-        t = df.schema[c].dataType
-        if not isinstance(t, (ByteType, ShortType, IntegerType, LongType)):
-            raise ValueError(
-                f"grouped_linear_trend: {c} must be integral (got {t.simpleString()}); "
-                "pre-convert money to cents / dates to day numbers"
-            )
+    _require_integral(df, [x_col, y_col], "grouped_linear_trend")
     # NULL x/y rows are EXCLUDED before anything counts (review finding,
     # round 8): count(1) would tally every row while the sums skip
     # NULLs — mismatched n silently corrupts slope/intercept/r² (and the
@@ -1130,6 +1122,15 @@ def gini_concentration(
             raise ValueError(
                 "gini_concentration: rank-weighted sum could overflow "
                 f"decimal(38,0) (rows={n_all}, max={mx}); rescale or pre-aggregate"
+            )
+        # the `total` output column is BIGINT: a group total past 2^63
+        # would NULL out under Spark's non-ANSI decimal→long cast while
+        # the DuckDB twin raises on the same cast (review finding) —
+        # refuse loudly instead, same contract as the decimal guard
+        if n_all * mx >= 2**63:
+            raise ValueError(
+                "gini_concentration: a group total could overflow the BIGINT "
+                f"`total` column (rows={n_all}, max={mx}); rescale the values"
             )
     ranked = vals.select(
         *group_cols,

@@ -249,18 +249,26 @@ def acf_series(
         F.sum(F.col(x_col).cast("decimal(38,0)")).alias("__s"),
         F.sum(F.col(x_col).cast("decimal(38,0)") * F.col(x_col)).alias("__ss"),
     )
-    # LOUD overflow guard (grouped_linear_trend contract): every product
-    # below is bounded by n²·SS and n·S·2S ≤ 2n²·SS
-    brow = base.agg(
-        F.max("__n").alias("n"), F.max("__ss").alias("ss"), F.max(F.abs("__s")).alias("s")
+    # LOUD overflow guard (grouped_linear_trend contract), bounded from
+    # RAW inputs — never from the decimal sums themselves, which are the
+    # very things that overflow to NULL in non-ANSI Spark and would
+    # silently disarm a guard that reads them (review finding). With
+    # cnt = nonzero buckets and mx = max|x| (global, conservative per
+    # group): SS ≤ cnt·mx², S ≤ cnt·mx, so every product below is within
+    # max(n²·cnt·mx², 2·n·cnt²·mx²).
+    brow = counts.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.max(t_col) - F.min(t_col) + F.lit(1)).alias("span"),
+        F.max(F.abs(F.col(x_col).cast("decimal(38,0)"))).alias("mx"),
     ).first()
-    if brow["n"] is not None:
-        n_m, ss_m = int(brow["n"]), max(int(brow["ss"] or 0), 1)
-        if 4 * n_m * n_m * ss_m >= 10**38:
+    if brow["cnt"]:
+        cnt, n_m = int(brow["cnt"]), int(brow["span"])
+        mx = max(int(brow["mx"] or 0), 1)
+        if max(n_m * n_m * cnt, 2 * n_m * cnt * cnt) * mx * mx >= 10**38:
             raise ValueError(
                 f"acf_series: sufficient statistics could overflow decimal(38,0) "
-                f"(calendar length={n_m}, max Σx²={ss_m}); coarsen the buckets "
-                "or rescale x"
+                f"(calendar length={n_m}, nonzero buckets={cnt}, max |x|={mx}); "
+                "coarsen the buckets or rescale x"
             )
     lag_arr = F.array(*[F.lit(k).cast("int") for k in sorted(lags)])
     # Sh/St: one conditional re-aggregation of the nonzero buckets per lag

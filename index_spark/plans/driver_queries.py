@@ -6518,9 +6518,13 @@ def build_oracles() -> dict[str, str]:
         "grid AS (SELECT ra.a, ra.ra, cb.b, cb.cb FROM ra, cb), "
         "fl AS (SELECT g.ra, g.cb, coalesce(c.o, 0) AS o FROM grid g "
         "  LEFT JOIN cells c ON c.a = g.a AND c.b = g.b), "
-        "q AS (SELECT floor(((CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) "
+        # CAST the floor to BIGINT BEFORE summing: DuckDB floor() returns
+        # DOUBLE, and a float-accumulated sum(q) past 2^53 drifts off the
+        # operator's exact long sum (review finding — the js_divergence
+        # twin already casts per term)
+        "q AS (SELECT CAST(floor(((CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) "
         "  * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) "
-        "  / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))) * 1e12 + 0.5) AS q "
+        "  / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))) * 1e12 + 0.5) AS BIGINT) AS q "
         "  FROM fl, tot), "
         "x AS (SELECT CAST(floor((sum(q) + 500000) / 1000000.0) AS BIGINT) / 1.0e6 AS chi2 FROM q) "
         "SELECT CAST(n AS BIGINT) AS n, CAST(ka * kb AS BIGINT) AS n_cells, "
@@ -6591,8 +6595,8 @@ def build_oracles() -> dict[str, str]:
         "FROM a"
     )
     out["benford_prices"] = (
-        "WITH v AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v "
-        "  FROM lineitem WHERE round(l_extendedprice*100) > 0), "
+        f"WITH v AS (SELECT {_sql_cents('l_extendedprice')} AS v "
+        f"  FROM lineitem WHERE {_sql_cents('l_extendedprice')} > 0), "
         "c AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit, "
         "  CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1), "
         "t AS (SELECT sum(n) AS tot FROM c), "

@@ -266,3 +266,24 @@ def test_cusum_changepoint_edges(spark):
             spark.createDataFrame([("g", 0, -1), ("g", 3, 5)], "g string, t long, x long"),
             ["g"], "t", "x",
         )
+
+
+def test_acf_guard_not_disarmed_by_decimal_overflow(spark):
+    # values whose SUM OF SQUARES overflows decimal(38,0): the guard must
+    # bound from raw inputs and raise, never read the (NULL) decimal sum
+    from index_spark.operators.timeseries import acf_series
+
+    big = 3 * 10**18
+    rows = [("g", t, big) for t in range(12)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    with pytest.raises(ValueError, match="overflow"):
+        acf_series(df, ["g"], "t", "x", [1])
+
+
+def test_gini_total_bigint_overflow_guard(spark):
+    # passes the decimal(38,0) product guard but the BIGINT total could
+    # overflow -> loud error, not a silent NULL total
+    big = 9 * 10**18
+    df = spark.createDataFrame([("g", big), ("g", big)], "g string, v long")
+    with pytest.raises(ValueError, match="BIGINT"):
+        gini_concentration(df, ["g"], "v")
