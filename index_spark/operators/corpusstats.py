@@ -486,3 +486,72 @@ def pmi_top_pairs(
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(top_k)
     )
+
+
+def bigram_cond_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus conditional entropy H(W₂|W₁) of the next word given the
+    previous one, in nats — the sequence-level redundancy diagnostic that
+    the unigram entropy cannot see: a template/boilerplate flood keeps
+    unigram entropy high while H(W₂|W₁) collapses (every word determines
+    its successor), so the PAIR (unigram H, conditional H) separates
+    "diverse vocabulary" from "diverse text".
+
+        H(W₂|W₁) = Σ_{w₁,w₂} (c₁₂/N₂) · ln(c₁/c₁₂)
+
+    with c₁₂ the corpus bigram count, c₁ = Σ_{w₂} c₁₂ the context count,
+    N₂ total bigrams. Every per-pair term is ≥ 0 and built from exact
+    BIGINT counts (the only doubles are one division by the eager-literal
+    N₂ and one ln of an exact integer ratio); terms are quantized with
+    the :func:`js_divergence` e-12 quantizer and summed as BIGINT — the
+    vocabulary-sized Σ stays combine-order-independent with no
+    single-task fold.
+
+    Plan shape: the same map-side adjacent-pair zip as
+    :func:`bigram_nll` (materialized token array), one (w₁, w₂) hash
+    agg, one w₁ re-aggregation, an unhinted hash join on w₁ (the context
+    vocabulary grows with the corpus — AQE broadcasts when it fits), one
+    one-row output. Raises if the corpus has no bigrams.
+
+    Returns one row ``(n_bigrams BIGINT, v_contexts BIGINT,
+    cond_entropy DOUBLE)`` rounded to 6.
+    """
+    tokd = TX.materialize_tokens(
+        TX.spread_for_cpu(df.select(F.col(text_col))),
+        text_col,
+        [],
+        tok_expr=_tok_col(text_col),
+    )
+    t = F.col("__toks")
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    c12 = (
+        tokd.select(F.explode(F.when(n >= 2, bigrams)).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    trow = c1.agg(F.sum("c1").alias("n2"), F.count(F.lit(1)).alias("v1")).first()
+    if not trow["n2"]:
+        raise ValueError("bigram_cond_entropy: the corpus has no bigrams")
+    n2, v1 = int(trow["n2"]), int(trow["v1"])
+    term = (
+        F.col("c12").cast("double") / F.lit(float(n2))
+    ) * F.log(F.col("c1").cast("double") / F.col("c12").cast("double"))
+    q = c12.join(c1, "w1").select(
+        F.floor(term * F.lit(1.0e12) + F.lit(0.5)).alias("__q")
+    )
+    return q.agg(
+        (
+            F.floor((F.sum("__q") + F.lit(500000)) / F.lit(1000000.0)).cast("long")
+            / F.lit(1.0e6)
+        ).alias("__h")
+    ).select(
+        F.lit(n2).cast("long").alias("n_bigrams"),
+        F.lit(v1).cast("long").alias("v_contexts"),
+        F.col("__h").alias("cond_entropy"),
+    )

@@ -1212,3 +1212,110 @@ def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
             ).alias("benford"),
         )
     )
+
+
+def theilsen_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    max_points: int = 10_000,
+) -> DataFrame:
+    """Per-group Theil–Sen robust trend: slope = MEDIAN of all pairwise
+    slopes (y_j−y_i)/(x_j−x_i) over x_i < x_j, intercept = median of
+    y − slope·x — the estimator that shrugs off up to ~29% arbitrary
+    outliers where :func:`grouped_linear_trend`'s OLS line is dragged by
+    a single wild point (the robust companion, same way
+    :func:`mad_outlier_stats` is the robust companion to z-scores).
+
+    Exactness: x/y must be integral, so every pairwise slope is ONE
+    double division of exact integers — identical on any engine — and
+    the median is the exact discrete p50 by rank (equal doubles are
+    interchangeable at equal ranks). The intercept reuses the UNROUNDED
+    median slope, so its residuals are identical-input doubles too.
+    Outputs round to 6.
+
+    Scale contract: pairwise slopes are O(n²) per group BY DEFINITION of
+    the estimator — this is for pre-aggregated series (daily revenue,
+    hourly counts), not raw tables. The eager guard refuses any group
+    larger than ``max_points`` (default 10k → ≤ 50M pairs/group) with
+    the pre-aggregate recipe, instead of silently planning a
+    quadratic-blowup join; the pair join itself is equi on the group key
+    and the per-group median windows ride that same partitioning. NOTE
+    the exact per-group median means each group's full pair set sorts in
+    ONE task (the grouped-percentile contract) — at the default cap
+    that's a ~50M-row in-partition sort; size ``max_points`` to executor
+    memory, or coarsen the series grain, when groups run long.
+
+    Pairs with x_i = x_j are SKIPPED (vertical slope — standard
+    Theil–Sen); a group with no two distinct x values admits no line and
+    is ABSENT. NULL x/y rows are excluded. Returns ``(group…,
+    n_points BIGINT, n_pairs BIGINT, slope DOUBLE, intercept DOUBLE)``.
+    """
+    group_cols = list(group_cols)
+    _require_integral(df, [x_col, y_col], "theilsen_trend")
+    pts = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        *group_cols, F.col(x_col).cast("long").alias("__x"), F.col(y_col).cast("long").alias("__y")
+    )
+    sizes = pts.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    brow = sizes.agg(F.max("n").alias("mx")).first()
+    if brow["mx"] and int(brow["mx"]) > max_points:
+        raise ValueError(
+            f"theilsen_trend: a group has {brow['mx']} points (> max_points="
+            f"{max_points}) — the pairwise-slope set is O(n²); pre-aggregate "
+            "the series (e.g. daily sums) or raise max_points deliberately"
+        )
+    a = pts.select(*group_cols, F.col("__x").alias("__xa"), F.col("__y").alias("__ya"))
+    b = pts.select(*group_cols, F.col("__x").alias("__xb"), F.col("__y").alias("__yb"))
+    slopes = a.join(b, group_cols).filter(F.col("__xa") < F.col("__xb")).select(
+        *group_cols,
+        (
+            (F.col("__yb") - F.col("__ya")).cast("double")
+            / (F.col("__xb") - F.col("__xa")).cast("double")
+        ).alias("__sl"),
+    )
+    # median slope + pair count in ONE pass over the O(n²) slope set —
+    # the rank window and the rollup share the group-key partitioning,
+    # so the expensive pair join is evaluated exactly once (the
+    # grouped_percentile_disc helper's distinct-join structure would
+    # re-embed this pipeline several times; measured 33.8 → ~12 s on the
+    # daily-orders catalog query)
+    w_all = Window.partitionBy(*group_cols)
+    ranked = slopes.select(
+        *group_cols,
+        "__sl",
+        F.row_number().over(Window.partitionBy(*group_cols).orderBy("__sl")).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__m"),
+    )
+    ms = ranked.groupBy(*group_cols).agg(
+        F.min(
+            F.when(F.col("__rn") >= F.ceil(F.lit(0.5) * F.col("__m")), F.col("__sl"))
+        ).alias("__slope"),
+        F.max("__m").cast("long").alias("n_pairs"),
+    )
+    # residual median: the input is only n points per group — cheap
+    resid = pts.join(ms, group_cols).select(
+        *group_cols,
+        "__slope",
+        "n_pairs",
+        (F.col("__y").cast("double") - F.col("__slope") * F.col("__x").cast("double")).alias("__r"),
+    )
+    ranked_r = resid.select(
+        *group_cols,
+        "__slope",
+        "n_pairs",
+        "__r",
+        F.row_number().over(Window.partitionBy(*group_cols).orderBy("__r")).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    return ranked_r.groupBy(*group_cols).agg(
+        F.max("__n").cast("long").alias("n_points"),
+        F.max("n_pairs").alias("n_pairs"),
+        F.round(F.max("__slope"), 6).alias("slope"),
+        F.round(
+            F.min(
+                F.when(F.col("__rn") >= F.ceil(F.lit(0.5) * F.col("__n")), F.col("__r"))
+            ),
+            6,
+        ).alias("intercept"),
+    )

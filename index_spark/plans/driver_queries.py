@@ -4656,6 +4656,41 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_log_weights(docs, "src0", n_buckets=256)
 
 
+def q_theilsen_orders(spark, sf_dir):
+    """Theil–Sen robust weekly-revenue trend per priority (the outlier-
+    proof companion of `priority_trend`'s OLS): slope = exact discrete
+    median of all pairwise week-slopes, intercept = median residual at
+    that slope. Weekly grain keeps the O(n²) pairwise set calendar-
+    bounded at ~350 points/group (~61k pairs — the estimator's cost
+    class, exercised without dominating the bench); the pair join is
+    equi on the group key."""
+    from index_spark.operators.stats import theilsen_trend
+
+    o = load_table(spark, sf_dir, "orders")
+    weekly = (
+        o.select(
+            F.col("o_orderpriority"),
+            F.expr(
+                "datediff(to_date(o_orderdate), date'1992-01-01') div 7"
+            ).cast("long").alias("x"),
+            _cents(F.col("o_totalprice")).alias("__c"),
+        )
+        .groupBy("o_orderpriority", "x")
+        .agg(F.sum("__c").alias("y"))
+    )
+    return theilsen_trend(weekly, ["o_orderpriority"], "x", "y")
+
+
+def q_bigram_entropy(spark, sf_dir):
+    """Corpus conditional entropy H(W2|W1) in nats — the sequence-level
+    redundancy diagnostic (template floods collapse it while unigram
+    entropy stays high); vocabulary-sized Σ via the e-12 quantized
+    BIGINT sum, one-row output."""
+    from index_spark.operators.corpusstats import bigram_cond_entropy
+
+    return bigram_cond_entropy(load_table(spark, sf_dir, "documents"))
+
+
 def q_pmi_pairs(spark, sf_dir):
     """Top-20 adjacent-word collocations by PMI (min count 5) — exact
     integer fraction (c12·N1²)/(N2·c1·c2) in decimal/HUGEINT, doubles
@@ -6557,6 +6592,44 @@ def build_oracles() -> dict[str, str]:
         "round(CAST(n*n*p - n*s*(sh + st) + (n - lag)*s*s AS DOUBLE) "
         "  / CAST(n*n*ss - n*s*s AS DOUBLE), 6) END AS acf FROM j"
     )
+    out["theilsen_orders"] = (
+        # pairwise slopes as identical one-division doubles over exact
+        # integers; discrete medians by the rank-ceil formulation
+        "WITH d AS (SELECT o_orderpriority AS g, "
+        "  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) // 7 AS x, "
+        f"  sum({_sql_cents('o_totalprice')}) AS y FROM orders GROUP BY 1, 2), "
+        "p AS (SELECT a.g, CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS sl "
+        "  FROM d a JOIN d b ON a.g = b.g AND a.x < b.x), "
+        "rs AS (SELECT g, sl, row_number() OVER (PARTITION BY g ORDER BY sl) AS rn, "
+        "  count(*) OVER (PARTITION BY g) AS m FROM p), "
+        "ms AS (SELECT g, min(CASE WHEN rn >= ceil(0.5*m) THEN sl END) AS slope, "
+        "  max(m) AS n_pairs FROM rs GROUP BY 1), "
+        "r AS (SELECT d.g, CAST(d.y AS DOUBLE) - ms.slope * CAST(d.x AS DOUBLE) AS res "
+        "  FROM d JOIN ms USING (g)), "
+        "rr AS (SELECT g, res, row_number() OVER (PARTITION BY g ORDER BY res) AS rn, "
+        "  count(*) OVER (PARTITION BY g) AS n FROM r), "
+        "mi AS (SELECT g, min(CASE WHEN rn >= ceil(0.5*n) THEN res END) AS icept, "
+        "  max(n) AS n_points FROM rr GROUP BY 1) "
+        "SELECT ms.g AS o_orderpriority, CAST(mi.n_points AS BIGINT) AS n_points, "
+        "CAST(ms.n_pairs AS BIGINT) AS n_pairs, round(ms.slope, 6) AS slope, "
+        "round(mi.icept, 6) AS intercept FROM ms JOIN mi USING (g)"
+    )
+    out["bigram_entropy"] = (
+        f"WITH toks AS (SELECT {SQL_TOKS_LOWER} AS t FROM documents), "
+        "idx AS (SELECT t, unnest(generate_series(1, len(t)-1)) AS i "
+        "  FROM toks WHERE len(t) >= 2), "
+        "c12 AS (SELECT t[i] AS w1, t[i+1] AS w2, CAST(count(*) AS BIGINT) AS c12 "
+        "  FROM idx GROUP BY 1, 2), "
+        "c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1), "
+        "tot AS (SELECT sum(c1) AS n2, count(*) AS v1 FROM c1), "
+        "q AS (SELECT CAST(floor(((CAST(c12 AS DOUBLE) / CAST(n2 AS DOUBLE)) "
+        "  * ln(CAST(c1 AS DOUBLE) / CAST(c12 AS DOUBLE))) * 1e12 + 0.5) AS BIGINT) AS q "
+        "  FROM c12 JOIN c1 USING (w1), tot) "
+        "SELECT (SELECT CAST(n2 AS BIGINT) FROM tot) AS n_bigrams, "
+        "(SELECT CAST(v1 AS BIGINT) FROM tot) AS v_contexts, "
+        "CAST(floor((sum(q) + 500000) / 1000000.0) AS BIGINT) / 1.0e6 AS cond_entropy "
+        "FROM q"
+    )
     out["cusum_events"] = (
         # exact n·S_n-scaled CUSUM with the two-candidates-per-observed-
         # bucket endpoint enumeration (gap interiors are dominated);
@@ -6993,6 +7066,8 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_orders": q_gini_orders,
         "benford_prices": q_benford_prices,
         "stream_cms": q_stream_cms,
+        "theilsen_orders": q_theilsen_orders,
+        "bigram_entropy": q_bigram_entropy,
         "kmv_groups": q_kmv_groups,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,

@@ -287,3 +287,50 @@ def test_gini_total_bigint_overflow_guard(spark):
     df = spark.createDataFrame([("g", big), ("g", big)], "g string, v long")
     with pytest.raises(ValueError, match="BIGINT"):
         gini_concentration(df, ["g"], "v")
+
+
+# ------------------------------------------------------- plan shapes
+import io
+from contextlib import redirect_stdout
+
+import __spark_entry__ as em
+
+
+def _plan_of(spark, sf_dir, name):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        em.queries()[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_round8b_plans_no_cartesian(spark, sf_dir):
+    """None of the continuation queries may degrade to a row-multiplying
+    nested loop: every join is equi (acf/cusum self-joins on (group,
+    t−k) / marginal keys; dsir bucket join is an equi broadcast) and the
+    only crossJoins are 1×N scalar broadcasts (chi2 grid is |A|×|B| of
+    two categorical-small marginal frames — checked separately)."""
+    for name in ["corr_lineitem", "mad_outliers", "acf_hourly",
+                 "cusum_events", "gini_orders", "benford_prices",
+                 "dsir_weights"]:
+        p = _plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_corr_matrix_single_aggregate_plan(spark, sf_dir):
+    """The correlation matrix is ONE partial-agg shuffle to one row —
+    exactly one Exchange, no joins of any kind."""
+    p = _plan_of(spark, sf_dir, "corr_lineitem")
+    assert p.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
+    assert "Join" not in p
+
+
+def test_mad_outliers_single_exchange_plan(spark, sf_dir):
+    """Median, MAD, and the rollup all ride ONE group-key exchange: the
+    two rank windows and the final aggregate must not re-shuffle."""
+    p = _plan_of(spark, sf_dir, "mad_outliers")
+    import re
+
+    # count DISTINCT Exchange operator nodes in the formatted plan tree
+    n_exch = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exch == 1, p[:2000]
