@@ -4656,6 +4656,66 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_log_weights(docs, "src0", n_buckets=256)
 
 
+def q_hll_intersect(spark, sf_dir):
+    """HLL sketch algebra: distinct-user overlap of two event types by
+    inclusion-exclusion over three constant-memory sketches (|A| + |B| −
+    |A∪B|, clamped at 0) — the audience-overlap question answered from
+    2^p registers per side instead of a distinct-pair join. All three
+    estimates replay exactly in SQL (sql_hll_estimate), so even the
+    sketch ERROR is deterministic and hash-gated."""
+    from index_spark.operators.sampling import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    def est(pred, alias):
+        return hll_estimate(hll_registers(ev.filter(pred), "user_id")).select(
+            F.col("est_distinct").alias(alias)
+        )
+
+    ea = est(F.col("event_type") == "click", "est_a")
+    eb = est(F.col("event_type") == "purchase", "est_b")
+    eu = est(F.col("event_type").isin("click", "purchase"), "est_union")
+    return (
+        ea.crossJoin(eb).crossJoin(eu)  # three 1-row frames
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0)
+            ).cast("long").alias("est_intersection"),
+        )
+    )
+
+
+def q_cluster_size_hist(spark, sf_dir):
+    """Duplicate-cluster size distribution — the dedup health report
+    (how much mass sits in big near-dup families vs singletons): LSH
+    pairs → connected components → per-cluster size → histogram, with
+    docs touching no pair counted as size-1 clusters via an anti-join.
+    Everything after the CC is two tiny aggregates."""
+    from index_spark.operators.graph import connected_components
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    pairs = DD.minhash_near_dup_pairs(
+        docs, threshold=0.5, num_hashes=MINHASH_N, bands=MINHASH_BANDS
+    )
+    cc = connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    singles = (
+        docs.select("doc_id")
+        .join(cc.select(F.col("id").alias("doc_id")), "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit(1).cast("long").alias("cluster_size"), F.col("cnt"))
+    )
+    return (
+        hist.unionByName(singles)
+        .filter(F.col("cnt") > 0)
+        .groupBy("cluster_size")
+        .agg(F.sum("cnt").cast("long").alias("n_clusters"))
+    )
+
+
 def q_theilsen_orders(spark, sf_dir):
     """Theil–Sen robust weekly-revenue trend per priority (the outlier-
     proof companion of `priority_trend`'s OLS): slope = exact discrete
@@ -5774,6 +5834,36 @@ def build_oracles() -> dict[str, str]:
             "          UNION SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id) "
             "SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"
         ),
+        "cluster_size_hist": (
+            # the dedup_clusters recursive-CC chain, rolled up to the
+            # cluster-size histogram; docs with no verified pair join as
+            # size-1 clusters (every CC member has an edge, so CC sizes
+            # are >= 2 — the UNION branches cannot collide, but summing
+            # keeps it correct either way)
+            f"WITH RECURSIVE alldocs AS ({near_docs}), "
+            f"sh AS ({_sql_shingles('alldocs')}), "
+            f"sig AS (SELECT doc_id, {_sql_minhash_sig()} AS sig FROM sh), "
+            "bands AS (SELECT doc_id, b, md5(concat_ws('|', sig[2*b+1], sig[2*b+2])) AS h "
+            "          FROM sig CROSS JOIN range(0, 8) t(b)), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b FROM bands a "
+            "          JOIN bands bb ON a.b = bb.b AND a.h = bb.h AND a.doc_id < bb.doc_id), "
+            "verified AS (SELECT id_a, id_b "
+            "  FROM pairs JOIN sh s1 ON s1.doc_id = id_a JOIN sh s2 ON s2.doc_id = id_b "
+            "  WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)"
+            "   / greatest(len(list_distinct(list_concat(s1.sh, s2.sh))), 1) >= 0.5), "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM verified "
+            "          UNION SELECT id_b, id_a FROM verified), "
+            "reach AS (SELECT a AS id, a AS r FROM edges "
+            "          UNION SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id), "
+            "cl AS (SELECT id, min(r) AS cid FROM reach GROUP BY id), "
+            "sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size FROM cl GROUP BY 1), "
+            "hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS cnt FROM sz GROUP BY 1), "
+            "sing AS (SELECT CAST(1 AS BIGINT) AS cluster_size, CAST(count(*) AS BIGINT) AS cnt "
+            "  FROM alldocs WHERE doc_id NOT IN (SELECT id FROM cl)) "
+            "SELECT cluster_size, CAST(sum(cnt) AS BIGINT) AS n_clusters "
+            "FROM (SELECT * FROM hist UNION ALL SELECT * FROM sing WHERE cnt > 0) "
+            "GROUP BY 1"
+        ),
         "skew_salted_join": (
             "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items, "
             f"{_sql_sum_cents('l_extendedprice', 'revenue')} "
@@ -6483,6 +6573,23 @@ def build_oracles() -> dict[str, str]:
     # the streaming twin drains to the SAME register table, so it shares
     # the batch oracle verbatim
     out["stream_hll"] = out["hll_distinct"]
+
+    # sketch algebra: three generated single-sketch replays composed by
+    # inclusion-exclusion — the subquery-table form of sql_hll_estimate
+    def _hll_sub(pred: str) -> str:
+        return sql_hll_estimate(
+            f"(SELECT user_id FROM events WHERE {pred})", "user_id"
+        )
+
+    _sub_a = _hll_sub("event_type = 'click'")
+    _sub_b = _hll_sub("event_type = 'purchase'")
+    _sub_u = _hll_sub("event_type IN ('click', 'purchase')")
+    out["hll_intersect"] = (
+        "SELECT a.est_distinct AS est_a, b.est_distinct AS est_b, "
+        "u.est_distinct AS est_union, "
+        "greatest(a.est_distinct + b.est_distinct - u.est_distinct, 0) AS est_intersection "
+        f"FROM ({_sub_a}) a, ({_sub_b}) b, ({_sub_u}) u"
+    )
     # round-8 continuation: correlation matrix — the 6 pair rows are
     # GENERATED from one column list so the SQL twin can't drift from the
     # operator's pair enumeration (same fixed expression tree as
@@ -7068,6 +7175,8 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms": q_stream_cms,
         "theilsen_orders": q_theilsen_orders,
         "bigram_entropy": q_bigram_entropy,
+        "hll_intersect": q_hll_intersect,
+        "cluster_size_hist": q_cluster_size_hist,
         "kmv_groups": q_kmv_groups,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,
