@@ -180,3 +180,133 @@ def cohort_retention(
             "retention"
         ),
     )
+
+
+def event_cooccurrence_lift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Pairwise lift between event types at the USER level — the
+    market-basket association view of a behavior log (lift > 1: users
+    who do A over-index on B; < 1: the types repel):
+
+        lift(A, B) = P(A ∧ B) / (P(A)·P(B)) = (n_ab · U) / (n_a · n_b)
+
+    over the distinct-user universe U. The ratio is ONE exact integer
+    fraction assembled in decimal(38,0) (HUGEINT in the oracle), so the
+    only double is the final division — the same exact-fraction rule as
+    ``corpusstats.pmi_top_pairs`` (its sibling: PMI is the log of this
+    lift over token positions; this is user-set association).
+
+    Plan shape: events collapse to distinct (user, type) in the FIRST
+    aggregate (nothing downstream is per-event); pairs come from an equi
+    self-join on the user key (each user contributes C(k,2) pairs — k is
+    the per-user distinct TYPE count, bounded by the type vocabulary,
+    so the join never blows up); marginals and the universe are two tiny
+    re-aggregations. Type pairs are emitted once, ``type_a < type_b``.
+
+    Returns ``(type_a, type_b, n_a BIGINT, n_b BIGINT, n_ab BIGINT,
+    lift DOUBLE)`` rounded to 6; pairs that never co-occur are ABSENT
+    (their lift is exactly 0 and the join never materializes them —
+    callers wanting the full matrix outer-join the marginals).
+    """
+    ut = (
+        events.filter(F.col(user_col).isNotNull() & F.col(type_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), F.col(type_col).alias("__t"))
+        .distinct()
+    )
+    trow = ut.agg(F.count_distinct("__u").alias("u")).first()
+    if not trow["u"]:
+        raise ValueError("event_cooccurrence_lift: no (user, type) pairs")
+    u_tot = int(trow["u"])
+    marg = ut.groupBy("__t").agg(F.count(F.lit(1)).alias("__n"))
+    a = ut.select(F.col("__u"), F.col("__t").alias("type_a"))
+    b = ut.select(F.col("__u"), F.col("__t").alias("type_b"))
+    co = (
+        a.join(b, "__u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("__nab"))
+    )
+    d38 = "decimal(38,0)"
+    out = (
+        co.join(marg.select(F.col("__t").alias("type_a"), F.col("__n").alias("__na")), "type_a")
+        .join(marg.select(F.col("__t").alias("type_b"), F.col("__n").alias("__nb")), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("__na").cast("long").alias("n_a"),
+            F.col("__nb").cast("long").alias("n_b"),
+            F.col("__nab").cast("long").alias("n_ab"),
+            F.round(
+                (F.col("__nab").cast(d38) * F.lit(u_tot).cast(d38)).cast("double")
+                / (F.col("__na").cast(d38) * F.col("__nb").cast(d38)).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out
+
+
+def conversion_latency(
+    events: DataFrame,
+    from_type: str,
+    to_type: str,
+    ps: Sequence[float] = (0.5, 0.9),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Time-to-convert distribution: for every user whose FIRST
+    ``from_type`` event precedes (or ties) their first ``to_type``
+    event, the latency between the two firsts — reported as exact
+    discrete percentiles (µs) plus the converting-user count. The
+    product-analytics twin of the strict-order funnel: the funnel says
+    HOW MANY convert, this says HOW FAST.
+
+    Exactness AND scale: first-timestamps are integer MIN aggregates;
+    latencies are integer differences; the percentiles are GLOBAL exact
+    discrete quantiles, so they ride :func:`.stats.exact_quantiles`' s
+    two-level bucket plan — the converting-user set can be billions of
+    rows and nothing funnels it through one task (a constant-group
+    window formulation here would be the classic single-partition
+    WindowExec trap).
+
+    Returns ONE row ``(n_converted BIGINT, p<..> BIGINT …)``; raises if
+    no user converts (an empty latency distribution has no percentiles).
+    """
+    from index_spark.operators.stats import _pct_alias, exact_quantiles
+
+    firsts = (
+        events.filter(
+            F.col(user_col).isNotNull()
+            & F.col(type_col).isin([from_type, to_type])
+        )
+        .groupBy(user_col)
+        .agg(
+            F.min(F.when(F.col(type_col) == from_type, F.col(ts_col))).alias("__f"),
+            F.min(F.when(F.col(type_col) == to_type, F.col(ts_col))).alias("__t"),
+        )
+        .filter(F.col("__f").isNotNull() & F.col("__t").isNotNull())
+        .filter(F.col("__f") <= F.col("__t"))
+        .select((F.col("__t") - F.col("__f")).alias("__lat"))
+    )
+    try:
+        q = exact_quantiles(firsts, "__lat", "__lat", list(ps))
+    except ValueError as e:
+        if "empty" in str(e):
+            raise ValueError(
+                f"conversion_latency: no user has {from_type} before {to_type}"
+            ) from e
+        raise
+    wide = q.agg(
+        *[
+            F.min(F.when(F.col("p") == F.lit(float(pv)), F.col("value")))
+            .cast("long")
+            .alias(_pct_alias(pv))
+            for pv in ps
+        ]
+    )
+    n = firsts.agg(F.count(F.lit(1)).cast("long").alias("n_converted"))
+    return n.crossJoin(F.broadcast(wide))  # two one-row frames

@@ -4656,6 +4656,28 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_log_weights(docs, "src0", n_buckets=256)
 
 
+def q_event_lift(spark, sf_dir):
+    """User-level market-basket lift between event types: one exact
+    integer fraction (n_ab·U)/(n_a·n_b) per co-occurring pair, distinct
+    (user, type) collapsed in the first aggregate, pair generation via
+    an equi self-join on the user key (C(k,2) per user, k bounded by
+    the type vocabulary)."""
+    from index_spark.operators.funnel import event_cooccurrence_lift
+
+    return event_cooccurrence_lift(load_table(spark, sf_dir, "events"))
+
+
+def q_conversion_latency(spark, sf_dir):
+    """Time-to-convert distribution (first view → first purchase):
+    integer min-aggregates per user, exact discrete p50/p90 of the
+    latency set — the HOW-FAST companion to the funnel's HOW-MANY."""
+    from index_spark.operators.funnel import conversion_latency
+
+    return conversion_latency(
+        load_table(spark, sf_dir, "events"), "view", "purchase", ps=(0.5, 0.9)
+    )
+
+
 def q_hll_intersect(spark, sf_dir):
     """HLL sketch algebra: distinct-user overlap of two event types by
     inclusion-exclusion over three constant-memory sketches (|A| + |B| −
@@ -6699,6 +6721,31 @@ def build_oracles() -> dict[str, str]:
         "round(CAST(n*n*p - n*s*(sh + st) + (n - lag)*s*s AS DOUBLE) "
         "  / CAST(n*n*ss - n*s*s AS DOUBLE), 6) END AS acf FROM j"
     )
+    out["event_lift"] = (
+        "WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events "
+        "  WHERE user_id IS NOT NULL AND event_type IS NOT NULL), "
+        "un AS (SELECT count(DISTINCT u) AS utot FROM ut), "
+        "m AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1), "
+        "co AS (SELECT a.t AS type_a, b.t AS type_b, CAST(count(*) AS BIGINT) AS nab "
+        "  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2) "
+        "SELECT type_a, type_b, ma.n AS n_a, mb.n AS n_b, nab AS n_ab, "
+        "round(CAST(CAST(nab AS HUGEINT) * utot AS DOUBLE) "
+        "  / CAST(CAST(ma.n AS HUGEINT) * mb.n AS DOUBLE), 6) AS lift "
+        "FROM co JOIN m ma ON ma.t = type_a JOIN m mb ON mb.t = type_b, un"
+    )
+    out["conversion_latency"] = (
+        "WITH f AS (SELECT user_id, "
+        "  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS f, "
+        "  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t "
+        "  FROM events GROUP BY 1), "
+        "l AS (SELECT t - f AS lat FROM f "
+        "  WHERE f IS NOT NULL AND t IS NOT NULL AND f <= t), "
+        "r AS (SELECT lat, row_number() OVER (ORDER BY lat) AS rn, "
+        "  count(*) OVER () AS n FROM l) "
+        "SELECT CAST(max(n) AS BIGINT) AS n_converted, "
+        "min(CASE WHEN rn >= ceil(0.5*n) THEN lat END) AS p50, "
+        "min(CASE WHEN rn >= ceil(0.9*n) THEN lat END) AS p90 FROM r"
+    )
     out["theilsen_orders"] = (
         # pairwise slopes as identical one-division doubles over exact
         # integers; discrete medians by the rank-ceil formulation
@@ -7177,6 +7224,8 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_entropy": q_bigram_entropy,
         "hll_intersect": q_hll_intersect,
         "cluster_size_hist": q_cluster_size_hist,
+        "event_lift": q_event_lift,
+        "conversion_latency": q_conversion_latency,
         "kmv_groups": q_kmv_groups,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,
