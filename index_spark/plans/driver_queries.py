@@ -4656,6 +4656,38 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_log_weights(docs, "src0", n_buckets=256)
 
 
+def q_reconcile_totals(spark, sf_dir):
+    """Cross-table aggregate reconciliation audit — the warehouse
+    invariant check that fk_violations (key containment) cannot see:
+    does each order's header total equal the sum of its line charges
+    (ext·(1−disc)·(1+tax), rounded to cents per line)? One line-level
+    aggregate, one left join, one conditional rollup; the report counts
+    headers with no lines and with mismatched totals (this synthetic
+    fixture reconciles nothing — 257 lineless orders, 100% mismatch —
+    which is precisely what the audit is for)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    chg = F.round(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+        * 100
+    ).cast("long")
+    per_order = li.groupBy("l_orderkey").agg(F.sum(chg).alias("__chg"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents(F.col("o_totalprice")).alias("__tot")
+    )
+    j = o.join(per_order, o["o_orderkey"] == per_order["l_orderkey"], "left")
+    has = F.col("__chg").isNotNull()
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(~has, 1).otherwise(0)).cast("long").alias("n_no_lines"),
+        F.sum(F.when(has & (F.col("__tot") != F.col("__chg")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatch"),
+        F.max(F.when(has, F.abs(F.col("__tot") - F.col("__chg")))).alias("max_abs_diff"),
+    )
+
+
 def q_event_lift(spark, sf_dir):
     """User-level market-basket lift between event types: one exact
     integer fraction (n_ab·U)/(n_a·n_b) per co-occurring pair, distinct
@@ -6721,6 +6753,17 @@ def build_oracles() -> dict[str, str]:
         "round(CAST(n*n*p - n*s*(sh + st) + (n - lag)*s*s AS DOUBLE) "
         "  / CAST(n*n*ss - n*s*s AS DOUBLE), 6) END AS acf FROM j"
     )
+    out["reconcile_totals"] = (
+        "WITH li AS (SELECT l_orderkey, sum(CAST(round(l_extendedprice"
+        "  * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT)) AS chg "
+        "  FROM lineitem GROUP BY 1), "
+        f"o AS (SELECT o_orderkey, {_sql_cents('o_totalprice')} AS tot FROM orders) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(sum(CASE WHEN chg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines, "
+        "CAST(sum(CASE WHEN chg IS NOT NULL AND tot <> chg THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch, "
+        "CAST(max(CASE WHEN chg IS NOT NULL THEN abs(tot - chg) END) AS BIGINT) AS max_abs_diff "
+        "FROM o LEFT JOIN li ON o_orderkey = l_orderkey"
+    )
     out["event_lift"] = (
         "WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events "
         "  WHERE user_id IS NOT NULL AND event_type IS NOT NULL), "
@@ -7226,6 +7269,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_size_hist": q_cluster_size_hist,
         "event_lift": q_event_lift,
         "conversion_latency": q_conversion_latency,
+        "reconcile_totals": q_reconcile_totals,
         "kmv_groups": q_kmv_groups,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,
