@@ -526,3 +526,85 @@ def kmv_by_group(df: DataFrame, group_col: str, col: str, k: int = 32) -> DataFr
         .alias("est_distinct"),
         F.count(F.lit(1)).alias("k_used"),
     )
+
+
+def mix_allocate(
+    df: DataFrame,
+    source_col: str,
+    weights: "dict[str, int]",
+    n_target: int,
+) -> DataFrame:
+    """Training-mixture allocation: split a target sample size across
+    sources in proportion to integer ``weights`` using the
+    largest-remainder (Hamilton) method — the dataset-mixing step of an
+    LLM data pipeline ("web 70 : code 20 : books 10"), made EXACT:
+
+        base_i = ⌊n_target · w_i / Σw⌋,  rem_i = (n_target · w_i) mod Σw
+
+    and the ``n_target − Σ base`` leftover units go to the largest
+    remainders (ties to the lexicographically smaller source) — all
+    integer arithmetic, no float weights anywhere, so Σ n_alloc ==
+    n_target exactly and the SQL twin replays it bit-for-bit.
+    (Temperature-scaled mixing is the caller's one-liner: pass
+    ``round(c_i**T * K)`` as the weights — the allocation stays exact
+    for whatever integer weights arrive.)
+
+    The per-source availability rides along: ``n_take = min(n_alloc,
+    n_avail)`` flags over-allocated sources instead of silently
+    redistributing (a shortfall is a DATA decision — re-weight or accept
+    — not something an allocator should hide). Downstream, the existing
+    deterministic hash-rank samplers (:func:`weighted_hash_sample`,
+    ``quota.cap_per_group``) take exactly ``n_take`` rows per source.
+
+    Plan shape: one hash-agg to per-source counts (the only data-sized
+    step), then pure arithmetic + one rank window over the
+    |sources|-row frame. Unknown sources (in data, not in ``weights``)
+    get weight 0; weighted sources absent from the data appear with
+    ``n_avail = 0``. Returns ``(source, n_avail BIGINT, n_alloc BIGINT,
+    n_take BIGINT)``.
+    """
+    if n_target < 0:
+        raise ValueError(f"mix_allocate: n_target must be >= 0, got {n_target}")
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("mix_allocate: weights must be non-empty and >= 0")
+    wsum = sum(weights.values())
+    if wsum == 0:
+        raise ValueError("mix_allocate: weights sum to 0")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        sorted(weights.items()), "source string, __w long"
+    )
+    avail = (
+        df.filter(F.col(source_col).isNotNull())
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_avail"))
+    )
+    base = wdf.join(avail, "source", "full_outer").select(
+        "source",
+        F.coalesce("n_avail", F.lit(0)).cast("long").alias("n_avail"),
+        F.coalesce("__w", F.lit(0)).cast("long").alias("__w"),
+    )
+    alloc = base.select(
+        "source",
+        "n_avail",
+        F.expr(f"({n_target}L * __w) div {wsum}L").alias("__base"),
+        F.expr(f"({n_target}L * __w) % {wsum}L").alias("__rem"),
+    )
+    # leftover units = n_target − Σ base, handed to the largest remainders
+    # (rank over the |sources|-row frame — driver-tiny by construction)
+    w_rank = Window.orderBy(F.col("__rem").desc(), F.col("source").asc())
+    tot = alloc.agg(F.sum("__base").alias("b")).first()
+    leftover = int(n_target) - int(tot["b"] or 0)
+    return alloc.select(
+        "source",
+        "n_avail",
+        (
+            F.col("__base")
+            + F.when(F.row_number().over(w_rank) <= F.lit(leftover), 1).otherwise(0)
+        ).cast("long").alias("n_alloc"),
+    ).select(
+        "source",
+        "n_avail",
+        "n_alloc",
+        F.least(F.col("n_alloc"), F.col("n_avail")).cast("long").alias("n_take"),
+    )

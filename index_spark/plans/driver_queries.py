@@ -47,6 +47,11 @@ MINHASH_N, MINHASH_BANDS = 16, 8
 HIGH_HEX = ["8", "9", "a", "b", "c", "d", "e", "f"]
 LANGS = sorted(TX.LANG_MARKERS)  # de en es fr it nl pt
 
+# training-mixture weights for the mix_corpus query — ONE constant feeds
+# both the Spark call and the generated SQL twin
+_MIX_WEIGHTS = {f"src{i}": (i % 5) + 1 for i in range(20)}
+_MIX_TARGET = 300
+
 # cents helpers (exact integer money)
 def _cents(c):
     return F.round(c * 100).cast("long")
@@ -4656,6 +4661,17 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_log_weights(docs, "src0", n_buckets=256)
 
 
+def q_mix_corpus(spark, sf_dir):
+    """Training-mixture allocation over the document sources: the
+    largest-remainder split of a 300-doc target across 20 weighted
+    sources — all integer arithmetic (Σ n_alloc == n_target exactly),
+    one data-sized hash-agg then pure small-frame math."""
+    from index_spark.operators.sampling import mix_allocate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_allocate(docs, "source", _MIX_WEIGHTS, _MIX_TARGET)
+
+
 def q_reconcile_totals(spark, sf_dir):
     """Cross-table aggregate reconciliation audit — the warehouse
     invariant check that fk_violations (key containment) cannot see:
@@ -6753,6 +6769,26 @@ def build_oracles() -> dict[str, str]:
         "round(CAST(n*n*p - n*s*(sh + st) + (n - lag)*s*s AS DOUBLE) "
         "  / CAST(n*n*ss - n*s*s AS DOUBLE), 6) END AS acf FROM j"
     )
+    # GENERATED from the same _MIX_WEIGHTS/_MIX_TARGET constants as the
+    # Spark call — largest-remainder allocation is all integer arithmetic
+    _mix_vals = ", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))
+    _mix_wsum = sum(_MIX_WEIGHTS.values())
+    out["mix_corpus"] = (
+        "WITH avail AS (SELECT source, CAST(count(*) AS BIGINT) AS n_avail "
+        "  FROM documents WHERE source IS NOT NULL GROUP BY 1), "
+        f"w(source, w) AS (VALUES {_mix_vals}), "
+        "b AS (SELECT coalesce(w.source, a.source) AS source, "
+        "  coalesce(a.n_avail, 0) AS n_avail, coalesce(w.w, 0) AS w "
+        "  FROM w FULL OUTER JOIN avail a ON a.source = w.source), "
+        f"al AS (SELECT source, n_avail, ({_MIX_TARGET} * w) // {_mix_wsum} AS base, "
+        f"  ({_MIX_TARGET} * w) % {_mix_wsum} AS rem FROM b), "
+        f"l AS (SELECT {_MIX_TARGET} - sum(base) AS lft FROM al), "
+        "r AS (SELECT source, n_avail, "
+        "  base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source ASC) "
+        "    <= (SELECT lft FROM l) THEN 1 ELSE 0 END AS alloc FROM al) "
+        "SELECT source, n_avail, CAST(alloc AS BIGINT) AS n_alloc, "
+        "CAST(least(alloc, n_avail) AS BIGINT) AS n_take FROM r"
+    )
     out["reconcile_totals"] = (
         "WITH li AS (SELECT l_orderkey, sum(CAST(round(l_extendedprice"
         "  * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT)) AS chg "
@@ -7270,6 +7306,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_lift": q_event_lift,
         "conversion_latency": q_conversion_latency,
         "reconcile_totals": q_reconcile_totals,
+        "mix_corpus": q_mix_corpus,
         "kmv_groups": q_kmv_groups,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,
