@@ -1319,3 +1319,93 @@ def theilsen_trend(
             6,
         ).alias("intercept"),
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    snapshot of an integral column — the model-monitoring drift metric
+    (rule of thumb: < 0.1 stable, 0.1–0.25 shifting, > 0.25 act):
+
+        PSI = Σ_buckets (cᵢ − rᵢ) · ln(cᵢ / rᵢ)
+
+    over ``n_buckets`` quantile buckets OF THE REFERENCE period (the
+    standard construction: buckets are frozen where the baseline put
+    its deciles, so drift shows as mass sliding across fixed edges).
+    Shares use add-1 smoothing — ``rᵢ = (nrᵢ+1)/(Nr+B)`` — so empty
+    buckets (inevitable once data drifts hard) stay finite and EXACT
+    instead of needing an ad-hoc epsilon; each term is ≥ 0 and built
+    from exact integer counts (two IEEE divisions + ln), quantized with
+    the :func:`.corpusstats.js_divergence` e-12 quantizer and summed as
+    BIGINT.
+
+    The cut points are exact reference quantiles via
+    :func:`exact_quantiles`' two-level bucket plan (no global sort),
+    read eagerly (n_buckets−1 values) and embedded as LITERALS — the
+    bucket assignment is then a handful of codegen'd comparisons on both
+    sides, and the per-side counts are one hash-agg each. Heavy
+    duplicates can collapse adjacent cuts; the affected buckets simply
+    go empty (add-1 covers them).
+
+    Values must be integral; NULLs are excluded on both sides. Raises if
+    the reference is empty (no baseline, no buckets). Returns one row
+    ``(n_ref BIGINT, n_cur BIGINT, psi DOUBLE)`` rounded to 6.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"psi_drift: n_buckets must be >= 2, got {n_buckets}")
+    _require_integral(ref, [value_col], "psi_drift")
+    _require_integral(cur, [value_col], "psi_drift")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    try:
+        cut_rows = exact_quantiles(ref, value_col, value_col, qs).collect()
+    except ValueError as e:
+        if "empty" in str(e):
+            raise ValueError("psi_drift: reference side is empty (or all NULL)") from e
+        raise
+    cuts = sorted(int(r["value"]) for r in cut_rows)
+    bucket = None
+    for c in cuts:
+        t = F.when(F.col(value_col) > F.lit(c), 1).otherwise(0)
+        bucket = t if bucket is None else bucket + t
+    def side_counts(df, alias):
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .select(bucket.alias("__b"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+    rc = side_counts(ref, "__nr")
+    cc = side_counts(cur, "__nc")
+    spark = ref.sparkSession
+    grid = spark.range(n_buckets).select(F.col("id").cast("int").alias("__b"))
+    joined = (
+        grid.join(rc, "__b", "left")
+        .join(cc, "__b", "left")
+        .select(
+            "__b",
+            F.coalesce("__nr", F.lit(0)).cast("long").alias("__nr"),
+            F.coalesce("__nc", F.lit(0)).cast("long").alias("__nc"),
+        )
+    )
+    trow = joined.agg(F.sum("__nr").alias("nr"), F.sum("__nc").alias("nc")).first()
+    n_ref, n_cur = int(trow["nr"]), int(trow["nc"])
+    lit_rb = F.lit(float(n_ref + n_buckets))
+    lit_cb = F.lit(float(n_cur + n_buckets))
+    rsh = (F.col("__nr") + F.lit(1)).cast("double") / lit_rb
+    csh = (F.col("__nc") + F.lit(1)).cast("double") / lit_cb
+    term = (csh - rsh) * F.log(csh / rsh)
+    q = joined.select(F.floor(term * F.lit(1.0e12) + F.lit(0.5)).alias("__q"))
+    return q.agg(
+        (
+            F.floor((F.sum("__q") + F.lit(500000)) / F.lit(1000000.0)).cast("long")
+            / F.lit(1.0e6)
+        ).alias("__psi")
+    ).select(
+        F.lit(n_ref).cast("long").alias("n_ref"),
+        F.lit(n_cur).cast("long").alias("n_cur"),
+        F.col("__psi").alias("psi"),
+    )

@@ -4661,6 +4661,23 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_log_weights(docs, "src0", n_buckets=256)
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index of order value between the pre-1997
+    baseline and the 1997+ current period: decile buckets FROZEN on the
+    reference quantiles (computed scale-safe via the two-level
+    exact-quantile plan, embedded as literal edges), add-1-smoothed
+    shares, e-12 quantized BIGINT Σ — the standard model-monitoring
+    drift number, exactly replayable."""
+    from index_spark.operators.stats import psi_drift
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        _cents(F.col("o_totalprice")).alias("cents"), "o_orderdate"
+    )
+    ref = orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    cur = orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+    return psi_drift(ref, cur, "cents")
+
+
 def q_mix_corpus(spark, sf_dir):
     """Training-mixture allocation over the document sources: the
     largest-remainder split of a 300-doc target across 20 weighted
@@ -6769,6 +6786,42 @@ def build_oracles() -> dict[str, str]:
         "round(CAST(n*n*p - n*s*(sh + st) + (n - lag)*s*s AS DOUBLE) "
         "  / CAST(n*n*ss - n*s*s AS DOUBLE), 6) END AS acf FROM j"
     )
+    # PSI: rank-derived reference deciles (CAST(q AS DOUBLE) forces the
+    # same IEEE ceil(q·n) as the operator's Python rank math — a bare
+    # 0.1 literal is DECIMAL in DuckDB and could flip a knife-edge
+    # rank), frozen-bucket add-1 shares, e-12 quantized BIGINT sum
+    _psi_cuts = ", ".join(
+        f"min(CASE WHEN rn >= ceil(CAST(0.{i} AS DOUBLE)*n) THEN v END) AS c{i}"
+        for i in range(1, 10)
+    )
+    _psi_b = "(" + " + ".join(
+        f"CASE WHEN v > c{i} THEN 1 ELSE 0 END" for i in range(1, 10)
+    ) + ")"
+    _psi_rs = "(CAST(nr + 1 AS DOUBLE) / CAST(tnr + 10 AS DOUBLE))"
+    _psi_cs = "(CAST(nc + 1 AS DOUBLE) / CAST(tnc + 10 AS DOUBLE))"
+    out["psi_drift"] = (
+        f"WITH refv AS (SELECT {_sql_cents('o_totalprice')} AS v FROM orders "
+        "  WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'), "
+        f"curv AS (SELECT {_sql_cents('o_totalprice')} AS v FROM orders "
+        "  WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'), "
+        "r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, "
+        "  count(*) OVER () AS n FROM refv), "
+        f"cuts AS (SELECT {_psi_cuts} FROM r), "
+        f"br AS (SELECT {_psi_b} AS b FROM refv, cuts), "
+        f"bc AS (SELECT {_psi_b} AS b FROM curv, cuts), "
+        "rc AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM br GROUP BY 1), "
+        "cc AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM bc GROUP BY 1), "
+        "g AS (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS b), "
+        "j AS (SELECT g.b, coalesce(rc.n, 0) AS nr, coalesce(cc.n, 0) AS nc "
+        "  FROM g LEFT JOIN rc USING (b) LEFT JOIN cc USING (b)), "
+        "tot AS (SELECT sum(nr) AS tnr, sum(nc) AS tnc FROM j), "
+        f"q AS (SELECT CAST(floor((({_psi_cs} - {_psi_rs}) "
+        f"  * ln({_psi_cs} / {_psi_rs})) * 1e12 + 0.5) AS BIGINT) AS q "
+        "  FROM j, tot) "
+        "SELECT (SELECT CAST(tnr AS BIGINT) FROM tot) AS n_ref, "
+        "(SELECT CAST(tnc AS BIGINT) FROM tot) AS n_cur, "
+        "CAST(floor((sum(q) + 500000) / 1000000.0) AS BIGINT) / 1.0e6 AS psi FROM q"
+    )
     # GENERATED from the same _MIX_WEIGHTS/_MIX_TARGET constants as the
     # Spark call — largest-remainder allocation is all integer arithmetic
     _mix_vals = ", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))
@@ -7307,6 +7360,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency": q_conversion_latency,
         "reconcile_totals": q_reconcile_totals,
         "mix_corpus": q_mix_corpus,
+        "psi_drift": q_psi_drift,
         "kmv_groups": q_kmv_groups,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,

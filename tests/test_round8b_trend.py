@@ -106,3 +106,61 @@ def test_bigram_cond_entropy_template_collapse(spark):
     assert r["cond_entropy"] == 0.0
     with pytest.raises(ValueError, match="no bigrams"):
         bigram_cond_entropy(spark.createDataFrame([("one",)], "text string"))
+
+
+# ---------------------------------------------------------------- PSI
+def py_psi(ref, cur, n_buckets=10):
+    ref = sorted(v for v in ref if v is not None)
+    n = len(ref)
+    cuts = sorted(ref[math.ceil(i / n_buckets * n) - 1] for i in range(1, n_buckets))
+    def b_of(v):
+        return sum(1 for c in cuts if v > c)
+    from collections import Counter
+    rc, cc = Counter(b_of(v) for v in ref), Counter(b_of(v) for v in cur if v is not None)
+    nr, nc = len(ref), sum(cc.values())
+    psi = 0.0
+    for b in range(n_buckets):
+        r = (rc.get(b, 0) + 1) / (nr + n_buckets)
+        c = (cc.get(b, 0) + 1) / (nc + n_buckets)
+        psi += (c - r) * math.log(c / r)
+    return nr, nc, psi
+
+
+def test_psi_drift_vs_python(spark):
+    from index_spark.operators.stats import psi_drift
+
+    rng = random.Random(95)
+    ref = [rng.randrange(0, 1000) for _ in range(2000)]
+    cur_same = [rng.randrange(0, 1000) for _ in range(1500)]
+    cur_shift = [rng.randrange(500, 2000) for _ in range(1500)]
+    rdf = spark.createDataFrame([(v,) for v in ref + [None]], "v long")
+    for cur in (cur_same, cur_shift):
+        cdf = spark.createDataFrame([(v,) for v in cur], "v long")
+        [r] = psi_drift(rdf, cdf, "v").collect()
+        en, ec, ep = py_psi(ref, cur)
+        assert (r["n_ref"], r["n_cur"]) == (en, ec)
+        assert r["psi"] == pytest.approx(ep, abs=2e-6)
+    # same-distribution PSI is small; shifted is large
+    [r1] = psi_drift(rdf, spark.createDataFrame([(v,) for v in cur_same], "v long"), "v").collect()
+    [r2] = psi_drift(rdf, spark.createDataFrame([(v,) for v in cur_shift], "v long"), "v").collect()
+    assert r1["psi"] < 0.05 < 0.25 < r2["psi"]
+
+
+def test_psi_drift_guards_and_heavy_dup(spark):
+    from index_spark.operators.stats import psi_drift
+
+    # heavy duplicates collapse cuts -> empty buckets stay finite (add-1)
+    ref = [5] * 900 + [100] * 100
+    cur = [5] * 100 + [100] * 900
+    rdf = spark.createDataFrame([(v,) for v in ref], "v long")
+    cdf = spark.createDataFrame([(v,) for v in cur], "v long")
+    [r] = psi_drift(rdf, cdf, "v").collect()
+    en, ec, ep = py_psi(ref, cur)
+    assert r["psi"] == pytest.approx(ep, abs=2e-6)
+    assert r["psi"] > 0.25
+    with pytest.raises(ValueError, match="reference side is empty"):
+        psi_drift(
+            spark.createDataFrame([(None,)], "v long"), cdf, "v"
+        )
+    with pytest.raises(ValueError, match="n_buckets"):
+        psi_drift(rdf, cdf, "v", n_buckets=1)
