@@ -1409,3 +1409,64 @@ def psi_drift(
         F.lit(n_cur).cast("long").alias("n_cur"),
         F.col("__psi").alias("psi"),
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame, group_col: str, success_col: str
+) -> DataFrame:
+    """Two-proportion z-test over one row per unit (user, doc, request):
+    ``group_col`` must take EXACTLY two distinct non-NULL values (the
+    arms), ``success_col`` is a boolean outcome — the A/B-test read-out:
+
+        z = (p_a − p_b) / √( p̂(1−p̂) · (1/n_a + 1/n_b) ),  p̂ pooled
+
+    All counts are exact integers from ONE aggregate; rates, the pooled
+    estimate, and z are a fixed double expression over those integers —
+    identical on any engine. Arms order lexicographically (a < b), so
+    the SIGN of z is deterministic. Degenerate pooled rates (0 or 1 —
+    no variance) yield ``z = NULL``; NULL successes count as failures
+    (an unknown is not a conversion). Returns one row ``(group_a,
+    group_b, n_a, n_b, k_a, k_b, rate_a, rate_b, z)``, rates and z
+    rounded to 6.
+    """
+    base = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.coalesce(F.col(success_col).cast("boolean"), F.lit(False)).alias("__s"),
+    )
+    per = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(F.col("__s"), 1).otherwise(0)).alias("__k"),
+    )
+    rows = sorted(per.collect(), key=lambda r: r["__g"])
+    if len(rows) != 2:
+        raise ValueError(
+            f"two_proportion_ztest: need exactly 2 groups, got "
+            f"{[r['__g'] for r in rows]}"
+        )
+    (ga, na, ka), (gb, nb, kb) = [(r["__g"], int(r["__n"]), int(r["__k"])) for r in rows]
+    spark = df.sparkSession
+    one = spark.range(1)
+    ra = F.lit(float(ka)) / F.lit(float(na))
+    rb = F.lit(float(kb)) / F.lit(float(nb))
+    pooled = F.lit(float(ka + kb)) / F.lit(float(na + nb))
+    se = F.sqrt(
+        pooled * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.lit(float(na)) + F.lit(1.0) / F.lit(float(nb)))
+    )
+    degenerate = ka + kb == 0 or ka + kb == na + nb
+    z = (
+        F.lit(None).cast("double")
+        if degenerate
+        else F.round((ra - rb) / se, 6)
+    )
+    return one.select(
+        F.lit(ga).alias("group_a"),
+        F.lit(gb).alias("group_b"),
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        F.lit(ka).cast("long").alias("k_a"),
+        F.lit(kb).cast("long").alias("k_b"),
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        z.alias("z"),
+    )

@@ -4661,6 +4661,52 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_log_weights(docs, "src0", n_buckets=256)
 
 
+def q_stream_hll_hourly(spark, sf_dir):
+    """Windowed streaming HLL: per-HOUR distinct-user sketches
+    maintained as streaming max-register state (integer epoch-hour
+    grouping — the register fold per (hour, register) is the same
+    max-monoid as `stream_hll`, extended to a time dimension), drained
+    and estimated in batch against the hour-grouped batch oracle."""
+    import uuid as _uuid
+
+    from index_spark.operators.sampling import hll_estimate
+    from index_spark.streaming import read_events_stream, run_available_now
+    from index_spark.streaming.events import hll_registers_stream
+
+    stream = read_events_stream(spark, sf_dir).select(
+        F.expr("ts_us div 3600000000").alias("hour_idx"), "user_id"
+    )
+    regs = run_available_now(
+        hll_registers_stream(stream, "user_id", "hour_idx"),
+        "sh" + _uuid.uuid4().hex[:10],
+    )
+    return hll_estimate(regs, ("hour_idx",))
+
+
+def q_conversion_ab(spark, sf_dir):
+    """A/B read-out over a deterministic user split (user_id parity as
+    the arm): does arm A purchase more often than arm B? One aggregate
+    to exact per-arm (n, k), a fixed double expression for rates and
+    the two-proportion z — the experiment-analysis primitive."""
+    from index_spark.operators.stats import two_proportion_ztest
+
+    ev = load_table(spark, sf_dir, "events")
+    units = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", True).otherwise(False)).alias(
+                "converted"
+            )
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "arm_even").otherwise("arm_odd").alias("arm"),
+            "converted",
+        )
+    )
+    return two_proportion_ztest(units, "arm", "converted")
+
+
 def q_psi_drift(spark, sf_dir):
     """Population Stability Index of order value between the pre-1997
     baseline and the 1997+ current period: decile buckets FROZEN on the
@@ -6786,6 +6832,33 @@ def build_oracles() -> dict[str, str]:
         "round(CAST(n*n*p - n*s*(sh + st) + (n - lag)*s*s AS DOUBLE) "
         "  / CAST(n*n*ss - n*s*s AS DOUBLE), 6) END AS acf FROM j"
     )
+    # windowed streaming HLL: the hour-grouped batch replay IS the twin
+    out["stream_hll_hourly"] = sql_hll_estimate(
+        # alias must dodge the generated SQL's internal `h` (md5) column
+        "(SELECT epoch_us(ts)//3600000000 AS hour_idx, user_id FROM events)",
+        "user_id",
+        ("hour_idx",),
+    )
+    _ab_r = "(CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE))"
+    _ab_rb = "(CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE))"
+    _ab_p = "(CAST(a.k + b.k AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))"
+    out["conversion_ab"] = (
+        "WITH units AS (SELECT user_id, CASE WHEN user_id % 2 = 0 "
+        "  THEN 'arm_even' ELSE 'arm_odd' END AS arm, "
+        "  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv "
+        "  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2), "
+        "per AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, "
+        "  CAST(sum(conv) AS BIGINT) AS k FROM units GROUP BY 1), "
+        "a AS (SELECT * FROM per WHERE arm = 'arm_even'), "
+        "b AS (SELECT * FROM per WHERE arm = 'arm_odd') "
+        "SELECT a.arm AS group_a, b.arm AS group_b, a.n AS n_a, b.n AS n_b, "
+        "a.k AS k_a, b.k AS k_b, "
+        f"round({_ab_r}, 6) AS rate_a, round({_ab_rb}, 6) AS rate_b, "
+        "CASE WHEN a.k + b.k = 0 OR a.k + b.k = a.n + b.n THEN NULL ELSE "
+        f"round(({_ab_r} - {_ab_rb}) / sqrt({_ab_p} * (1.0 - {_ab_p}) "
+        "  * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))), 6) END AS z "
+        "FROM a, b"
+    )
     # PSI: rank-derived reference deciles (CAST(q AS DOUBLE) forces the
     # same IEEE ceil(q·n) as the operator's Python rank math — a bare
     # 0.1 literal is DECIMAL in DuckDB and could flip a knife-edge
@@ -7361,6 +7434,8 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconcile_totals": q_reconcile_totals,
         "mix_corpus": q_mix_corpus,
         "psi_drift": q_psi_drift,
+        "stream_hll_hourly": q_stream_hll_hourly,
+        "conversion_ab": q_conversion_ab,
         "kmv_groups": q_kmv_groups,
         # --- (c) already driver-green in r1/r2/r3 ---
         "near_dedup_survivors": q_near_dedup_survivors,

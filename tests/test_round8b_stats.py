@@ -200,3 +200,43 @@ def test_chi2_independence_empty_raises(spark):
     df = spark.createDataFrame([(None, "p")], "a string, b string")
     with pytest.raises(ValueError, match="no non-NULL"):
         chi2_independence(df, "a", "b")
+
+
+def test_two_proportion_ztest_vs_python(spark):
+    from index_spark.operators.stats import two_proportion_ztest
+
+    rng = random.Random(96)
+    rows = []
+    for u in range(400):
+        arm = "A" if u % 2 == 0 else "B"
+        p = 0.30 if arm == "A" else 0.22
+        rows.append((arm, rng.random() < p))
+    rows.append((None, True))  # NULL group excluded
+    rows.append(("A", None))  # NULL success counts as failure
+    df = spark.createDataFrame(rows, "arm string, ok boolean")
+    [r] = two_proportion_ztest(df, "arm", "ok").collect()
+    na = sum(1 for a, _ in rows if a == "A")
+    nb = sum(1 for a, _ in rows if a == "B")
+    ka = sum(1 for a, s in rows if a == "A" and s)
+    kb = sum(1 for a, s in rows if a == "B" and s)
+    assert (r["group_a"], r["group_b"], r["n_a"], r["n_b"], r["k_a"], r["k_b"]) == (
+        "A", "B", na, nb, ka, kb,
+    )
+    pooled = (ka + kb) / (na + nb)
+    se = math.sqrt(pooled * (1 - pooled) * (1 / na + 1 / nb))
+    assert r["z"] == pytest.approx((ka / na - kb / nb) / se, abs=2e-6)
+
+
+def test_two_proportion_ztest_guards(spark):
+    from index_spark.operators.stats import two_proportion_ztest
+
+    with pytest.raises(ValueError, match="exactly 2 groups"):
+        two_proportion_ztest(
+            spark.createDataFrame([("A", True)], "arm string, ok boolean"), "arm", "ok"
+        )
+    # all-failure arms: no variance -> z NULL
+    df = spark.createDataFrame(
+        [("A", False), ("B", False)], "arm string, ok boolean"
+    )
+    [r] = two_proportion_ztest(df, "arm", "ok").collect()
+    assert r["z"] is None and r["rate_a"] == 0.0
