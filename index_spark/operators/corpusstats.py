@@ -376,16 +376,13 @@ def js_divergence(
     # per-term JS contribution is ≥ 0 (log-sum inequality), so the
     # quantized BIGINT sum is ≥ 0 and floor((Σ+5e5)/1e6) is the plain
     # round-half-up of Σ at 6 decimals
+    from index_spark.operators.stats import dequantize_6dp, quantize_e12
+
     return merged.select(
         F.col("ta").alias("n_a"),
         F.col("tb").alias("n_b"),
-        F.floor(term * F.lit(1.0e12) + F.lit(0.5)).alias("__c"),
-    ).groupBy("n_a", "n_b").agg(
-        (
-            F.floor((F.sum("__c") + F.lit(500000)) / F.lit(1000000.0))
-            .cast("long") / F.lit(1.0e6)
-        ).alias("jsd")
-    )
+        quantize_e12(term).alias("__c"),
+    ).groupBy("n_a", "n_b").agg(dequantize_6dp(F.sum("__c")).alias("jsd"))
 
 
 def pmi_top_pairs(
@@ -542,15 +539,10 @@ def bigram_cond_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     term = (
         F.col("c12").cast("double") / F.lit(float(n2))
     ) * F.log(F.col("c1").cast("double") / F.col("c12").cast("double"))
-    q = c12.join(c1, "w1").select(
-        F.floor(term * F.lit(1.0e12) + F.lit(0.5)).alias("__q")
-    )
-    return q.agg(
-        (
-            F.floor((F.sum("__q") + F.lit(500000)) / F.lit(1000000.0)).cast("long")
-            / F.lit(1.0e6)
-        ).alias("__h")
-    ).select(
+    from index_spark.operators.stats import dequantize_6dp, quantize_e12
+
+    q = c12.join(c1, "w1").select(quantize_e12(term).alias("__q"))
+    return q.agg(dequantize_6dp(F.sum("__q")).alias("__h")).select(
         F.lit(n2).cast("long").alias("n_bigrams"),
         F.lit(v1).cast("long").alias("v_contexts"),
         F.col("__h").alias("cond_entropy"),

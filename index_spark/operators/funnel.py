@@ -216,37 +216,56 @@ def event_cooccurrence_lift(
         .select(F.col(user_col).alias("__u"), F.col(type_col).alias("__t"))
         .distinct()
     )
-    trow = ut.agg(F.count_distinct("__u").alias("u")).first()
-    if not trow["u"]:
-        raise ValueError("event_cooccurrence_lift: no (user, type) pairs")
-    u_tot = int(trow["u"])
-    marg = ut.groupBy("__t").agg(F.count(F.lit(1)).alias("__n"))
-    a = ut.select(F.col("__u"), F.col("__t").alias("type_a"))
-    b = ut.select(F.col("__u"), F.col("__t").alias("type_b"))
-    co = (
-        a.join(b, "__u")
-        .filter(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(F.count(F.lit(1)).alias("__nab"))
-    )
-    d38 = "decimal(38,0)"
-    out = (
-        co.join(marg.select(F.col("__t").alias("type_a"), F.col("__n").alias("__na")), "type_a")
-        .join(marg.select(F.col("__t").alias("type_b"), F.col("__n").alias("__nb")), "type_b")
-        .select(
-            "type_a",
-            "type_b",
-            F.col("__na").cast("long").alias("n_a"),
-            F.col("__nb").cast("long").alias("n_b"),
-            F.col("__nab").cast("long").alias("n_ab"),
-            F.round(
-                (F.col("__nab").cast(d38) * F.lit(u_tot).cast(d38)).cast("double")
-                / (F.col("__na").cast(d38) * F.col("__nb").cast(d38)).cast("double"),
-                6,
-            ).alias("lift"),
+    # the distinct (user, type) frame feeds the eager universe count,
+    # the marginals, and BOTH self-join sides — persist it for the
+    # operator's own lifetime, freeze the type-vocab²-bounded result,
+    # and release the cache (the conversion_latency pattern; without it
+    # the events-wide distinct ran four times — review finding)
+    ut = ut.persist()
+    try:
+        trow = ut.agg(F.count_distinct("__u").alias("u")).first()
+        if not trow["u"]:
+            raise ValueError("event_cooccurrence_lift: no (user, type) pairs")
+        u_tot = int(trow["u"])
+        marg = ut.groupBy("__t").agg(F.count(F.lit(1)).alias("__n"))
+        a = ut.select(F.col("__u"), F.col("__t").alias("type_a"))
+        b = ut.select(F.col("__u"), F.col("__t").alias("type_b"))
+        co = (
+            a.join(b, "__u")
+            .filter(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count(F.lit(1)).alias("__nab"))
         )
+        d38 = "decimal(38,0)"
+        rows = (
+            co.join(
+                marg.select(F.col("__t").alias("type_a"), F.col("__n").alias("__na")),
+                "type_a",
+            )
+            .join(
+                marg.select(F.col("__t").alias("type_b"), F.col("__n").alias("__nb")),
+                "type_b",
+            )
+            .select(
+                "type_a",
+                "type_b",
+                F.col("__na").cast("long").alias("n_a"),
+                F.col("__nb").cast("long").alias("n_b"),
+                F.col("__nab").cast("long").alias("n_ab"),
+                F.round(
+                    (F.col("__nab").cast(d38) * F.lit(u_tot).cast(d38)).cast("double")
+                    / (F.col("__na").cast(d38) * F.col("__nb").cast(d38)).cast("double"),
+                    6,
+                ).alias("lift"),
+            )
+            .collect()
+        )
+    finally:
+        ut.unpersist()
+    schema = (
+        "type_a string, type_b string, n_a long, n_b long, n_ab long, lift double"
     )
-    return out
+    return events.sparkSession.createDataFrame(rows, schema)
 
 
 def conversion_latency(

@@ -591,16 +591,23 @@ def mix_allocate(
         F.expr(f"({n_target}L * __w) % {wsum}L").alias("__rem"),
     )
     # leftover units = n_target − Σ base, handed to the largest remainders
-    # (rank over the |sources|-row frame — driver-tiny by construction)
+    # (rank over the |sources|-row frame — driver-tiny by construction).
+    # The leftover is folded IN-PLAN (the SQL twin's `l` CTE shape): an
+    # eager first() would run the data-sized per-source count once for
+    # the total and again at action time; as two references in one plan,
+    # AQE's stage reuse dedupes the identical aggregate (review finding)
     w_rank = Window.orderBy(F.col("__rem").desc(), F.col("source").asc())
-    tot = alloc.agg(F.sum("__base").alias("b")).first()
-    leftover = int(n_target) - int(tot["b"] or 0)
-    return alloc.select(
+    tot = alloc.agg(
+        (F.lit(int(n_target)) - F.coalesce(F.sum("__base"), F.lit(0)))
+        .cast("long")
+        .alias("__left")
+    )
+    return alloc.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_avail",
         (
             F.col("__base")
-            + F.when(F.row_number().over(w_rank) <= F.lit(leftover), 1).otherwise(0)
+            + F.when(F.row_number().over(w_rank) <= F.col("__left"), 1).otherwise(0)
         ).cast("long").alias("n_alloc"),
     ).select(
         "source",

@@ -994,6 +994,29 @@ def mad_outlier_stats(
     )
 
 
+def quantize_e12(term: "F.Column") -> "F.Column":
+    """THE repo-wide e-12 quantizer for combine-order-independent float
+    sums: ``floor(term·1e12 + 0.5)`` — two correctly-rounded IEEE ops
+    plus floor, BIT-identical on any engine given the same input double
+    (unlike ``round(double, 12)``, which Spark computes in BigDecimal
+    HALF_UP and DuckDB in floating point). Sum the result as BIGINT,
+    then finish with :func:`dequantize_6dp`. One definition — the
+    convention is load-bearing for oracle certification, so every
+    consumer (js_divergence, chi2_independence, bigram_cond_entropy,
+    psi_drift) must use these helpers, never an inline copy."""
+    return F.floor(term * F.lit(1.0e12) + F.lit(0.5))
+
+
+def dequantize_6dp(sum_col: "F.Column") -> "F.Column":
+    """Integer round-half-up of a :func:`quantize_e12` BIGINT sum to 6
+    decimals: ``floor((Σ + 5e5)/1e6)/1e6`` — all-integer until the final
+    exact division, so no cross-engine double rounding remains."""
+    return (
+        F.floor((sum_col + F.lit(500000)) / F.lit(1000000.0)).cast("long")
+        / F.lit(1.0e6)
+    )
+
+
 def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """Pearson chi-squared test of independence between two categorical
     columns, plus Cramér's V — the standard association screen a curation
@@ -1059,12 +1082,8 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     e = F.col("__ra").cast("double") * F.col("__cb").cast("double") / n_d
     d = F.col("__o").cast("double") - e
     term = d * d / e
-    q = full.select(F.floor(term * F.lit(1.0e12) + F.lit(0.5)).alias("__q"))
-    chi2 = (
-        F.floor((F.sum("__q") + F.lit(500000)) / F.lit(1000000.0)).cast("long")
-        / F.lit(1.0e6)
-    )
-    out = q.agg(chi2.alias("__chi2")).select(
+    q = full.select(quantize_e12(term).alias("__q"))
+    out = q.agg(dequantize_6dp(F.sum("__q")).alias("__chi2")).select(
         F.lit(n_tot).cast("long").alias("n"),
         F.lit(ka * kb).cast("long").alias("n_cells"),
         F.lit((ka - 1) * (kb - 1)).cast("long").alias("dof"),
@@ -1391,23 +1410,28 @@ def psi_drift(
             F.coalesce("__nc", F.lit(0)).cast("long").alias("__nc"),
         )
     )
-    trow = joined.agg(F.sum("__nr").alias("nr"), F.sum("__nc").alias("nc")).first()
-    n_ref, n_cur = int(trow["nr"]), int(trow["nc"])
-    lit_rb = F.lit(float(n_ref + n_buckets))
-    lit_cb = F.lit(float(n_cur + n_buckets))
-    rsh = (F.col("__nr") + F.lit(1)).cast("double") / lit_rb
-    csh = (F.col("__nc") + F.lit(1)).cast("double") / lit_cb
+    # totals IN-PLAN (the SQL twin's `tot` CTE shape): an eager first()
+    # here would re-evaluate `joined` — and so re-scan both sides — once
+    # for the totals and again for the quantized sum; as two references
+    # in ONE plan, AQE's runtime stage reuse dedupes the identical
+    # bucket-count subplan (review finding, round-8 continuation)
+    tot = joined.agg(
+        F.sum("__nr").cast("long").alias("__tnr"),
+        F.sum("__nc").cast("long").alias("__tnc"),
+    )
+    per = joined.crossJoin(F.broadcast(tot))
+    rsh = (F.col("__nr") + F.lit(1)).cast("double") / (
+        F.col("__tnr") + F.lit(n_buckets)
+    ).cast("double")
+    csh = (F.col("__nc") + F.lit(1)).cast("double") / (
+        F.col("__tnc") + F.lit(n_buckets)
+    ).cast("double")
     term = (csh - rsh) * F.log(csh / rsh)
-    q = joined.select(F.floor(term * F.lit(1.0e12) + F.lit(0.5)).alias("__q"))
+    q = per.select("__tnr", "__tnc", quantize_e12(term).alias("__q"))
     return q.agg(
-        (
-            F.floor((F.sum("__q") + F.lit(500000)) / F.lit(1000000.0)).cast("long")
-            / F.lit(1.0e6)
-        ).alias("__psi")
-    ).select(
-        F.lit(n_ref).cast("long").alias("n_ref"),
-        F.lit(n_cur).cast("long").alias("n_cur"),
-        F.col("__psi").alias("psi"),
+        F.max("__tnr").alias("n_ref"),
+        F.max("__tnc").alias("n_cur"),
+        dequantize_6dp(F.sum("__q")).alias("psi"),
     )
 
 
@@ -1437,12 +1461,17 @@ def two_proportion_ztest(
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.when(F.col("__s"), 1).otherwise(0)).alias("__k"),
     )
-    rows = sorted(per.collect(), key=lambda r: r["__g"])
-    if len(rows) != 2:
+    # bounded probe BEFORE collecting: a mistaken high-cardinality group
+    # column (user_id…) must fail with a clean ValueError, not stream
+    # one row per distinct group into the driver (review finding)
+    probe = per.select("__g").take(3)
+    if len(probe) != 2:
         raise ValueError(
             f"two_proportion_ztest: need exactly 2 groups, got "
-            f"{[r['__g'] for r in rows]}"
+            f"{'>= 3' if len(probe) > 2 else len(probe)} "
+            f"(sample: {sorted(r['__g'] for r in probe)})"
         )
+    rows = sorted(per.collect(), key=lambda r: r["__g"])
     (ga, na, ka), (gb, nb, kb) = [(r["__g"], int(r["__n"]), int(r["__k"])) for r in rows]
     spark = df.sparkSession
     one = spark.range(1)

@@ -6942,7 +6942,9 @@ def build_oracles() -> dict[str, str]:
         "WITH f AS (SELECT user_id, "
         "  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS f, "
         "  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t "
-        "  FROM events GROUP BY 1), "
+        # the operator excludes NULL users — mirror it, or a regenerated
+        # fixture with NULL user_ids makes DuckDB count a pseudo-user
+        "  FROM events WHERE user_id IS NOT NULL GROUP BY 1), "
         "l AS (SELECT t - f AS lat FROM f "
         "  WHERE f IS NOT NULL AND t IS NOT NULL AND f <= t), "
         "r AS (SELECT lat, row_number() OVER (ORDER BY lat) AS rn, "

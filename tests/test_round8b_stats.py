@@ -240,3 +240,15 @@ def test_two_proportion_ztest_guards(spark):
     )
     [r] = two_proportion_ztest(df, "arm", "ok").collect()
     assert r["z"] is None and r["rate_a"] == 0.0
+
+
+def test_two_proportion_ztest_many_groups_bounded_error(spark):
+    # a mistaken high-cardinality group column must fail via a bounded
+    # probe (take(3)), never a full collect of the per-group aggregate
+    from index_spark.operators.stats import two_proportion_ztest
+
+    df = spark.createDataFrame(
+        [(g, True) for g in range(50)], "arm long, ok boolean"
+    )
+    with pytest.raises(ValueError, match=">= 3"):
+        two_proportion_ztest(df, "arm", "ok")
