@@ -158,12 +158,30 @@ def test_weighted_quantiles_error_paths(spark):
 
 
 # --------------------------------------------------- simhash materialization
+def _gc_nudge(spark):
+    """Kick BOTH garbage collectors: entries in getPersistentRDDs() that
+    the SQL cache manager does NOT track (localCheckpoint RDDs from
+    earlier tests — graph ops checkpoint eagerly) are reaped by
+    ContextCleaner only when the driver/JVM GC collects the dereferenced
+    RDD, so a pure time wait can spin the full timeout and still fail
+    (the r8-continuation full-run flake: the PRE-condition drain saw a
+    leftover entry clearCache cannot remove)."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def _drain_cache(spark, timeout_s: float = 60.0) -> int:
     """clearCache + wait for the persistent-RDD table to empty:
     Catalog.clearCache() unpersists with blocking=false, so an immediate
     getPersistentRDDs() read can still see entries from EARLIER tests in
     the shared session (observed as a load-dependent flake in the r7 full
-    run). Returns the residual count (0 on success)."""
+    run); GC nudges let ContextCleaner reap untracked localCheckpoint
+    leftovers clearCache cannot touch. Returns the residual count."""
     import time
 
     spark.catalog.clearCache()
@@ -172,6 +190,7 @@ def _drain_cache(spark, timeout_s: float = 60.0) -> int:
         n = spark.sparkContext._jsc.getPersistentRDDs().size()
         if n == 0:
             return 0
+        _gc_nudge(spark)
         time.sleep(0.2)
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
@@ -190,6 +209,7 @@ def _settle_cache(spark, timeout_s: float = 60.0) -> int:
         n = spark.sparkContext._jsc.getPersistentRDDs().size()
         if n == 0:
             return 0
+        _gc_nudge(spark)
         time.sleep(0.2)
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
@@ -274,3 +294,15 @@ def test_lookup_rows_pins_one_index_version(spark, tmp_base, monkeypatch):
     monkeypatch.setattr(proj.store, "latest", counting_latest)
     assert proj.lookup_rows(1).count() == 20
     assert len(calls) == 1
+
+
+def test_drain_cache_reaps_dereferenced_localcheckpoint(spark):
+    """Pin the GC-nudge mechanism: a dereferenced localCheckpoint RDD is
+    exactly the untracked persistent entry that broke the pre-condition
+    drain in a full run — clearCache cannot remove it, only
+    ContextCleaner after GC can."""
+    df = spark.range(10000).repartition(4).localCheckpoint()
+    df.count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    del df
+    assert _drain_cache(spark) == 0
