@@ -7272,50 +7272,49 @@ def build_oracles() -> dict[str, str]:
     return out
 
 
-# Round-8 gate rotation (re-certification, not new coverage): the driver's
+# Round-9 gate rotation (re-certification, not new coverage): the driver's
 # correctness gate verifies only the first ~50 build_queries() entries per
-# round.  After the r7 rotation the stalest evidence is the 47 queries
-# whose latest green driver row is r03 (the as-of/time-travel surface the
-# r7 gate had to bump, plus the round-3 batch blocks); next-oldest is the
-# 12-query r04 cohort.  Front-load all 47, top up with the oldest r04
-# queries, and let r9 finish the r04 cohort — the cadence that keeps all
-# 209 queries' green evidence at most ~3 rounds old under a 50-slot gate.
-# New round-8 queries, if any, go FIRST (a narrower-than-50 window must
-# still certify brand-new coverage); r04 fills drop off the end to keep
-# the list at 50.
-_GATE_PRIORITY_R8 = [
-    # brand-new in round 8 (no driver row exists yet): FIRST, so even a
-    # narrower-than-50 gate window still certifies them this round.
-    "hll_distinct", "cohort_retention", "priority_trend",
-    # r03-latest (47, per CORRECTNESS_r01–r07: every query whose LATEST
-    # green driver row is r03).  Leads with the §2.5 time-travel surface
-    # and the six fills the r7 rotation bumped (asof_* / stream_user_state
-    # / csv_roundtrip), then the round-3 batch blocks in catalog order.
-    "asof_lookup", "asof_state", "asof_join_events", "asof_join_tolerance",
-    "stream_user_state", "csv_roundtrip",
-    "near_dedup_survivors", "simhash_block_pairs", "dedup_clusters_star",
-    "window_lag", "events_hourly", "sliding_window", "sessionize",
-    "lsh_sign_topk", "ivf_trained_topk",
-    "repetition_quality", "contamination_scan", "group_percentiles",
-    "incremental_maint", "orc_roundtrip", "tfidf_top_terms",
-    "token_entropy", "weighted_sample", "seek_pagination_df",
-    "zorder_layout", "dup_span_stats", "bloom_prune_join", "unigram_nll",
-    "funnel_steps", "first_seen_users", "pagerank_parts", "profile_orders",
-    "price_histogram", "pii_redaction", "pq_topk", "q4_priority_exists",
-    "q11_important_parts", "q16_supplier_counts", "q17_small_qty_revenue",
-    "q20_volume_suppliers", "q21_waiting_suppliers", "event_transitions",
-    "label_centroids", "kmv_union", "stream_funnel", "triangle_parts",
-    "segment_dedup",
-    # (the 3 r04 fills the pre-new-query draft carried —
-    # stream_dedup_ingest / udtf_tokens / erase_roundtrip — dropped off
-    # the end when the three round-8 queries landed; the full 12-query
-    # r04 cohort is the r9 rotation, per the documented cadence.)
+# round.  After the r8 rotation the hard-signal gaps are (1) the 23
+# round-8 queries that landed AFTER the r8 gate window was cut — they have
+# green local-oracle evidence (the r8 verdict's independent 33/33 run) but
+# NO driver row yet — and (2) the 12 queries whose latest green driver row
+# is r04 (stream_dedup_ingest … kmv_groups).  Front-load the 23
+# driver-pending queries, then the full r04 cohort, then top up with the
+# 15 oldest r05-latest queries in catalog order — the cadence that keeps
+# all 235 queries' green evidence at most ~4 rounds old under a 50-slot
+# gate.  With this rotation every catalog query has a driver row.
+# New round-9 queries, if any existed, would go FIRST; round 9
+# deliberately adds none (the r8 verdict: consolidate evidence, stop
+# growing the catalog).
+_GATE_PRIORITY_R9 = [
+    # round-8 post-window queries (23): green on the local oracle harness
+    # and the r8 verdict's independent run, but never driver-checked.
+    "pmi_pairs", "source_overlap", "stream_hll", "corr_lineitem",
+    "mad_outliers", "chi2_events", "dsir_weights", "acf_hourly",
+    "cusum_events", "gini_orders", "benford_prices", "stream_cms",
+    "theilsen_orders", "bigram_entropy", "hll_intersect",
+    "cluster_size_hist", "event_lift", "conversion_latency",
+    "reconcile_totals", "mix_corpus", "psi_drift", "stream_hll_hourly",
+    "conversion_ab",
+    # r04-latest (12, per CORRECTNESS_r01–r08: every query whose LATEST
+    # green driver row is r04), in catalog order.
+    "stream_dedup_ingest", "udtf_tokens", "full_pipeline",
+    "erase_roundtrip", "incremental_dedup", "mor_delete", "domain_cap",
+    "boolean_retrieval", "split_leakage", "winsorized_stats",
+    "equidepth_hist", "kmv_groups",
+    # oldest r05-latest fills (15 of 50, catalog order); r10 continues
+    # the r05 cohort.
+    "change_feed", "bloom_point", "exact_quantiles", "ohlc_hourly",
+    "span_trim", "sharded_mor_delete", "set_join_exact", "ks_drift",
+    "interval_overlap", "skyline_parts", "edit_distance_join",
+    "inverted_postings", "multimodal_features", "gapfill_hourly",
+    "ewma_users",
 ]
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _catalog()
-    ordered = {k: base[k] for k in _GATE_PRIORITY_R8}
+    ordered = {k: base[k] for k in _GATE_PRIORITY_R9}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 
