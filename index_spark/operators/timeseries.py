@@ -355,6 +355,7 @@ def cusum_changepoint(
     group_cols,
     t_col: str,
     x_col: str,
+    block_size: int = 1 << 20,
 ) -> DataFrame:
     """Per-group CUSUM change-point scan over the same sparse regular
     grid as :func:`acf_series` (one row per NONZERO bucket, zeros
@@ -373,9 +374,21 @@ def cusum_changepoint(
     empty bucket adds −S_n), so |D| is convex there and its maximum over
     the gap sits at a gap endpoint — evaluating D only AT each nonzero
     bucket and at the position JUST BEFORE each nonzero bucket covers
-    every candidate without materializing a single zero row. The scan is
-    one group-key window (prefix sums) + a constant-per-row candidate
-    pair + one argmax aggregate — nothing scales with calendar length.
+    every candidate without materializing a single zero row. Nothing
+    scales with calendar length.
+
+    Scale shape (the equidepth two-level precedent, r9): the prefix sum
+    is TWO-LEVEL so no task ever holds a whole group's series. Buckets
+    hash into blocks of ``block_size`` consecutive t values; per-block
+    sums aggregate map-side, the block-offset prefix runs as a window
+    over the tiny per-(group, block) AGGREGATE (≤ span/block_size rows
+    per group — the documented bounded-window contract), and the
+    row-level prefix window is partitioned by (group, block), capping
+    every sort task at ``block_size`` nonzero buckets. A single global
+    500M-bucket series that would have serialized through one task now
+    fans out across ~500 block tasks. Group totals (S_n, min/max t)
+    come from a hash aggregate joined back, never an unordered
+    whole-group window.
 
     Ties break to the EARLIEST position. Split positions must leave both
     sides non-empty (p in [1, n−1]), so a group whose calendar has a
@@ -410,22 +423,52 @@ def cusum_changepoint(
                 "cusum_changepoint: n·S_n could overflow decimal(38,0) "
                 f"(calendar length={span}, max x={mx}); coarsen buckets or rescale"
             )
-    w_ord = Window.partitionBy(*group_cols).orderBy(t_col)
-    w_all = Window.partitionBy(*group_cols)
+    if block_size < 2:
+        raise ValueError(f"cusum_changepoint: block_size must be ≥ 2, got {block_size}")
     d38 = "decimal(38,0)"
-    rows = counts.select(
+    base = counts.select(
         *group_cols,
         F.col(t_col).alias("__t"),
         F.col(x_col).cast(d38).alias("__x"),
-        F.sum(F.col(x_col).cast(d38)).over(
-            w_ord.rowsBetween(Window.unboundedPreceding, 0)
-        ).alias("__sp"),
-        F.sum(F.col(x_col).cast(d38)).over(w_all).alias("__sn"),
-        F.min(t_col).over(w_all).alias("__mn"),
-        (F.max(t_col).over(w_all) - F.min(t_col).over(w_all) + F.lit(1))
-        .cast(d38)
-        .alias("__n"),
+        F.floor(F.col(t_col) / F.lit(block_size)).cast("long").alias("__blk"),
     )
+    # level 1: per-(group, block) mass — map-side-combinable hash agg
+    blk = base.groupBy(*group_cols, "__blk").agg(F.sum("__x").alias("__bs"))
+    # block-offset prefix over the AGGREGATE (≤ span/block_size rows per
+    # group — the bounded-window contract): mass of all EARLIER blocks
+    w_blk = Window.partitionBy(*group_cols).orderBy("__blk")
+    offs = blk.select(
+        *group_cols,
+        "__blk",
+        F.coalesce(
+            F.sum("__bs").over(w_blk.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast(d38),
+        ).alias("__off"),
+    )
+    # level 2: row prefix WITHIN the block — the only row-level window,
+    # partitioned by (group, block) so each sort task holds ≤ block_size
+    # nonzero buckets no matter how long one group's series grows
+    w_in = Window.partitionBy(*group_cols, "__blk").orderBy("__t")
+    pref = base.join(offs, [*group_cols, "__blk"]).select(
+        *group_cols,
+        "__t",
+        "__x",
+        (
+            F.col("__off")
+            + F.sum("__x").over(w_in.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("__sp"),
+    )
+    # group totals via hash aggregate + join (never a whole-group window)
+    totals = counts.groupBy(*group_cols).agg(
+        F.sum(F.col(x_col).cast(d38)).alias("__sn"),
+        F.min(t_col).alias("__mn"),
+        (F.max(t_col) - F.min(t_col) + F.lit(1)).cast(d38).alias("__n"),
+    )
+    if group_cols:
+        rows = pref.join(totals, group_cols)
+    else:
+        # global series: totals is exactly one row — broadcast crossJoin
+        rows = pref.crossJoin(F.broadcast(totals))
     p = (F.col("__t") - F.col("__mn") + F.lit(1)).cast(d38)
     n, sn = F.col("__n"), F.col("__sn")
     d_at = n * F.col("__sp") - p * sn  # D at the bucket itself
