@@ -149,8 +149,9 @@ ROLL_M = 4_294_967_311  # prime > 2^32; acc·B + h < 2^53 — no int64 overflow
 def md5_prefix28(col: Column) -> Column:
     """The corpus-standard 28-bit string hash: first 7 hex chars of md5,
     parsed as an integer. ONE definition for every operator (MinHash
-    permutation input, rolling fingerprint, decontamination shingle hash,
-    weighted-sampling uniform draw) — its SQL twin is
+    permutation input, rolling fingerprint, weighted-sampling uniform
+    draw; decontamination moved to the 60-bit ``md5_prefix60`` in r9 —
+    28 bits birthday-collide on corpus-scale join keys) — its SQL twin is
     ``('0x' || substr(md5(x), 1, 7))::BIGINT``; drifting any copy would
     silently break that engine↔oracle parity for just that operator."""
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")

@@ -6,8 +6,12 @@ GPT-2/GPT-3 and The Pile (Brown et al. 2020 appendix C; Gao et al. 2020).
 The engine-side shape is an inverted-index join:
 
 1. shingle the (small) benchmark side into distinct word k-grams, hash
-   each to the corpus-standard 28-bit md5 prefix (same convention as
-   MinHash — one md5 per shingle);
+   each to the 60-bit md5 prefix (``md5_prefix60`` — the shared
+   near-collision-free compact-key convention; the 28-bit MinHash
+   prefix birthday-collides at corpus scale: the round-9 pipeline probe
+   measured ~22 spurious contamination flags at just 200k docs × 21
+   bench docs, growing as corpus-grams × bench-grams / 2^28 — ~65k
+   false flags at 10M docs);
 2. shingle the corpus the same way;
 3. equi-join on the hash — with the benchmark side broadcast, this is a
    map-side hash probe: the corpus is scanned ONCE, nothing about the
@@ -27,7 +31,9 @@ from index_spark.functions import text as TX
 
 def _shingle_hashes(df: DataFrame, k: int, id_col: str, text_col: str) -> DataFrame:
     """(id, h): one row per DISTINCT word-k-gram of the normalized text,
-    hashed md5-prefix → 28-bit int (the MinHash hash convention).
+    hashed md5-prefix → 60-bit int (``md5_prefix60``, r9 — was the
+    28-bit MinHash prefix, which birthday-collided into spurious
+    contamination flags at corpus scale; see module docstring).
 
     Documents with fewer than ``k`` tokens contribute NO shingles: the
     contract is "shares a long word n-gram" — ``word_ngrams_all`` already
@@ -36,11 +42,13 @@ def _shingle_hashes(df: DataFrame, k: int, id_col: str, text_col: str) -> DataFr
     shingle set as ``word_shingles`` in ONE tokenization pass instead of
     tokenizing once for a length filter and again for the shingles
     (``\\S+`` extraction makes lower vs normalize_text token-identical)."""
+    from index_spark.operators.sampling import md5_prefix60
+
     sh = TX.spread_for_cpu(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(TX.word_ngrams_all(F.col(text_col), k))).alias("s"),
     )
-    return sh.select(id_col, TX.md5_prefix28(F.col("s")).alias("h"))
+    return sh.select(id_col, md5_prefix60(F.col("s")).alias("h"))
 
 
 def ngram_contamination(

@@ -71,15 +71,36 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
 
 
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer (Steele et al., public domain reference
+    constants) — a full-avalanche 64-bit mixer, evaluated in PYTHON at
+    plan-build time only; the mixed values are embedded as literals into
+    both the Spark expression and the DuckDB oracle SQL."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
 def minhash_ab(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic (a_i, b_i) coefficients for the universal hash family
     h_i(x) = (a_i·x + b_i) mod p. Shared by the Spark expression and the
     DuckDB oracle SQL so both engines evaluate the identical function.
-    Knuth/Fibonacci multipliers keep a_i ≠ 0 and well-mixed."""
+
+    Each pair is drawn through the splitmix64 finalizer so the hash
+    functions behave as INDEPENDENT draws. The r1–r8 family used
+    arithmetic progressions (a_i = (2i+1)·K mod p) whose pairwise linear
+    structure correlated the permutations: the round-9 pipeline probe
+    caught a Jaccard-46/47 planted near-dup pair whose one extra shingle
+    won the min under ALL EIGHT even-indexed hashes simultaneously —
+    i.e. every band missed — at an observed ~1.2e-4 miss rate per pair
+    where independent hashes give ~1e-11. At 100 TB that is ~10^5
+    spuriously missed near-identical documents; with mixed coefficients
+    the banding guarantee holds (probe re-run: 0 misses)."""
     out = []
     for i in range(num_hashes):
-        a = ((2 * i + 1) * 2_654_435_761) % MINHASH_PRIME
-        b = ((i + 1) * 2_246_822_519 + 11) % MINHASH_PRIME
+        a = _mix64(2 * i) % (MINHASH_PRIME - 1) + 1  # a ∈ [1, p)
+        b = _mix64(2 * i + 1) % MINHASH_PRIME
         out.append((a, b))
     return out
 

@@ -5844,9 +5844,9 @@ def build_oracles() -> dict[str, str]:
         "contamination_scan": (
             f"WITH b AS ({_sql_shingles(_SQL_DECONTAM_SRC.format(op='='))}), "
             f"c AS ({_sql_shingles(_SQL_DECONTAM_SRC.format(op='<>'))}), "
-            "bh AS (SELECT doc_id AS bench_id, ('0x' || substr(md5(s),1,7))::BIGINT AS h "
+            "bh AS (SELECT doc_id AS bench_id, ('0x' || substr(md5(s),1,15))::BIGINT AS h "
             "FROM (SELECT doc_id, unnest(sh) AS s FROM b)), "
-            "ch AS (SELECT doc_id, ('0x' || substr(md5(s),1,7))::BIGINT AS h "
+            "ch AS (SELECT doc_id, ('0x' || substr(md5(s),1,15))::BIGINT AS h "
             "FROM (SELECT doc_id, unnest(sh) AS s FROM c)) "
             "SELECT ch.doc_id, CAST(count(DISTINCT ch.h) AS BIGINT) AS n_hits, "
             "CAST(count(DISTINCT bh.bench_id) AS BIGINT) AS n_bench_docs "
