@@ -14,7 +14,7 @@ fixed-width non-overlapping token blocks — the same operator shape
 pluggable segmenter; a newline splitter drops in for real corpora.
 
 Plan shape at 100 TB: segments explode map-side; only ``(doc_id, pos,
-28-bit hash)`` triples enter the shuffle (segment TEXT is dropped before
+60-bit hash)`` triples enter the shuffle (segment TEXT is dropped before
 any exchange and re-derived at reassembly, which is partitioned by doc —
 the same partitioning the explode's groupBy established). Corpus counts
 are a second partial-agg shuffle on the hash. No UDF, no window over the
@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from index_spark.functions import text as TX
+from index_spark.operators.sampling import md5_prefix60
 
 
 def token_blocks_of(toks, width: int = 8):
@@ -51,8 +52,9 @@ def token_blocks_of(toks, width: int = 8):
 
 
 def segment_hashes(df: DataFrame, width: int = 8, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """One row per (doc, position) with the segment's 28-bit md5-prefix
-    hash (the repo's standard hash family — replays in SQL). The segment
+    """One row per (doc, position) with the segment's 60-bit md5-prefix
+    hash (``md5_prefix60``, r9 — segment identity is a corpus-wide join
+    key; 28 bits birthday-collide into false boilerplate at scale). The segment
     TEXT is deliberately absent: this is the shuffled projection. The
     token array materializes in its own projection first so the block
     lambda captures a cheap attribute, not the regexp."""
@@ -60,7 +62,7 @@ def segment_hashes(df: DataFrame, width: int = 8, id_col: str = "doc_id", text_c
     return tokd.select(
         F.col(id_col),
         F.posexplode(token_blocks_of(F.col("__toks"), width)).alias("pos", "__seg"),
-    ).select(id_col, "pos", TX.md5_prefix28(F.col("__seg")).alias("h"))
+    ).select(id_col, "pos", md5_prefix60(F.col("__seg")).alias("h"))
 
 
 def dedup_segments(
@@ -78,7 +80,7 @@ def dedup_segments(
     made entirely of boilerplate come back with empty ``clean_text``.
 
     Text never enters an exchange: the two aggregation shuffles carry
-    ``(doc, pos, 28-bit hash)`` and ``(doc, [dropped pos])`` only, and the
+    ``(doc, pos, 60-bit hash)`` and ``(doc, [dropped pos])`` only, and the
     final join back to the documents keeps the text on its original
     partitions (the dropped-positions side is the small one — AQE
     broadcasts it). Reassembly recomputes the token blocks doc-locally

@@ -25,17 +25,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from index_spark.functions import text as TX
+from index_spark.operators.sampling import md5_prefix60
 
 
 def span_hashes(df: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per token k-gram span occurrence: ``(id_col, h)`` with
-    ``h`` the 28-bit md5-prefix hash of the span text (the same hashing
-    family the MinHash pipeline uses, so the SQL oracle replays it
-    exactly). Documents shorter than ``k`` tokens contribute nothing."""
+    ``h`` the 60-bit md5-prefix hash of the span text (``md5_prefix60``,
+    r9 — span identity is a corpus-wide join key, and the 28-bit MinHash
+    prefix birthday-collides at corpus scale, marking unrelated spans
+    duplicated; the SQL oracle replays the same 15-hex-char prefix). Documents shorter than ``k`` tokens contribute nothing."""
     return TX.spread_for_cpu(df).select(
         F.col(id_col),
         F.explode(TX.word_ngrams_all(F.col(text_col), k)).alias("__g"),
-    ).select(id_col, TX.md5_prefix28(F.col("__g")).alias("h"))
+    ).select(id_col, md5_prefix60(F.col("__g")).alias("h"))
 
 
 def duplicate_span_stats(
@@ -108,7 +110,7 @@ def trim_duplicate_spans(
         F.posexplode(TX.word_ngrams_all(F.lower(F.col(text_col)), k)).alias(
             "i", "__g"
         ),
-    ).select(id_col, "i", TX.md5_prefix28(F.col("__g")).alias("h"))
+    ).select(id_col, "i", md5_prefix60(F.col("__g")).alias("h"))
     dup = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("tot"))

@@ -5009,7 +5009,7 @@ def build_oracles() -> dict[str, str]:
             f"WITH t AS (SELECT doc_id, {SQL_TOKS_LOWER} AS w FROM documents), "
             "g AS (SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS g "
             "  FROM t, UNNEST(range(1, greatest(len(w)-3, 1))) AS r(i) WHERE len(w) >= 5), "
-            "h AS (SELECT doc_id, ('0x'||substr(md5(g),1,7))::BIGINT AS h FROM g), "
+            "h AS (SELECT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT AS h FROM g), "
             "pd AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS c FROM h GROUP BY 1,2), "
             "corpus AS (SELECT h, CAST(sum(c) AS BIGINT) AS tot FROM pd GROUP BY 1) "
             "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_spans, "
@@ -6085,7 +6085,7 @@ def build_oracles() -> dict[str, str]:
             "segs AS (SELECT doc_id, i AS pos, concat_ws(' ', "
             "  w[i*8+1], w[i*8+2], w[i*8+3], w[i*8+4], w[i*8+5], w[i*8+6], w[i*8+7], w[i*8+8]) AS seg "
             "  FROM t, UNNEST(range(0, CAST(ceil(len(w)/8.0) AS BIGINT))) r(i) WHERE len(w) > 0), "
-            "h AS (SELECT doc_id, pos, seg, ('0x'||substr(md5(seg),1,7))::BIGINT AS h FROM segs), "
+            "h AS (SELECT doc_id, pos, seg, ('0x'||substr(md5(seg),1,15))::BIGINT AS h FROM segs), "
             "freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM h GROUP BY 1), "
             "fl AS (SELECT doc_id, pos, seg, CASE WHEN nd >= 3 THEN 1 ELSE 0 END AS dropped "
             "  FROM h JOIN freq USING(h)) "
@@ -7165,7 +7165,7 @@ def build_oracles() -> dict[str, str]:
         f"WITH corpus AS ({dup_docs}), "
         f"t AS (SELECT doc_id, {SQL_TOKS_LOWER} AS w FROM corpus), "
         "g AS (SELECT doc_id, i - 1 AS i0, "
-        "  ('0x'||substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])),1,7))::BIGINT AS h "
+        "  ('0x'||substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])),1,15))::BIGINT AS h "
         "  FROM t, UNNEST(range(1, greatest(len(w)-3, 1))) r(i) WHERE len(w) >= 5), "
         "dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2), "
         "cov AS (SELECT DISTINCT g.doc_id, i0 + d AS j FROM g JOIN dup USING(h), "
