@@ -409,8 +409,25 @@ def cusum_changepoint(
         # global span bounds every group's span — conservative guard
         (F.max(t_col) - F.min(t_col) + F.lit(1)).alias("span"),
         F.max(F.abs(F.col(x_col).cast("decimal(38,0)"))).alias("mx"),
+        # the two-level scan joins on (group…, block): equi-joins drop
+        # NULL keys where the r8 whole-group window silently grouped
+        # them — refuse loudly instead of silently disagreeing (rides
+        # the existing eager aggregate, no extra pass)
+        F.sum(
+            sum(
+                (F.when(F.col(c).isNull(), 1).otherwise(0) for c in
+                 [t_col, x_col, *group_cols]),
+                F.lit(0),
+            )
+        ).alias("nulls"),
     ).first()
     if brow["nz"]:
+        if int(brow["nulls"] or 0) > 0:
+            raise ValueError(
+                "cusum_changepoint: NULL in t/x/group columns — a "
+                "bucketized series must be fully keyed; filter or "
+                "fill upstream"
+            )
         if int(brow["mnx"]) < 0:
             raise ValueError(
                 f"cusum_changepoint: negative values (min={brow['mnx']}) — "

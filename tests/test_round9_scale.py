@@ -97,3 +97,16 @@ def test_cusum_block_size_guard(spark):
     df = spark.createDataFrame([("g", 1, 2)], "g string, t long, x long")
     with pytest.raises(ValueError, match="block_size"):
         cusum_changepoint(df, ["g"], "t", "x", block_size=1)
+
+
+def test_cusum_null_keys_refused(spark):
+    # equi-joins in the two-level scan drop NULL keys where the old
+    # whole-group window grouped them — the contract is a loud refusal
+    df = spark.createDataFrame(
+        [("g", 1, 2), (None, 3, 5)], "g string, t long, x long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        cusum_changepoint(df, ["g"], "t", "x").collect()
+    df2 = spark.createDataFrame([("g", None, 2), ("g", 3, 5)], "g string, t long, x long")
+    with pytest.raises(ValueError, match="NULL"):
+        cusum_changepoint(df2, ["g"], "t", "x").collect()
