@@ -12,7 +12,7 @@ finds every duplicated substring of length ≥ k (any longer duplicate
 contains a duplicated k-gram).
 
 Plan shape (the 100 TB story): explode k-gram spans → hash each span to a
-7-hex md5 prefix (28-bit int) → two-level aggregate: ``groupBy(doc,
+15-hex md5 prefix (60-bit int, r9) → two-level aggregate: ``groupBy(doc,
 hash)`` then ``groupBy(hash)`` for corpus totals → join back → per-doc
 rollup. Only (id, hash, count) triples ever enter a shuffle; span TEXT is
 dropped at the map side, so shuffled bytes are ~12/span regardless of
@@ -95,7 +95,7 @@ def trim_duplicate_spans(
     directly — no k-way explode of covered positions, no corpus-sized
     ``distinct``, no anti-join (all three were measured costs at sf0.1:
     the explode alone quintupled the shuffled rows). Shuffles carry
-    (id, position) pairs and 28-bit hashes only; the text rides one
+    (id, position) pairs and 60-bit hashes only; the text rides one
     final per-doc rebuild.
 
     Returns ``(id_col, clean_text, n_kept, n_removed)`` for every doc

@@ -377,18 +377,20 @@ def cusum_changepoint(
     every candidate without materializing a single zero row. Nothing
     scales with calendar length.
 
-    Scale shape (the equidepth two-level precedent, r9): the prefix sum
-    is TWO-LEVEL so no task ever holds a whole group's series. Buckets
-    hash into blocks of ``block_size`` consecutive t values; per-block
-    sums aggregate map-side, the block-offset prefix runs as a window
-    over the tiny per-(group, block) AGGREGATE (≤ span/block_size rows
-    per group — the documented bounded-window contract), and the
-    row-level prefix window is partitioned by (group, block), capping
-    every sort task at ``block_size`` nonzero buckets. A single global
-    500M-bucket series that would have serialized through one task now
-    fans out across ~500 block tasks. Group totals (S_n, min/max t)
-    come from a hash aggregate joined back, never an unordered
-    whole-group window.
+    Scale shape (the equidepth pre-aggregate precedent, r9): the prefix
+    sum is THREE-LEVEL so no window task is unbounded even for SPARSE
+    series. Buckets fall into blocks of ``block_size`` consecutive t
+    values and blocks into superblocks of ``block_size`` blocks;
+    per-block sums aggregate map-side, the superblock-offset window
+    holds ≤ span/block_size² rows per group (≤ 2^20 rows for any span
+    up to 2^60 at the default), the block-offset window runs WITHIN a
+    superblock (≤ block_size rows — a sparse series with ~1 bucket per
+    block cannot re-serialize it), and the only row-level window is
+    partitioned by (group, block), capping every sort task at
+    ``block_size`` nonzero buckets. Group totals (S_n, min/max t)
+    derive from the per-block aggregate — ``counts`` is scanned exactly
+    twice per action (the block aggregate and the row-side join) plus
+    the one-row eager guard, never per level.
 
     Ties break to the EARLIEST position. Split positions must leave both
     sides non-empty (p in [1, n−1]), so a group whose calendar has a
@@ -402,6 +404,10 @@ def cusum_changepoint(
     group_cols = list(group_cols)
     from index_spark.operators.stats import _require_integral
 
+    # pure-argument check BEFORE the eager guard aggregate: an invalid
+    # block_size must fail instantly, not after a full scan of `counts`
+    if block_size < 2:
+        raise ValueError(f"cusum_changepoint: block_size must be ≥ 2, got {block_size}")
     _require_integral(counts, [t_col, x_col], "cusum_changepoint")
     brow = counts.agg(
         F.count(F.lit(1)).alias("nz"),
@@ -440,8 +446,6 @@ def cusum_changepoint(
                 "cusum_changepoint: n·S_n could overflow decimal(38,0) "
                 f"(calendar length={span}, max x={mx}); coarsen buckets or rescale"
             )
-    if block_size < 2:
-        raise ValueError(f"cusum_changepoint: block_size must be ≥ 2, got {block_size}")
     d38 = "decimal(38,0)"
     base = counts.select(
         *group_cols,
@@ -449,18 +453,53 @@ def cusum_changepoint(
         F.col(x_col).cast(d38).alias("__x"),
         F.floor(F.col(t_col) / F.lit(block_size)).cast("long").alias("__blk"),
     )
-    # level 1: per-(group, block) mass — map-side-combinable hash agg
-    blk = base.groupBy(*group_cols, "__blk").agg(F.sum("__x").alias("__bs"))
-    # block-offset prefix over the AGGREGATE (≤ span/block_size rows per
-    # group — the bounded-window contract): mass of all EARLIER blocks
-    w_blk = Window.partitionBy(*group_cols).orderBy("__blk")
-    offs = blk.select(
+    # level 1: per-(group, block) mass + t bounds — map-side-combinable
+    # hash agg. The t bounds ride along so the GROUP totals derive from
+    # this tiny frame instead of a third scan of `counts` (review
+    # finding: `counts` lineage is now read twice — here and as the
+    # join side below — plus the eager guard; never three times).
+    blk = base.groupBy(*group_cols, "__blk").agg(
+        F.sum("__x").alias("__bs"),
+        F.min("__t").alias("__bmn"),
+        F.max("__t").alias("__bmx"),
+    )
+    # level 1.5: superblocks of block_size consecutive blocks. A SPARSE
+    # series (≲1 nonzero bucket per block) has ~nz nonempty blocks, so a
+    # single block-offset window per group would re-serialize exactly
+    # what the rewrite removed (review finding). Two offset levels bound
+    # every window partition instead: the block-offset window runs
+    # WITHIN a superblock (≤ block_size rows), and the superblock-offset
+    # window holds ≤ span/block_size² rows per group — ≤ 2^20 rows for
+    # any span up to 2^60 at the default block_size.
+    sblk = blk.withColumn(
+        "__sblk", F.floor(F.col("__blk") / F.lit(block_size)).cast("long")
+    )
+    sagg = sblk.groupBy(*group_cols, "__sblk").agg(F.sum("__bs").alias("__ss"))
+    w_sup = Window.partitionBy(*group_cols).orderBy("__sblk")
+    soffs = sagg.select(
         *group_cols,
-        "__blk",
+        "__sblk",
         F.coalesce(
-            F.sum("__bs").over(w_blk.rowsBetween(Window.unboundedPreceding, -1)),
+            F.sum("__ss").over(w_sup.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0).cast(d38),
-        ).alias("__off"),
+        ).alias("__soff"),
+    )
+    # block offset = mass of earlier superblocks + mass of earlier
+    # blocks within this superblock (window task ≤ block_size rows)
+    w_blk = Window.partitionBy(*group_cols, "__sblk").orderBy("__blk")
+    offs = (
+        sblk.join(soffs, [*group_cols, "__sblk"])
+        .select(
+            *group_cols,
+            "__blk",
+            (
+                F.col("__soff")
+                + F.coalesce(
+                    F.sum("__bs").over(w_blk.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0).cast(d38),
+                )
+            ).alias("__off"),
+        )
     )
     # level 2: row prefix WITHIN the block — the only row-level window,
     # partitioned by (group, block) so each sort task holds ≤ block_size
@@ -475,11 +514,12 @@ def cusum_changepoint(
             + F.sum("__x").over(w_in.rowsBetween(Window.unboundedPreceding, 0))
         ).alias("__sp"),
     )
-    # group totals via hash aggregate + join (never a whole-group window)
-    totals = counts.groupBy(*group_cols).agg(
-        F.sum(F.col(x_col).cast(d38)).alias("__sn"),
-        F.min(t_col).alias("__mn"),
-        (F.max(t_col) - F.min(t_col) + F.lit(1)).cast(d38).alias("__n"),
+    # group totals via hash aggregate over the BLOCK frame + join
+    # (never an unordered whole-group window, never a re-scan of counts)
+    totals = blk.groupBy(*group_cols).agg(
+        F.sum("__bs").alias("__sn"),
+        F.min("__bmn").alias("__mn"),
+        (F.max("__bmx") - F.min("__bmn") + F.lit(1)).cast(d38).alias("__n"),
     )
     if group_cols:
         rows = pref.join(totals, group_cols)

@@ -2182,7 +2182,7 @@ def q_events_type_summary(spark, sf_dir):
 def q_dup_span_stats(spark, sf_dir):
     """Substring-level duplicate spans (Lee et al. 2021 semantics via
     5-token k-gram hashes): per-doc duplicated-span counts and fraction.
-    Only (id, 28-bit hash, count) triples shuffle — span text is dropped
+    Only (id, 60-bit hash, count) triples shuffle — span text is dropped
     map-side, so shuffled bytes are constant per span at any corpus
     size."""
     from index_spark.operators.spans import duplicate_span_stats
@@ -3019,7 +3019,7 @@ def q_segment_dedup(spark, sf_dir):
     """Segment-level boilerplate removal (CCNet/RefinedWeb paragraph dedup
     re-expressed over token blocks): hash 8-token segments, drop segments
     recurring in >= 3 distinct docs, re-assemble each document in order.
-    Only (doc_id, pos, 28-bit hash) triples shuffle; the cleaned text is
+    Only (doc_id, pos, 60-bit hash) triples shuffle; the cleaned text is
     re-derived doc-locally and compared by md5."""
     from index_spark.operators.segments import dedup_segments
 
@@ -4372,7 +4372,7 @@ def q_ohlc_hourly(spark, sf_dir):
 def q_span_trim(spark, sf_dir):
     """Duplicate-SPAN REMOVAL (Lee et al. dedup applied, not just
     counted): tokens inside any corpus-duplicated 5-gram are dropped and
-    the survivors re-join in order — all relational (positions + 28-bit
+    the survivors re-join in order — all relational (positions + 60-bit
     hashes shuffle; no per-doc loops). Clean text verified by md5 so the
     reconstruction itself hash-gates. Sampled to doc_id % 7 == 0."""
     from index_spark.operators.spans import trim_duplicate_spans

@@ -110,3 +110,21 @@ def test_cusum_null_keys_refused(spark):
     df2 = spark.createDataFrame([("g", None, 2), ("g", 3, 5)], "g string, t long, x long")
     with pytest.raises(ValueError, match="NULL"):
         cusum_changepoint(df2, ["g"], "t", "x").collect()
+
+
+def test_cusum_sparse_series_one_bucket_per_block(spark):
+    # ~1 nonzero bucket per block: the level-1 block frame is as large
+    # as the row frame, so correctness must come from the SUPERBLOCK
+    # offset level (the review finding: a single block-offset window
+    # would re-serialize sparse series)
+    rng = random.Random(93)
+    buckets = {}
+    for i in rng.sample(range(0, 4000), 150):
+        buckets[i * 16 + rng.randrange(0, 16)] = rng.randrange(1, 5)
+    df = spark.createDataFrame(
+        [("g", t, x) for t, x in buckets.items()], "g string, t long, x long"
+    )
+    row = cusum_changepoint(df, ["g"], "t", "x", block_size=16).collect()[0]
+    n, ts, st = py_cusum_brute(buckets)
+    assert (row["n"], row["t_star"]) == (n, ts)
+    assert row["stat"] == pytest.approx(round(st, 6), abs=1e-6)
