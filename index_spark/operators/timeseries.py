@@ -378,19 +378,22 @@ def cusum_changepoint(
     scales with calendar length.
 
     Scale shape (the equidepth pre-aggregate precedent, r9): the prefix
-    sum is THREE-LEVEL so no window task is unbounded even for SPARSE
+    sum is BLOCKED so no window task is unbounded even for SPARSE
     series. Buckets fall into blocks of ``block_size`` consecutive t
-    values and blocks into superblocks of ``block_size`` blocks;
-    per-block sums aggregate map-side, the superblock-offset window
-    holds ≤ span/block_size² rows per group (≤ 2^20 rows for any span
-    up to 2^60 at the default), the block-offset window runs WITHIN a
-    superblock (≤ block_size rows — a sparse series with ~1 bucket per
-    block cannot re-serialize it), and the only row-level window is
-    partitioned by (group, block), capping every sort task at
-    ``block_size`` nonzero buckets. Group totals (S_n, min/max t)
-    derive from the per-block aggregate — ``counts`` is scanned exactly
-    twice per action (the block aggregate and the row-side join) plus
-    the one-row eager guard, never per level.
+    values; per-block sums aggregate map-side and the only row-level
+    window is partitioned by (group, block), capping every sort task at
+    ``block_size`` nonzero buckets. When the eager guard shows the
+    global span exceeds block_size² (beyond which a sparse series could
+    put more than block_size nonempty blocks in one group), blocks roll
+    into superblocks of ``block_size`` blocks: the superblock-offset
+    window holds ≤ span/block_size² rows per group (≤ 2^20 rows for any
+    span up to 2^60 at the default) and the block-offset window runs
+    WITHIN a superblock (≤ block_size rows); for ordinary spans the
+    cheaper single block-offset window is provably bounded and the
+    extra level is skipped. Group totals (S_n, min/max t) derive from
+    the per-block aggregate — ``counts`` is scanned exactly twice per
+    action (the block aggregate and the row-side join) plus the one-row
+    eager guard, never per level.
 
     Ties break to the EARLIEST position. Split positions must leave both
     sides non-empty (p in [1, n−1]), so a group whose calendar has a
@@ -470,37 +473,55 @@ def cusum_changepoint(
     # every window partition instead: the block-offset window runs
     # WITHIN a superblock (≤ block_size rows), and the superblock-offset
     # window holds ≤ span/block_size² rows per group — ≤ 2^20 rows for
-    # any span up to 2^60 at the default block_size.
-    sblk = blk.withColumn(
-        "__sblk", F.floor(F.col("__blk") / F.lit(block_size)).cast("long")
-    )
-    sagg = sblk.groupBy(*group_cols, "__sblk").agg(F.sum("__bs").alias("__ss"))
-    w_sup = Window.partitionBy(*group_cols).orderBy("__sblk")
-    soffs = sagg.select(
-        *group_cols,
-        "__sblk",
-        F.coalesce(
-            F.sum("__ss").over(w_sup.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0).cast(d38),
-        ).alias("__soff"),
-    )
-    # block offset = mass of earlier superblocks + mass of earlier
-    # blocks within this superblock (window task ≤ block_size rows)
-    w_blk = Window.partitionBy(*group_cols, "__sblk").orderBy("__blk")
-    offs = (
-        sblk.join(soffs, [*group_cols, "__sblk"])
-        .select(
+    # any span up to 2^60 at the default block_size. The level is
+    # ENGAGED only when the already-paid eager guard shows the global
+    # span can exceed block_size² nonempty blocks — the common case
+    # (hour/day buckets, span ≪ 2^40) keeps the cheaper two-level plan
+    # (~0.8 s of constant agg/join overhead at sf0.1 otherwise).
+    need_super = bool(brow["nz"]) and int(brow["span"]) > block_size * block_size
+    if need_super:
+        sblk = blk.withColumn(
+            "__sblk", F.floor(F.col("__blk") / F.lit(block_size)).cast("long")
+        )
+        sagg = sblk.groupBy(*group_cols, "__sblk").agg(F.sum("__bs").alias("__ss"))
+        w_sup = Window.partitionBy(*group_cols).orderBy("__sblk")
+        soffs = sagg.select(
+            *group_cols,
+            "__sblk",
+            F.coalesce(
+                F.sum("__ss").over(w_sup.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast(d38),
+            ).alias("__soff"),
+        )
+        # block offset = mass of earlier superblocks + mass of earlier
+        # blocks within this superblock (window task ≤ block_size rows)
+        w_blk = Window.partitionBy(*group_cols, "__sblk").orderBy("__blk")
+        offs = (
+            sblk.join(soffs, [*group_cols, "__sblk"])
+            .select(
+                *group_cols,
+                "__blk",
+                (
+                    F.col("__soff")
+                    + F.coalesce(
+                        F.sum("__bs").over(w_blk.rowsBetween(Window.unboundedPreceding, -1)),
+                        F.lit(0).cast(d38),
+                    )
+                ).alias("__off"),
+            )
+        )
+    else:
+        # span ≤ block_size²: nonempty blocks per group ≤ block_size —
+        # one bounded block-offset window suffices
+        w_blk = Window.partitionBy(*group_cols).orderBy("__blk")
+        offs = blk.select(
             *group_cols,
             "__blk",
-            (
-                F.col("__soff")
-                + F.coalesce(
-                    F.sum("__bs").over(w_blk.rowsBetween(Window.unboundedPreceding, -1)),
-                    F.lit(0).cast(d38),
-                )
+            F.coalesce(
+                F.sum("__bs").over(w_blk.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast(d38),
             ).alias("__off"),
         )
-    )
     # level 2: row prefix WITHIN the block — the only row-level window,
     # partitioned by (group, block) so each sort task holds ≤ block_size
     # nonzero buckets no matter how long one group's series grows

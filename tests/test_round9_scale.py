@@ -128,3 +128,24 @@ def test_cusum_sparse_series_one_bucket_per_block(spark):
     n, ts, st = py_cusum_brute(buckets)
     assert (row["n"], row["t_star"]) == (n, ts)
     assert row["stat"] == pytest.approx(round(st, 6), abs=1e-6)
+
+
+def test_cusum_superblock_level_is_adaptive(spark):
+    # span ≤ block_size² → the cheaper two-level plan (no __sblk);
+    # span > block_size² → the superblock offset level engages
+    small = spark.createDataFrame(
+        [("g", 1, 2), ("g", 200, 3)], "g string, t long, x long"
+    )
+    p_small = (
+        cusum_changepoint(small, ["g"], "t", "x", block_size=16)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "__sblk" not in p_small
+    big = spark.createDataFrame(
+        [("g", 1, 2), ("g", 1000, 3)], "g string, t long, x long"
+    )
+    p_big = (
+        cusum_changepoint(big, ["g"], "t", "x", block_size=16)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "__sblk" in p_big
