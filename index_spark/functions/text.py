@@ -157,6 +157,25 @@ def md5_prefix28(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 
+# 15 hex chars < 2^60: exact as BIGINT in both engines, and the BIGINT →
+# DOUBLE conversion is the same IEEE round-to-nearest on both sides.
+HEX60_CHARS = 15
+
+
+def md5_prefix60(col: Column) -> Column:
+    """Deterministic 60-bit BIGINT hash from any column — the wide
+    sibling of :func:`md5_prefix28`, kept in the same module so the
+    repo has ONE hashing home (r9 review finding). For consumers that
+    need a near-collision-free compact key (corpus-wide identity join
+    keys, overlap counts) where the 28-bit prefix would
+    birthday-collide; one definition so the SQL twins'
+    ``('0x'||substr(md5(x),1,15))::BIGINT`` stay in lockstep."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, HEX60_CHARS), 16, 10)
+        .cast("long")
+    )
+
+
 def rolling_fingerprint(col: Column) -> Column:
     """Rabin-Karp-style rolling polynomial fingerprint over BPE-ish tokens:
     h = fold((acc·B + md5_28bit(token)) mod M). Order-sensitive (unlike a

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from index_spark.functions import text as TX
+from index_spark.functions.text import md5_prefix60
 
 
 def _shingle_hashes(df: DataFrame, k: int, id_col: str, text_col: str) -> DataFrame:
@@ -42,8 +43,6 @@ def _shingle_hashes(df: DataFrame, k: int, id_col: str, text_col: str) -> DataFr
     shingle set as ``word_shingles`` in ONE tokenization pass instead of
     tokenizing once for a length filter and again for the shingles
     (``\\S+`` extraction makes lower vs normalize_text token-identical)."""
-    from index_spark.operators.sampling import md5_prefix60
-
     sh = TX.spread_for_cpu(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(TX.word_ngrams_all(F.col(text_col), k))).alias("s"),
@@ -96,7 +95,6 @@ def source_ngram_overlap(
     per-hash fan-out is bounded by the SOURCE count, and one pair
     aggregate. Returns ``(src_a, src_b, shared_grams)`` for src_a <
     src_b, pairs sharing nothing omitted."""
-    from index_spark.operators.sampling import md5_prefix60
 
     g = TX.spread_for_cpu(df).select(
         F.col(source_col).alias("__src"),

@@ -98,9 +98,12 @@ def pack_sequences(
     return df.withColumn("chunk_id", F.floor(cum_prev / F.lit(budget)))
 
 
-# 15 hex chars < 2^60: exact as BIGINT in both engines, and the BIGINT →
-# DOUBLE conversion is the same IEEE round-to-nearest on both sides.
-_KMV_HEX_CHARS = 15
+# the 15-hex/60-bit prefix constant and md5_prefix60 live in the repo's
+# one hashing home (functions/text.py, next to md5_prefix28 — r9 review
+# finding); re-exported here for the established import path
+from index_spark.functions.text import HEX60_CHARS as _KMV_HEX_CHARS
+from index_spark.functions.text import md5_prefix60  # noqa: F401  (re-export)
+
 _KMV_SPACE = float(16 ** _KMV_HEX_CHARS)
 
 
@@ -114,19 +117,6 @@ def md5_frac(col: "F.Column") -> "F.Column":
         F.conv(F.substring(F.md5(col.cast("string")), 1, _KMV_HEX_CHARS), 16, 10)
         .cast("double")
         / F.lit(_KMV_SPACE)
-    )
-
-
-def md5_prefix60(col: "F.Column") -> "F.Column":
-    """Deterministic 60-bit BIGINT hash from any column — the integer
-    sibling of :func:`md5_frac` (same ``_KMV_HEX_CHARS`` prefix, no
-    division). For consumers that need a near-collision-free compact
-    key (overlap counts, join keys) where the 28-bit MinHash prefix
-    would birthday-collide; one definition so the SQL twins'
-    ``('0x'||substr(md5(x),1,15))::BIGINT`` stays in lockstep."""
-    return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, _KMV_HEX_CHARS), 16, 10)
-        .cast("long")
     )
 
 

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from index_spark.functions import text as TX
-from index_spark.operators.sampling import md5_prefix60
+from index_spark.functions.text import md5_prefix60
 
 
 def token_blocks_of(toks, width: int = 8):

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from index_spark.functions import text as TX
-from index_spark.operators.sampling import md5_prefix60
+from index_spark.functions.text import md5_prefix60
 
 
 def span_hashes(df: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -43,11 +43,15 @@ def expected(n_buckets: int):
     s_n = n_lo * 1 + (n_buckets - n_lo) * 3
     best = None
     # |D| is piecewise-linear with breakpoints only at bucket edges; the
-    # true max is at the change point, but assert by scanning the two
-    # candidate positions per regime boundary exactly like the operator
-    for p, s_p in ((shift_t, n_lo), (shift_t + 1, n_lo)):
+    # true max is at the change point. Scan the operator's own two
+    # candidates at the first high bucket (t = shift_t): the position
+    # just before it (p = shift_t, mass n_lo) and the bucket itself
+    # (p = shift_t + 1, mass n_lo + 3 — review catch: the first draft
+    # reused n_lo here, overstating d* by exactly S_n, invisible at 20M
+    # buckets only because S_n/d* ≈ 1.9/N sat under the 1e-6 tolerance)
+    for p, s_p in ((shift_t, n_lo), (shift_t + 1, n_lo + 3)):
         d = abs(n * s_p - p * s_n)
-        if best is None or d > best[0]:
+        if best is None or (d, -p) > (best[0], -best[1]):
             best = (d, p)
     return n, s_n, best
 
@@ -74,15 +78,15 @@ def main() -> None:
         )
     )
 
-    n_cal, s_n, (d_star, _p) = expected(n_buckets)
+    n_cal, s_n, (d_star, p_star) = expected(n_buckets)
     for label, bs in (("blocked(2^20)", 1 << 20), ("single-task(2^62)", 1 << 62)):
         t0 = time.time()
         row = cusum_changepoint(series, [], "t", "x", block_size=bs).collect()[0]
         dt = time.time() - t0
-        stat = d_star / (n_cal * s_n)
+        stat = round(d_star / (n_cal * s_n), 6)
         assert row["n"] == n_cal, (label, row)
-        assert abs(row["stat"] - stat) < 1e-6, (label, row, stat)
-        assert abs(row["t_star"] - shift_t) <= 2, (label, row)
+        assert abs(row["stat"] - stat) <= 1e-6, (label, row, stat)
+        assert row["t_star"] == p_star - 1, (label, row, p_star)
         print(f"{label:>18}: {dt:6.1f} s  n={row['n']} t_star={row['t_star']} stat={row['stat']}")
 
 
