@@ -11,13 +11,16 @@ module computes the per-document signals as plain columnar aggregations:
 - ``dup_frac``: share of k-gram OCCURRENCES belonging to k-grams that
   occur more than once.
 
-Plan shape (the 100 TB story): explode k-grams → two-level aggregate —
-``groupBy(doc, gram).count`` then ``groupBy(doc)`` — both shuffles hash on
-``(doc_id[, gram])`` with map-side partial aggregation, and only (id,
-gram, count) triples ever move; the document text itself is never
-shuffled. No UDFs, no per-doc quadratic array scans (an
-``F.transform``-over-distinct-grams formulation would be O(len²) per doc
-— fine at 60 tokens, pathological at 10k).
+Plan shape (the 100 TB story, r9): these statistics are PER-DOCUMENT —
+no corpus-wide interaction — so they are computed doc-locally with ZERO
+shuffle: sort the doc's gram array and fold run lengths in one O(g log g)
+pass (a run of equal grams == that gram's count). The r1–r8 formulation
+exploded every gram into a corpus-of-grams-sized ``groupBy(doc, gram)``
+exchange plus a second ``groupBy(doc)`` exchange — measured 174 s of the
+626 s 10M-doc pipeline probe for values each doc already held. No UDFs,
+no per-doc quadratic array scans (an ``F.transform``-over-distinct-grams
+formulation would be O(len²) per doc — fine at 60 tokens, pathological
+at 10k; the sorted-run fold is O(len log len)).
 """
 
 from __future__ import annotations
@@ -37,18 +40,48 @@ def repetition_stats(
     Documents shorter than ``k`` tokens contribute no k-grams and are
     absent (callers treat absence as "passes": nothing to repeat).
     """
-    grams = TX.spread_for_cpu(df).select(
+    # The statistic is PER-DOC only — no corpus-wide interaction — so
+    # nothing needs to shuffle (r9: the previous explode → groupBy(doc,
+    # gram) → groupBy(doc) pushed two corpus-of-grams-sized exchanges
+    # through the cluster for a value each doc can compute locally).
+    # Sort the doc's gram array and fold run lengths in one pass:
+    # run-of-equal-grams length == that gram's count. The gram array is
+    # materialized in its own projection so the fold lambda captures a
+    # cheap attribute, never the tokenize/k-gram pipeline (the r7
+    # lambda-CSE trap). Incremental state: top = longest run so far;
+    # dup = occurrences inside runs of length ≥ 2 (+2 when a run reaches
+    # 2, +1 for each further repeat).
+    g = TX.spread_for_cpu(df).select(
+        F.col(id_col), TX.word_ngrams_all(F.col(text_col), k).alias("__g")
+    ).filter(F.size("__g") > 0)
+    # gram IDENTITY is all the fold needs, and only COUNTS surface in
+    # the result — so sort cheap xxhash64 longs, not 20+-char gram
+    # strings (within-session A/B: string sort measured ~2× SLOWER than
+    # the old explode plan on 1000-token docs; long sort beats it).
+    # Within-doc 64-bit collisions (~g²/2^65 per doc) are the same
+    # exact-in-practice call the 60-bit identity keys make.
+    sg = g.select(
         F.col(id_col),
-        F.explode(TX.word_ngrams_all(F.col(text_col), k)).alias("g"),
+        F.sort_array(F.transform(F.col("__g"), lambda x: F.xxhash64(x))).alias("__sg"),
     )
-    per_gram = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
-    return per_gram.groupBy(id_col).agg(
-        F.sum("c").alias("n_grams"),
-        (F.max("c").cast("double") / F.sum("c")).alias("top_frac"),
-        (
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).cast("double")
-            / F.sum("c")
-        ).alias("dup_frac"),
+    # run lengths via boundary positions + one zip_with — measured ~5×
+    # faster than a per-element struct-fold (struct construction per
+    # element dominates interpreted HOF cost); top = longest run,
+    # dup occurrences = n − (runs of length exactly 1)
+    n = F.size("__sg")
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == 1) | (F.element_at(F.col("__sg"), i)
+                              != F.element_at(F.col("__sg"), i - 1)),
+    )
+    ends = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n + 1))
+    tfs = F.zip_with(starts, ends, lambda s, e: (e - s).cast("long"))
+    singles = F.size(F.filter(tfs, lambda t: t == 1))
+    return sg.select(
+        F.col(id_col),
+        n.cast("long").alias("n_grams"),
+        (F.array_max(tfs).cast("double") / n).alias("top_frac"),
+        ((n - singles).cast("double") / n).alias("dup_frac"),
     )
 
 
@@ -58,35 +91,47 @@ def token_entropy(
     """Per-document Shannon entropy of the token distribution (nats) —
     the gibberish/boilerplate detector complementing the repetition
     fractions: near-zero entropy means one token dominates; an unusually
-    high value for the length means random noise. −Σ p·ln p computed from
-    the same (doc, term, tf) aggregate tf·idf uses; the left-to-right SQL
-    replay is exact after round(·, 6)."""
-    terms = df.select(
-        F.col(id_col), F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("t")
+    high value for the length means random noise.
+
+    Per-doc only, so computed doc-locally with ZERO shuffle (r9 — the
+    previous explode → groupBy(doc, t) → groupBy(doc) moved two
+    corpus-of-tokens exchanges for a value each doc already held): sort
+    the token array, find run boundaries (a run of equal tokens == that
+    token's tf), take run-length diffs via one ``zip_with``, and fold
+    −Σ p·ln p. The fold still runs LEFT-TO-RIGHT over the NUMERICALLY
+    SORTED tf list — the identical float-accumulation order as the r8
+    formulation and the SQL oracle, so the rounded value is
+    hash-identical (a plain F.sum over doubles is combine-order-
+    dependent and would break the "no floating accumulation" rule)."""
+    toks = TX.materialize_tokens(
+        TX.spread_for_cpu(df), text_col, [id_col]
+    ).filter(F.size("__toks") > 0)
+    # token IDENTITY only (counts surface, not tokens): sort xxhash64
+    # longs, not strings — same rationale as repetition_stats
+    st = toks.select(
+        F.col(id_col),
+        F.sort_array(F.transform(F.col("__toks"), lambda x: F.xxhash64(x))).alias("__st"),
     )
-    tf = terms.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
-    # H = ln N − (Σ tf·ln tf)/N. The float Σ is computed as a LEFT-TO-RIGHT
-    # fold over the SORTED tf list — a plain F.sum over doubles is
-    # combine-order-dependent and would break the catalog's "no floating
-    # accumulation" hash-determinism rule. Integer sums (N) stay exact.
-    tf_sorted = F.sort_array(F.collect_list("tf"))
-    s = F.aggregate(
-        tf_sorted,
+    n = F.size("__st")
+    # 1-based positions where a new run starts; element_at is O(1)
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == 1) | (F.element_at(F.col("__st"), i)
+                              != F.element_at(F.col("__st"), i - 1)),
+    )
+    ends = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n + 1))
+    tfs = F.sort_array(F.zip_with(starts, ends, lambda s, e: (e - s).cast("long")))
+    ssum = F.aggregate(
+        tfs,
         F.lit(0.0),
         lambda acc, v: acc + v.cast("double") * F.log(v.cast("double")),
     )
-    return (
-        tf.groupBy(id_col)
-        .agg(F.sum("tf").alias("n_tokens"), s.alias("__s"))
-        .select(
-            id_col,
-            "n_tokens",
-            F.round(
-                F.log(F.col("n_tokens").cast("double"))
-                - F.col("__s") / F.col("n_tokens").cast("double"),
-                6,
-            ).alias("entropy"),
-        )
+    return st.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            F.log(n.cast("double")) - ssum / n.cast("double"), 6
+        ).alias("entropy"),
     )
 
 
