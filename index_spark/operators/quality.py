@@ -69,10 +69,14 @@ def repetition_stats(
     # element dominates interpreted HOF cost); top = longest run,
     # dup occurrences = n − (runs of length exactly 1)
     n = F.size("__sg")
+    # Guard is STRUCTURAL (when/otherwise), not `(i==1) | ...`: Or gives no
+    # evaluation-order guarantee inside a HOF lambda, so element_at(arr, 0)
+    # could throw INVALID_ARRAY_INDEX if Catalyst ever evaluated both arms.
     starts = F.filter(
         F.sequence(F.lit(1), n),
-        lambda i: (i == 1) | (F.element_at(F.col("__sg"), i)
-                              != F.element_at(F.col("__sg"), i - 1)),
+        lambda i: F.when(i == 1, F.lit(True)).otherwise(
+            F.element_at(F.col("__sg"), i) != F.element_at(F.col("__sg"), i - 1)
+        ),
     )
     ends = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n + 1))
     tfs = F.zip_with(starts, ends, lambda s, e: (e - s).cast("long"))
@@ -113,11 +117,14 @@ def token_entropy(
         F.sort_array(F.transform(F.col("__toks"), lambda x: F.xxhash64(x))).alias("__st"),
     )
     n = F.size("__st")
-    # 1-based positions where a new run starts; element_at is O(1)
+    # 1-based positions where a new run starts; element_at is O(1).
+    # Structural when/otherwise guard — same rationale as repetition_stats
+    # (no evaluation-order guarantee for Or inside a HOF lambda).
     starts = F.filter(
         F.sequence(F.lit(1), n),
-        lambda i: (i == 1) | (F.element_at(F.col("__st"), i)
-                              != F.element_at(F.col("__st"), i - 1)),
+        lambda i: F.when(i == 1, F.lit(True)).otherwise(
+            F.element_at(F.col("__st"), i) != F.element_at(F.col("__st"), i - 1)
+        ),
     )
     ends = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n + 1))
     tfs = F.sort_array(F.zip_with(starts, ends, lambda s, e: (e - s).cast("long")))

@@ -350,6 +350,24 @@ def acf_series(
     )
 
 
+def _floor_div_long(col_name: str, divisor: int):
+    """Exact floor division of a LONG column by a positive int literal.
+
+    ``F.floor(col / lit(d))`` divides in DOUBLE, so for |col| > 2^53 the
+    quotient can land on a neighboring block (the mapping stays monotone —
+    prefix sums remain correct — but the ≤ block_size rows-per-window-task
+    bound and the span > block_size² superblock-engagement math would
+    drift while the docstring promises exactness to spans of 2^60).
+    Spark's ``div`` is exact 64-bit integral division truncating toward
+    zero; subtracting 1 when the remainder is negative (divisor > 0)
+    yields true floor semantics for every long with no intermediate
+    overflow (|trunc quotient| ≤ 2^62 for divisor ≥ 2).
+    """
+    c = F.col(col_name).cast("long")
+    tq = F.expr(f"CAST(`{col_name}` AS BIGINT) div {int(divisor)}")
+    return F.when((c % F.lit(int(divisor))) < 0, tq - 1).otherwise(tq).cast("long")
+
+
 def cusum_changepoint(
     counts: DataFrame,
     group_cols,
@@ -454,7 +472,7 @@ def cusum_changepoint(
         *group_cols,
         F.col(t_col).alias("__t"),
         F.col(x_col).cast(d38).alias("__x"),
-        F.floor(F.col(t_col) / F.lit(block_size)).cast("long").alias("__blk"),
+        _floor_div_long(t_col, block_size).alias("__blk"),
     )
     # level 1: per-(group, block) mass + t bounds — map-side-combinable
     # hash agg. The t bounds ride along so the GROUP totals derive from
@@ -480,9 +498,7 @@ def cusum_changepoint(
     # (~0.8 s of constant agg/join overhead at sf0.1 otherwise).
     need_super = bool(brow["nz"]) and int(brow["span"]) > block_size * block_size
     if need_super:
-        sblk = blk.withColumn(
-            "__sblk", F.floor(F.col("__blk") / F.lit(block_size)).cast("long")
-        )
+        sblk = blk.withColumn("__sblk", _floor_div_long("__blk", block_size))
         sagg = sblk.groupBy(*group_cols, "__sblk").agg(F.sum("__bs").alias("__ss"))
         w_sup = Window.partitionBy(*group_cols).orderBy("__sblk")
         soffs = sagg.select(
