@@ -252,6 +252,35 @@ def materialize_tokens(df, text_col: str, keep, alias: str = "__toks", tok_expr=
     return df.select(*[F.col(c) for c in keep], tok_expr.alias(alias))
 
 
+def pushdown_barrier(col: Column) -> Column:
+    """Value-preserving wrapper that stops Catalyst from substituting the
+    wrapped expression into downstream predicates or collapsed projections.
+
+    CollapseProject has a cost guard (an expensive multi-referenced alias
+    is NOT inlined — what :func:`materialize_tokens` relies on), but
+    predicate pushdown has NONE: a ``.filter()`` on a derived column is
+    pushed through every deterministic projection, substituting the whole
+    alias chain into the predicate — and a HOF lambda that captured a
+    materialized ATTRIBUTE now captures the full expression, re-evaluating
+    it PER ELEMENT. That resurrects the round-7 lambda-CSE quadratic at
+    the optimizer level: ``repetition_filter(df).filter("passes")``
+    measured 270.7 s vs 3.4 s for the stats alone on 500 × 1000-token
+    docs (round 10), with the tokenize+sort chain re-run inside the
+    pushed Filter's per-element lambdas.
+
+    The wrapper is ``when(spark_partition_id() >= 0, col)``: the
+    predicate is always true so the VALUE is untouched, but
+    ``spark_partition_id()`` is flagged non-deterministic and Catalyst
+    must not push predicates through, collapse, or duplicate projections
+    containing non-deterministic expressions — the projection computing
+    the wrapped column stays a hard optimizer boundary. Cost: one integer
+    read per row; no shuffle, no codegen break. Use it on the EXPENSIVE
+    materialized array in any doc-local chain whose consumers filter on
+    derived columns (no aggregation/window/exchange between the chain and
+    the filter to act as a natural boundary)."""
+    return F.when(F.spark_partition_id() >= 0, col)
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles of the normalized text (the MinHash
     input). Empty/short docs yield their full token string as one shingle

@@ -60,9 +60,15 @@ def repetition_stats(
     # the old explode plan on 1000-token docs; long sort beats it).
     # Within-doc 64-bit collisions (~g²/2^65 per doc) are the same
     # exact-in-practice call the 60-bit identity keys make.
+    # pushdown_barrier: a caller's .filter(top_frac/dup_frac/passes)
+    # would otherwise be predicate-pushed through this projection,
+    # re-inlining the sort+hash+tokenize chain into per-element lambda
+    # captures (r10: 270.7 s vs 3.4 s on 500 × 1000-token docs)
     sg = g.select(
         F.col(id_col),
-        F.sort_array(F.transform(F.col("__g"), lambda x: F.xxhash64(x))).alias("__sg"),
+        TX.pushdown_barrier(
+            F.sort_array(F.transform(F.col("__g"), lambda x: F.xxhash64(x)))
+        ).alias("__sg"),
     )
     # run lengths via boundary positions + one zip_with — measured ~5×
     # faster than a per-element struct-fold (struct construction per
@@ -112,9 +118,13 @@ def token_entropy(
     ).filter(F.size("__toks") > 0)
     # token IDENTITY only (counts surface, not tokens): sort xxhash64
     # longs, not strings — same rationale as repetition_stats
+    # pushdown_barrier: same hazard as repetition_stats — an entropy
+    # threshold filter above would re-inline the chain per element
     st = toks.select(
         F.col(id_col),
-        F.sort_array(F.transform(F.col("__toks"), lambda x: F.xxhash64(x))).alias("__st"),
+        TX.pushdown_barrier(
+            F.sort_array(F.transform(F.col("__toks"), lambda x: F.xxhash64(x)))
+        ).alias("__st"),
     )
     n = F.size("__st")
     # 1-based positions where a new run starts; element_at is O(1).
@@ -205,6 +215,80 @@ def repetition_filter(
         dup_r.alias("dup_frac"),
         ((top_r <= max_top_frac) & (dup_r <= max_dup_frac)).alias("passes"),
     )
+
+
+def repetition_annotate(
+    df: DataFrame,
+    k: int = 2,
+    max_top_frac: float = 0.18,
+    max_dup_frac: float = 0.60,
+    text_col: str = "text",
+    out_col: str = "rep_passes",
+) -> DataFrame:
+    """Annotate the corpus IN PLACE with the repetition-gate verdict —
+    the zero-join twin of :func:`repetition_filter` for pipeline use.
+
+    :func:`repetition_filter` returns a stats FRAME keyed by doc id, so a
+    pipeline keeping the surviving text pays a corpus×corpus semi-join —
+    two corpus-sized exchanges for a PER-DOCUMENT predicate (measured in
+    the 10M-doc composed-pipeline probe as the whole cost of the quality
+    stage once the stats themselves went shuffle-free in r9). Since the
+    statistic is doc-local, the verdict can ride the corpus row itself:
+    this returns ``df`` with one added boolean ``out_col`` (True =
+    passes; docs with no k-grams pass vacuously), computed in the same
+    sorted-run fold with ZERO shuffle and ZERO join — callers just
+    ``.filter(out_col)``.
+
+    The verdict matches :func:`repetition_filter`'s ``passes`` bit
+    exactly: thresholds compare the ROUNDED fractions (round 6), so a
+    consumer re-deriving the flag from the stats frame agrees with the
+    inline gate on every document.
+
+    Projections are staged so each lambda captures a materialized
+    attribute, never the tokenize/k-gram pipeline (the r7 lambda-CSE
+    trap: expressions inside array lambdas are re-evaluated per element).
+    """
+    cols = df.columns
+    if out_col in cols:
+        raise ValueError(f"repetition_annotate: column {out_col!r} already exists")
+    # spread_for_cpu is a no-op on data already as wide as the
+    # parallelism (any real multi-row-group table); it only widens the
+    # single-row-group sf fixtures so the CPU-bound gram fold isn't
+    # serialized on one core
+    g = TX.spread_for_cpu(df).withColumn(
+        "__g", TX.word_ngrams_all(F.col(text_col), k)
+    )
+    # pushdown_barrier: the whole point of this operator is
+    # `.filter(out_col)` — without the barrier that filter is
+    # predicate-pushed below these projections, re-inlining the
+    # sort+hash+tokenize chain into per-element lambda captures
+    sg = g.withColumn(
+        "__sg",
+        TX.pushdown_barrier(
+            F.when(
+                F.size("__g") > 0,
+                F.sort_array(F.transform(F.col("__g"), lambda x: F.xxhash64(x))),
+            )
+        ),
+    )
+    n = F.size("__sg")
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(i == 1, F.lit(True)).otherwise(
+            F.element_at(F.col("__sg"), i) != F.element_at(F.col("__sg"), i - 1)
+        ),
+    )
+    ends = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n + 1))
+    tfs = F.zip_with(starts, ends, lambda s, e: (e - s).cast("long"))
+    st = sg.withColumn("__tfs", F.when(n > 0, tfs))
+    nn = F.size("__sg")
+    singles = F.size(F.filter(F.col("__tfs"), lambda t: t == 1))
+    top_r = F.round(F.array_max("__tfs").cast("double") / nn, 6)
+    dup_r = F.round((nn - singles).cast("double") / nn, 6)
+    verdict = F.when(F.col("__tfs").isNull(), F.lit(True)).otherwise(
+        (top_r <= max_top_frac) & (dup_r <= max_dup_frac)
+    )
+    return st.withColumn(out_col, verdict).select(*cols, out_col)
 
 
 def unigram_nll(

@@ -7312,9 +7312,46 @@ _GATE_PRIORITY_R9 = [
 ]
 
 
+# Round-10 gate rotation (re-certification, not new coverage — the catalog
+# stays frozen at 235 per six rounds of verdicts).  Order per the r9
+# verdict: (a) the 10 queries whose CURRENT implementation has never been
+# driver-checked — their latest driver rows (r06–r08) predate the r9
+# rewrites (splitmix64 MinHash coefficients changed every minhash-family
+# output; the 60-bit md5_prefix60 identity-key migration changed the
+# contamination/span/segment outputs; the shuffle-free doc-local rewrite
+# changed the repetition/entropy plans) — the r9 verdict's independent
+# oracle run passed all 10 on the final tree, but the driver row is the
+# hard signal; (b) the full 35-query r05-latest cohort (hourly_anomaly …
+# store_history, catalog order); (c) the 5 oldest r06-latest fills in
+# catalog order (skipping dedup_clusters, already in cohort a).  The r06
+# cohort continues in r11.
+_GATE_PRIORITY_R10 = [
+    # (a) r9-rewritten, driver row predates the rewrite (10)
+    "minhash_signatures", "minhash_lsh_pairs", "near_dedup_survivors",
+    "ngram_jaccard_pairs", "dedup_clusters", "contamination_scan",
+    "dup_span_stats", "segment_dedup", "repetition_quality",
+    "token_entropy",
+    # (b) r05-latest cohort (35, catalog order)
+    "hourly_anomaly", "knn_graph", "scd2_customer", "zone_map_skip",
+    "curriculum_bins", "pit_join", "bm25_topk", "json_props",
+    "stream_hourly_topk", "band_join_events", "merge_into_orders",
+    "chunk_docs", "asof_cogroup", "retention_delete", "schema_evolution",
+    "bfs_hops", "dq_expectations", "cms_heavy", "rollback_restore",
+    "stream_merge_state", "lsh_recall", "pivot_status", "unpivot_metrics",
+    "window_ranks", "fuzzy_token_pairs", "arrow_norms", "epoch_shuffle",
+    "lang_rebalance", "projection_lookup", "longest_streak",
+    "projection_range", "seasonality_profile", "ratio_to_report",
+    "window_nth", "store_history",
+    # (c) oldest r06-latest fills (5, catalog order; dedup_clusters is
+    # in cohort a) — r11 continues the r06 cohort.
+    "weighted_quantiles", "embedding_near_dups", "binary_key_range",
+    "multi_get_large", "error_codes",
+]
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _catalog()
-    ordered = {k: base[k] for k in _GATE_PRIORITY_R9}
+    ordered = {k: base[k] for k in _GATE_PRIORITY_R10}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 

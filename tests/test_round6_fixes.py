@@ -18,6 +18,8 @@ Covers the round-5 verdict's prescribed fixes:
     driver (structural assert: the broadcast probe is a lazy rebuild).
 """
 
+from pathlib import Path
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -296,13 +298,55 @@ def test_lookup_rows_pins_one_index_version(spark, tmp_base, monkeypatch):
     assert len(calls) == 1
 
 
-def test_drain_cache_reaps_dereferenced_localcheckpoint(spark):
+def test_drain_cache_reaps_dereferenced_localcheckpoint(tmp_path):
     """Pin the GC-nudge mechanism: a dereferenced localCheckpoint RDD is
     exactly the untracked persistent entry that broke the pre-condition
     drain in a full run — clearCache cannot remove it, only
-    ContextCleaner after GC can."""
-    df = spark.range(10000).repartition(4).localCheckpoint()
-    df.count()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
-    del df
-    assert _drain_cache(spark) == 0
+    ContextCleaner after GC can.
+
+    Runs in its OWN subprocess SparkContext (r10): in the shared session
+    under 40-minute-suite load the py4j finalizer / ContextCleaner reap
+    demonstrably lags past any reasonable deadline (r8's GC-nudge
+    narrowed but did not close the race — one full-run failure per ~2
+    suite runs, always passing solo), so in-process the assert measures
+    host load, not the mechanism. A fresh context holds exactly one
+    persistent RDD and no foreign py4j traffic, making the reap
+    deterministic while still exercising the identical code path
+    (_drain_cache imported from this module, not a copy)."""
+    import subprocess
+    import sys
+
+    script = f"""
+import sys
+sys.path.insert(0, {str(Path(__file__).resolve().parent.parent)!r})
+sys.path.insert(0, {str(Path(__file__).resolve().parent)!r})
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("drain-reap-isolated")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.driver.memory", "1g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from test_round6_fixes import _drain_cache
+
+df = spark.range(10000).repartition(4).localCheckpoint()
+df.count()
+assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0, "not persisted"
+del df
+residual = _drain_cache(spark)
+spark.stop()
+assert residual == 0, f"residual persistent RDDs: {{residual}}"
+print("REAPED_OK")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stdout + "\n" + proc.stderr
+    assert "REAPED_OK" in proc.stdout
