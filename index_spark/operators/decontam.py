@@ -30,7 +30,9 @@ from index_spark.functions import text as TX
 from index_spark.functions.text import md5_prefix60
 
 
-def _shingle_hashes(df: DataFrame, k: int, id_col: str, text_col: str) -> DataFrame:
+def _shingle_hashes(
+    df: DataFrame, k: int, id_col: str, text_col: str, keep_gram: bool = False
+) -> DataFrame:
     """(id, h): one row per DISTINCT word-k-gram of the normalized text,
     hashed md5-prefix → 60-bit int (``md5_prefix60``, r9 — was the
     28-bit MinHash prefix, which birthday-collided into spurious
@@ -47,6 +49,8 @@ def _shingle_hashes(df: DataFrame, k: int, id_col: str, text_col: str) -> DataFr
         F.col(id_col),
         F.explode(F.array_distinct(TX.word_ngrams_all(F.col(text_col), k))).alias("s"),
     )
+    if keep_gram:
+        return sh.select(id_col, "s", md5_prefix60(F.col("s")).alias("h"))
     return sh.select(id_col, md5_prefix60(F.col("s")).alias("h"))
 
 
@@ -62,12 +66,39 @@ def ngram_contamination(
     k-gram. Returns ``(doc_id, n_hits, n_bench_docs)`` — distinct
     colliding shingle hashes and distinct benchmark documents hit —
     sorted client-side by the caller. Documents with zero collisions are
-    absent (the common case; callers anti-join to get the clean set)."""
-    doc_sh = _shingle_hashes(docs, k, id_col, text_col)
-    bench_sh = _shingle_hashes(bench, k, bench_id_col, text_col).select(
-        F.col(bench_id_col).alias("__bench_id"), "h"
+    absent (the common case; callers anti-join to get the clean set).
+
+    Corpus-side cost (r10): the corpus NEVER pays an md5. The old plan
+    md5-hashed every corpus gram to probe the broadcast; since the probe
+    only needs a superset-then-verify, the corpus side now computes the
+    cheap JVM ``xxhash64`` per gram, probes the (tiny) benchmark index
+    on it, and candidate pairs are confirmed by exact GRAM STRING
+    equality — strictly tighter than the old 60-bit-hash-equality join
+    (a cross-string md5_prefix60 collision, p ≈ 2^-60, counted as a hit
+    before and is rejected now; the SQL oracle keeps the hash-join
+    formulation — same accepted-risk class as the 60-bit identity keys).
+    ``n_hits`` counts distinct md5 hashes computed on the BENCH side
+    only (hit grams are string-equal, so bench-side md5 == corpus-side
+    md5). 10M-doc probe: decontam stage 165.8 → see BASELINE.md §(c)."""
+    doc_g = TX.spread_for_cpu(docs).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(TX.word_ngrams_all(F.col(text_col), k))
+        ).alias("__s"),
     )
-    hits = doc_sh.join(F.broadcast(bench_sh), on="h", how="inner")
+    doc_sh = doc_g.select(id_col, "__s", F.xxhash64("__s").alias("__xx"))
+    bench_sh = (
+        _shingle_hashes(bench, k, bench_id_col, text_col, keep_gram=True)
+        .select(
+            F.col(bench_id_col).alias("__bench_id"),
+            F.col("s").alias("__bs"),
+            F.xxhash64("s").alias("__xx"),
+            "h",
+        )
+    )
+    hits = doc_sh.join(F.broadcast(bench_sh), on="__xx", how="inner").filter(
+        F.col("__s") == F.col("__bs")
+    )
     return hits.groupBy(id_col).agg(
         F.countDistinct("h").alias("n_hits"),
         F.countDistinct("__bench_id").alias("n_bench_docs"),

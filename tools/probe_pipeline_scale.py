@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from index_spark.operators.dedup import exact_dedup, minhash_dedup
 from index_spark.operators.decontam import ngram_contamination
-from index_spark.operators.quality import repetition_filter
+from index_spark.operators.quality import repetition_annotate
 from index_spark.operators.quota import cap_per_group
 from index_spark.operators.sampling import md5_frac, mix_allocate
 from index_spark.session import get_spark
@@ -166,9 +166,14 @@ def main() -> None:
         cur, got = stage("minhash_dedup", minhash_dedup(cur, threshold=0.8), "near")
         assert got == exp_near, (got, exp_near)
 
-        rep = repetition_filter(cur)
-        keep_ids = rep.filter(F.col("passes")).select("doc_id")
-        cur, got = stage("quality", cur.join(keep_ids, "doc_id", "left_semi"), "quality")
+        # r10: the inline gate — the semi-join formulation paid two
+        # corpus-sized exchanges for a per-document predicate (the whole
+        # post-r9 cost of this stage); repetition_annotate rides the
+        # corpus row with zero shuffle and zero join
+        gated = repetition_annotate(cur).filter(F.col("rep_passes")).select(
+            "doc_id", "text"
+        )
+        cur, got = stage("quality", gated, "quality")
         assert got == exp_quality, (got, exp_quality)
 
         bench = base.filter(F.col("doc_id") % 9973 == 1)
