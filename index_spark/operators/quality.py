@@ -280,7 +280,12 @@ def repetition_annotate(
     )
     ends = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n + 1))
     tfs = F.zip_with(starts, ends, lambda s, e: (e - s).cast("long"))
-    st = sg.withColumn("__tfs", F.when(n > 0, tfs))
+    # second barrier: without it the caller's filter substitutes the
+    # verdict and re-derives the WHOLE tfs chain (starts appears ~4×
+    # inside one tfs evaluation, and the verdict references tfs 3×) —
+    # with it the pushed filter reads the materialized run-length array
+    # and pays only the cheap attribute-level folds
+    st = sg.withColumn("__tfs", TX.pushdown_barrier(F.when(n > 0, tfs)))
     nn = F.size("__sg")
     singles = F.size(F.filter(F.col("__tfs"), lambda t: t == 1))
     top_r = F.round(F.array_max("__tfs").cast("double") / nn, 6)

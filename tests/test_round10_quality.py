@@ -51,6 +51,17 @@ def test_annotate_matches_filter_verdict_exactly(spark):
     assert not inline[903]
 
 
+def test_annotate_null_text_passes_vacuously(spark):
+    """NULL text yields no k-grams — vacuous pass, matching
+    repetition_filter where such docs are simply absent from the stats."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "x x x x x x")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["rep_passes"] for r in repetition_annotate(df).collect()}
+    assert got[1] is True
+    assert got[2] is False  # pure repeat fails
+
+
 def test_annotate_keeps_all_columns_and_rejects_collision(spark):
     df = spark.createDataFrame(
         [Row(doc_id=1, text="a b c", source="web")]
