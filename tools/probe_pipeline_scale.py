@@ -90,10 +90,6 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=10_000_000)
     ap.add_argument("--target", type=int, default=1_000_000)
     args = ap.parse_args()
-    n, target = args.docs, args.target
-
-    (exp_corpus, exp_exact, exp_near, exp_quality, exp_flagged, exp_clean,
-     exp_avail, exp_alloc) = expected_counts(n, target)
 
     # local mode = ONE JVM: driver memory is executor memory. The engine
     # default (8g, sized for the sf0.1 bench) cannot hold the 11.5M-doc
@@ -103,6 +99,24 @@ def main() -> None:
     # band/shingle shuffles finer-grained (AQE coalesces what's small).
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark(app_name="probe_pipeline_scale", shuffle_partitions=256)
+    timings = run_probe(spark, args.docs, args.target)
+    total = sum(dt for _, dt, _ in timings)
+    for label, dt, rows in timings:
+        print(f"{label:>14}: {dt:7.1f} s  rows={rows}")
+    print(f"{'TOTAL':>14}: {total:7.1f} s  ({args.docs} base docs)")
+
+
+def run_probe(spark, n: int, target: int):
+    """Run the composed pipeline at ``n`` base docs, asserting the
+    closed-form row count at every stage boundary; returns the
+    ``(label, seconds, rows)`` stage timings. Raises AssertionError on
+    any boundary mismatch — callable from the test suite as the 200k-doc
+    composition smoke (the per-operator fixtures structurally cannot see
+    cross-stage interactions; this probe caught the correlated-MinHash
+    and 28-bit-identity-key bugs in r9)."""
+    (exp_corpus, exp_exact, exp_near, exp_quality, exp_flagged, exp_clean,
+     exp_avail, exp_alloc) = expected_counts(n, target)
+
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="probe_pipe_")
     timings = []
@@ -212,11 +226,7 @@ def main() -> None:
                take.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
         timings.append(("mix_take", time.time() - t0, sum(got.values())))
         assert got == exp_alloc, (got, exp_alloc)
-
-        total = sum(dt for _, dt, _ in timings)
-        for label, dt, rows in timings:
-            print(f"{label:>14}: {dt:7.1f} s  rows={rows}")
-        print(f"{'TOTAL':>14}: {total:7.1f} s  ({n} base docs)")
+        return timings
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
