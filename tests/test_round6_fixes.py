@@ -177,56 +177,90 @@ def _gc_nudge(spark):
         pass
 
 
-def _drain_cache(spark, timeout_s: float = 60.0) -> int:
+def _untolerated_count(spark, tolerate) -> int:
+    if not tolerate:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+    it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+    n = 0
+    while it.hasNext():
+        if it.next() not in tolerate:
+            n += 1
+    return n
+
+
+def _drain_cache(spark, timeout_s: float = 60.0, tolerate=None) -> int:
     """clearCache + wait for the persistent-RDD table to empty:
     Catalog.clearCache() unpersists with blocking=false, so an immediate
     getPersistentRDDs() read can still see entries from EARLIER tests in
     the shared session (observed as a load-dependent flake in the r7 full
     run); GC nudges let ContextCleaner reap untracked localCheckpoint
-    leftovers clearCache cannot touch. Returns the residual count."""
+    leftovers clearCache cannot touch. ``tolerate`` is a set of RDD ids
+    to IGNORE in the emptiness check (r10: foreign untracked residue a
+    test cannot control — see test_simhash_candidates docstring).
+    Returns the count of non-tolerated residual entries."""
     import time
 
     spark.catalog.clearCache()
     deadline = time.monotonic() + timeout_s
     while time.monotonic() < deadline:
-        n = spark.sparkContext._jsc.getPersistentRDDs().size()
-        if n == 0:
+        if _untolerated_count(spark, tolerate) == 0:
             return 0
         _gc_nudge(spark)
         time.sleep(0.2)
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+    return _untolerated_count(spark, tolerate)
 
 
-def _settle_cache(spark, timeout_s: float = 60.0) -> int:
+def _settle_cache(spark, timeout_s: float = 60.0, tolerate=None) -> int:
     """WAIT-ONLY variant of :func:`_drain_cache` — no clearCache call, so
     an entry the code under test genuinely leaked stays forever and the
     caller's == 0 assert still fails; only Spark's own ASYNC removals
     (clearCache's blocking=false unpersists, ContextCleaner GC-driven
     unpersists of dereferenced frames from earlier tests) get time to
-    finish. Returns the settled count."""
+    finish. Returns the settled non-tolerated count."""
     import time
 
     deadline = time.monotonic() + timeout_s
     while time.monotonic() < deadline:
-        n = spark.sparkContext._jsc.getPersistentRDDs().size()
-        if n == 0:
+        if _untolerated_count(spark, tolerate) == 0:
             return 0
         _gc_nudge(spark)
         time.sleep(0.2)
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+    return _untolerated_count(spark, tolerate)
+
+
+def _persistent_ids(spark) -> set:
+    """RDD ids currently in the persistent table (the JVM-truth view)."""
+    it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
 
 
 def test_simhash_candidates_materialize_path_no_cache(spark, tmp_base):
+    """The materialize path must leave NO persistent entry of ITS OWN.
+
+    Asserts are baseline-RELATIVE by RDD id (r10): the absolute
+    ``_drain_cache(spark) == 0`` precondition asserted a property of
+    EARLIER tests — a dereferenced localCheckpoint RDD from another test
+    is untracked by clearCache and reaped only when ContextCleaner's GC
+    lag allows, which under full-suite load exceeds any reasonable
+    deadline (the recurring one-per-suite flake; the mechanism itself is
+    pinned deterministically by the subprocess test below). Tracking ids
+    makes the assert about the code under test: entries CREATED HERE
+    must appear and then drain; foreign residue is tolerated without
+    masking a real leak."""
     from index_spark.operators.dedup import simhash_candidates
 
     docs = spark.createDataFrame(
         [(i, f"the quick brown fox jumps over lazy dog {i % 3}") for i in range(30)],
         "doc_id long, text string",
     )
-    assert _drain_cache(spark) == 0
+    _drain_cache(spark, timeout_s=5.0)  # best-effort sweep; rest tolerated
+    foreign = _persistent_ids(spark)
     cached = simhash_candidates(docs).sort("id_a", "id_b").collect()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
-    assert _drain_cache(spark) == 0
+    assert _persistent_ids(spark) - foreign, "cached path should persist"
+    assert _drain_cache(spark, tolerate=foreign) == 0
 
     mat = (
         simhash_candidates(docs, materialize_path=tmp_base + "/sh")
@@ -237,10 +271,10 @@ def test_simhash_candidates_materialize_path_no_cache(spark, tmp_base):
     # async removals from the shared session get time to finish; a REAL
     # leak by the materialize path never drains and still fails here)
     assert mat == cached
-    assert _settle_cache(spark) == 0
+    assert _settle_cache(spark, tolerate=foreign) == 0
     # repeated call with the option set still leaves the cache empty
     simhash_candidates(docs, materialize_path=tmp_base + "/sh2").count()
-    assert _settle_cache(spark) == 0
+    assert _settle_cache(spark, tolerate=foreign) == 0
 
 
 # ------------------------------------------------------- lookup_rows probe
