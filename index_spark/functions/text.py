@@ -277,7 +277,13 @@ def pushdown_barrier(col: Column) -> Column:
     read per row; no shuffle, no codegen break. Use it on the EXPENSIVE
     materialized array in any doc-local chain whose consumers filter on
     derived columns (no aggregation/window/exchange between the chain and
-    the filter to act as a natural boundary)."""
+    the filter to act as a natural boundary).
+
+    Trade-off: the boundary stops ALL predicate pushdown, including
+    predicates on PASS-THROUGH columns (a post-hoc ``.filter(doc_id <
+    …)`` no longer reaches the parquet scan) — scope the input BEFORE
+    the operator instead (every catalog caller already does; the
+    operator computes over whatever frame it is given)."""
     return F.when(F.spark_partition_id() >= 0, col)
 
 
