@@ -7349,9 +7349,46 @@ _GATE_PRIORITY_R10 = [
 ]
 
 
+# Round-11 gate rotation (re-certification, not new coverage — the catalog
+# stays frozen at 235 per seven rounds of verdicts).  Order per the r10
+# verdict: (a) the full 44-query r06-latest cohort (every query whose
+# LATEST green driver row is r06 after the r10 gate — replayed from
+# CORRECTNESS_r01–r10 — in catalog order: the point-read/scan/mutation
+# core, the datom indexes, and the TPC-H sweep); (b) the 6 oldest
+# r07-latest fills in catalog order (the r10 verdict prescribed 5, but
+# the driver window and the well-formedness contract are 50 slots —
+# 44 + 6 fills the window deliberately rather than letting slot 50 fall
+# to an arbitrary catalog entry).  No rewrite-stale cohort exists: r10
+# was the first round with zero evidence-vs-implementation skew, and
+# round 11's engine diffs (docstrings, a shared shingle helper, an
+# opt-out broadcast flag defaulting to the current plan) change no
+# query's output.  After this gate the staleness floor moves to r07
+# (41 r07-latest remain for r12).
+_GATE_PRIORITY_R11 = [
+    # (a) r06-latest cohort (44, catalog order)
+    "compact_files", "point_get", "multi_get", "get_all_missing",
+    "range_scan", "gt_scan", "lt_scan_reverse", "prefix_scan",
+    "prefix_bounded_gt", "composite_range", "top_k", "next_key",
+    "previous_key", "min_max_count", "split_median", "merge_halves",
+    "sharded_range", "bucketed_join", "upsert_batch", "dup_key_check",
+    "version_changed_check", "datoms_count_by_attr", "datoms_avet_lookup",
+    "datoms_vaet_refchase", "datoms_eavt_entity", "q1_pricing",
+    "q3_revenue_topk", "q5_nation_revenue", "q6_filter_agg",
+    "semi_join_priority", "anti_join_parts", "q13_custdist",
+    "q2_min_price_part", "q7_nation_volume", "q8_market_share",
+    "q9_red_parts_revenue", "q10_returned_topk", "q12_priority_class",
+    "q14_promo_share", "q15_top_supplier", "q18_large_orders",
+    "q19_bracket_filter", "q22_idle_rich", "group_topk",
+    # (b) oldest r07-latest fills (6, catalog order) — r12 continues
+    # the r07 cohort.
+    "bigram_nll", "zipf_fit", "js_sources", "vocab_growth", "heaps_fit",
+    "containment_pairs",
+]
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _catalog()
-    ordered = {k: base[k] for k in _GATE_PRIORITY_R10}
+    ordered = {k: base[k] for k in _GATE_PRIORITY_R11}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 

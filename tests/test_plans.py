@@ -187,13 +187,13 @@ def test_gate_priority_rotation_is_well_formed():
     build_queries() and take down bench, check_oracles, and the driver
     gate at once — so lock its invariants here: every name resolves, no
     duplicates, and the rotation actually leads the catalog order."""
-    from index_spark.plans.driver_queries import _GATE_PRIORITY_R10, _catalog
+    from index_spark.plans.driver_queries import _GATE_PRIORITY_R11, _catalog
 
     base = _catalog()
-    assert len(_GATE_PRIORITY_R10) == len(set(_GATE_PRIORITY_R10)) == 50
-    missing = [n for n in _GATE_PRIORITY_R10 if n not in base]
+    assert len(_GATE_PRIORITY_R11) == len(set(_GATE_PRIORITY_R11)) == 50
+    missing = [n for n in _GATE_PRIORITY_R11 if n not in base]
     assert not missing, missing
-    assert list(em.queries().keys())[:50] == _GATE_PRIORITY_R10
+    assert list(em.queries().keys())[:50] == _GATE_PRIORITY_R11
 
 
 def test_asof_time_bound_reaches_the_scan(plans):
