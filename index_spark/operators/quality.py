@@ -39,6 +39,15 @@ def repetition_stats(
     ``(id_col, n_grams, top_frac, dup_frac)`` — fractions as doubles.
     Documents shorter than ``k`` tokens contribute no k-grams and are
     absent (callers treat absence as "passes": nothing to repeat).
+
+    Scope the input BEFORE calling (``repetition_stats(df.filter(...))``,
+    not ``repetition_stats(df).filter(...)``): the plan carries a
+    ``pushdown_barrier`` on the materialized gram array — required to
+    stop predicate pushdown from re-inlining the sort+hash+tokenize
+    chain into per-element lambda captures (270.7 s vs 3.4 s at 500 ×
+    1000-token docs, r10) — and the barrier also stops predicates on
+    pass-through columns (e.g. a post-hoc ``doc_id`` filter) from
+    reaching the parquet scan.
     """
     # The statistic is PER-DOC only — no corpus-wide interaction — so
     # nothing needs to shuffle (r9: the previous explode → groupBy(doc,
@@ -112,7 +121,13 @@ def token_entropy(
     SORTED tf list — the identical float-accumulation order as the r8
     formulation and the SQL oracle, so the rounded value is
     hash-identical (a plain F.sum over doubles is combine-order-
-    dependent and would break the "no floating accumulation" rule)."""
+    dependent and would break the "no floating accumulation" rule).
+
+    Scope the input BEFORE calling: like :func:`repetition_stats`, the
+    plan carries a ``pushdown_barrier`` on the materialized token-hash
+    array (an entropy-threshold filter above would otherwise re-inline
+    the chain per element), so post-hoc predicates — including on
+    pass-through columns like ``doc_id`` — do not reach the scan."""
     toks = TX.materialize_tokens(
         TX.spread_for_cpu(df), text_col, [id_col]
     ).filter(F.size("__toks") > 0)
@@ -201,7 +216,14 @@ def repetition_filter(
     flag (defaults echo Gopher's published 2-gram thresholds). Documents
     with no k-grams pass vacuously. One broadcast-sized join back onto the
     corpus is avoided: the stats carry the id, so callers semi-join on it
-    when they want the surviving text."""
+    when they want the surviving text.
+
+    ``.filter("passes")`` on the result is safe and cheap — the
+    underlying ``pushdown_barrier`` (see :func:`repetition_stats`) is
+    exactly what keeps that filter from re-deriving the gram chain per
+    element. The flip side: scope the CORPUS before calling; a post-hoc
+    predicate on pass-through columns (``doc_id`` ranges etc.) stops at
+    the barrier instead of pruning the parquet scan."""
     stats = repetition_stats(df, k=k, id_col=id_col, text_col=text_col)
     # `passes` is derived from the ROUNDED fractions so the emitted row is
     # self-consistent: a consumer re-checking the thresholds against the
@@ -247,6 +269,10 @@ def repetition_annotate(
     Projections are staged so each lambda captures a materialized
     attribute, never the tokenize/k-gram pipeline (the r7 lambda-CSE
     trap: expressions inside array lambdas are re-evaluated per element).
+    As with :func:`repetition_stats`, scope the corpus BEFORE calling:
+    the internal ``pushdown_barrier`` (what makes ``.filter(out_col)``
+    cheap) also stops pass-through-column predicates from reaching the
+    parquet scan.
     """
     cols = df.columns
     if out_col in cols:
@@ -297,7 +323,10 @@ def repetition_annotate(
 
 
 def unigram_nll(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Per-document mean negative log-likelihood under the corpus's own
     unigram language model — the cheap perplexity proxy public pipelines
@@ -316,6 +345,20 @@ def unigram_nll(
     does. The float Σ is a left-to-right fold over the SORTED per-term
     contribution list (catalog hash-determinism rule; a plain double sum
     is combine-order-dependent).
+
+    Broadcast bound — UNLIKE the vocabulary broadcasts in setjoin/graph,
+    this vocab is NOT naturally small: it is the corpus's full unigram
+    vocabulary, and at open-web scale that distribution is
+    hapax-dominated (Heaps' law: 10⁸–10⁹ distinct tokens at 100 TB is
+    plausible), where a FORCED broadcast OOMs the executors rather than
+    degrading. At curated-corpus vocab sizes (≲10⁷ terms) the broadcast
+    is right — it keeps the corpus-sized tf table from shuffling by
+    term. Past that, pass ``broadcast_vocab=False``: the tf table and
+    vocab then equi-join on the term under AQE, and the tf table is
+    already hash-partitioned by (doc, term) from its own aggregate so
+    the extra exchange is term-keyed tf rows (8-byte counts + the term),
+    never the document text. Same answer either way — the flag only
+    moves the join strategy.
     """
     terms = df.select(
         F.col(id_col), F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("t")
@@ -323,8 +366,12 @@ def unigram_nll(
     tf = terms.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
     vocab = tf.groupBy("t").agg(F.sum("tf").alias("n_w"))
     total = vocab.agg(F.sum("n_w").alias("n_total"))
+    # see docstring: hint is deliberate at bounded vocab sizes, and
+    # deliberately droppable (broadcast_vocab=False) at open-web scale
+    # where the hapax-dominated vocab would OOM a forced broadcast
+    vocab_side = F.broadcast(vocab) if broadcast_vocab else vocab
     contrib = (
-        tf.join(F.broadcast(vocab), on="t")
+        tf.join(vocab_side, on="t")
         .crossJoin(F.broadcast(total))
         .select(
             id_col,

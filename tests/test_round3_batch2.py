@@ -133,6 +133,35 @@ def test_unigram_nll_python_model(spark):
         assert got[doc_id].nll == pytest.approx(round(-s / n, 6), abs=1e-9)
 
 
+def test_unigram_nll_broadcast_flag_value_preserving(spark):
+    """broadcast_vocab=False (the open-web-scale escape hatch for the
+    hapax-dominated vocab, r11) only moves the join strategy — the rows
+    must be identical, and the default plan must actually carry the
+    broadcast while the opt-out must not."""
+    docs = [(1, "a a b"), (2, "b c"), (3, "a b c d")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    on = {tuple(r) for r in unigram_nll(df).collect()}
+    off = {tuple(r) for r in unigram_nll(df, broadcast_vocab=False).collect()}
+    assert on == off
+
+    import io
+    from contextlib import redirect_stdout
+
+    def _plan(frame):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            frame.explain("formatted")
+        return buf.getvalue()
+
+    # the vocab join (on term "t") is broadcast by default; opting out
+    # leaves NO forced BroadcastHashJoin in the static plan (the one-row
+    # corpus-total cross-join is a BroadcastNestedLoopJoin either way;
+    # AQE may still pick a broadcast at runtime on real sizes — the
+    # point of the flag is that nothing FORCES it)
+    assert "BroadcastHashJoin" in _plan(unigram_nll(df))
+    assert "BroadcastHashJoin" not in _plan(unigram_nll(df, broadcast_vocab=False))
+
+
 # ------------------------------------------------------------- funnel
 def test_funnel_strict_ordering(spark):
     rows = [

@@ -99,6 +99,10 @@ def main() -> None:
     # band/shingle shuffles finer-grained (AQE coalesces what's small).
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark(app_name="probe_pipeline_scale", shuffle_partitions=256)
+    # quiet the CLI run only — run_probe must NOT touch log levels, it
+    # is also called on the suite-shared session (r10 advice: a
+    # setLogLevel inside run_probe leaked ERROR onto every later test)
+    spark.sparkContext.setLogLevel("ERROR")
     timings = run_probe(spark, args.docs, args.target)
     total = sum(dt for _, dt, _ in timings)
     for label, dt, rows in timings:
@@ -117,7 +121,6 @@ def run_probe(spark, n: int, target: int):
     (exp_corpus, exp_exact, exp_near, exp_quality, exp_flagged, exp_clean,
      exp_avail, exp_alloc) = expected_counts(n, target)
 
-    spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="probe_pipe_")
     timings = []
 
