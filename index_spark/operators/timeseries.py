@@ -149,6 +149,12 @@ def hourly_anomalies(
     z = F.when(var > 0, (F.col("n").cast("double") - mean) / F.sqrt(var)).otherwise(
         F.lit(0.0)
     )
+    # stats is series-count-sized — categorical-small for the default
+    # (event_type) and any metric-name-like key, so the broadcast keeps
+    # the (series, h)-partitioned hourly table from re-shuffling on
+    # series alone. A high-cardinality series (user-keyed anomaly scans)
+    # should drop the hint and let AQE pick the join — same convention
+    # as setjoin/graph/unigram_nll.
     return (
         hourly.join(F.broadcast(stats), on=series)
         .withColumn("z", F.round(z, 6))

@@ -87,3 +87,36 @@ def test_contamination_corpus_side_pays_no_md5(spark):
     # every md5 mention must sit below the BroadcastExchange (bench side)
     pre_broadcast = plan.split("BroadcastExchange")[0]
     assert "md5" not in pre_broadcast, pre_broadcast
+
+
+def test_shingle_grams_contract(spark):
+    """Pin the shared shingling contract (r11: `_shingle_grams` is THE
+    one definition every decontam path builds on — bench side, corpus
+    side, cross-source overlap). A change to normalization or short-doc
+    handling must be deliberate: it silently shifts contamination and
+    overlap results everywhere at once.
+
+    Contract: (1) docs with fewer than k tokens contribute NO shingles
+    (no whole-text or empty-string degenerate); (2) exactly-k-token docs
+    contribute exactly one; (3) within-doc duplicates collapse
+    (distinct); (4) tokenization is lowercase \\S+ — case and run-length
+    whitespace do not distinguish grams."""
+    from index_spark.operators.decontam import _shingle_grams
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b"),                    # k-1 tokens: none
+            Row(doc_id=2, text="a b c"),                  # exactly k: one
+            Row(doc_id=3, text="a b c a b c a b c"),      # dup grams collapse
+            Row(doc_id=4, text="A   b\tC"),               # case/ws normalize
+            Row(doc_id=5, text=""),                       # empty: none
+        ]
+    )
+    rows = _shingle_grams(docs, 3, "doc_id", "text").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.s)
+    assert 1 not in by_doc and 5 not in by_doc
+    assert by_doc[2] == ["a b c"]
+    assert sorted(by_doc[3]) == ["a b c", "b c a", "c a b"]
+    assert by_doc[4] == ["a b c"]
