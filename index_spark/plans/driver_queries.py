@@ -1930,7 +1930,13 @@ def q_stream_hourly(spark, sf_dir):
     from index_spark.streaming import hourly_counts, read_events_stream, run_available_now
 
     stream = read_events_stream(spark, sf_dir)
-    return run_available_now(hourly_counts(stream), "sh" + _uuid.uuid4().hex[:10])
+    # state partitions track state SIZE (hours × types here), not core
+    # count — see run_available_now: every micro-batch commits every state
+    # store, so 32 near-empty stores pay 4× the commit constant of 8. At
+    # real scale the same knob goes UP with state volume.
+    return run_available_now(
+        hourly_counts(stream), "sh" + _uuid.uuid4().hex[:10], shuffle_partitions=8
+    )
 
 
 def q_stream_sessionize(spark, sf_dir):
@@ -1942,7 +1948,9 @@ def q_stream_sessionize(spark, sf_dir):
     from index_spark.streaming import read_events_stream, run_available_now, sessionized
 
     stream = read_events_stream(spark, sf_dir)
-    sessions = run_available_now(sessionized(stream), "ss" + _uuid.uuid4().hex[:10])
+    sessions = run_available_now(
+        sessionized(stream), "ss" + _uuid.uuid4().hex[:10], shuffle_partitions=8
+    )
     return sessions.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
 
 
@@ -3224,7 +3232,9 @@ def q_stream_hourly_topk(spark, sf_dir):
     from index_spark.streaming import hourly_counts, read_events_stream, run_available_now
 
     stream = read_events_stream(spark, sf_dir)
-    drained = run_available_now(hourly_counts(stream), "st" + _uuid.uuid4().hex[:10])
+    drained = run_available_now(
+        hourly_counts(stream), "st" + _uuid.uuid4().hex[:10], shuffle_partitions=8
+    )
     w = Window.partitionBy("hour_us").orderBy(F.col("n").desc(), F.col("event_type").asc())
     return (
         drained.withColumn("rnk", F.row_number().over(w).cast("long"))
@@ -4518,7 +4528,8 @@ def q_stream_hll(spark, sf_dir):
 
     stream = read_events_stream(spark, sf_dir)
     regs = run_available_now(
-        hll_registers_stream(stream), "sl" + _uuid.uuid4().hex[:10]
+        hll_registers_stream(stream), "sl" + _uuid.uuid4().hex[:10],
+        shuffle_partitions=8,
     )
     return hll_estimate(regs, ("event_type",))
 
@@ -4638,7 +4649,8 @@ def q_stream_cms(spark, sf_dir):
 
     stream = read_events_stream(spark, sf_dir)
     cells = run_available_now(
-        cms_cells_stream(stream, "user_id"), "sc" + _uuid.uuid4().hex[:10]
+        cms_cells_stream(stream, "user_id"), "sc" + _uuid.uuid4().hex[:10],
+        shuffle_partitions=8,
     )
     ev = load_table(spark, sf_dir, "events")
     true_counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
@@ -4679,6 +4691,7 @@ def q_stream_hll_hourly(spark, sf_dir):
     regs = run_available_now(
         hll_registers_stream(stream, "user_id", "hour_idx"),
         "sh" + _uuid.uuid4().hex[:10],
+        shuffle_partitions=8,
     )
     return hll_estimate(regs, ("hour_idx",))
 

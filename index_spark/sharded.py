@@ -151,13 +151,15 @@ class ShardedIndex:
                 _shutil.rmtree(p, ignore_errors=True)
         key = list(key)
         # key uniqueness must hold at birth on the BULK path too — the
-        # single-store create(df=...) gate is bypassed by file adoption
-        dups = VersionedIndex._dup_keys_in_batch(df, key)
-        if dups:
+        # single-store create(df=...) gate is bypassed by file adoption.
+        # Fused with the boundary-sample count: one aggregation pass yields
+        # both the dup verdict and the total row count (the ≤20-key error
+        # payload is recomputed only on the failure path).
+        n, max_per_key = VersionedIndex._key_cardinality(df, key)
+        if max_per_key > 1:
             from index_spark.errors import DuplicatedKeysError
 
-            raise DuplicatedKeysError(dups)
-        n = df.count()
+            raise DuplicatedKeysError(VersionedIndex._dup_keys_in_batch(df, key))
         frac = min(1.0, sample_size / max(n, 1))
         sample = sorted(
             (tuple(r) for r in df.select(*key).sample(fraction=frac, seed=42).collect()),

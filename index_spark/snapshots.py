@@ -201,6 +201,7 @@ class SnapshotStore:
             "versions": [],
             "history": [],
         }
+        n_rows: Optional[int] = None
         if df is not None:
             # the key-uniqueness invariant every later mutation enforces
             # must hold at birth too — a dup-keyed version 0 silently
@@ -208,16 +209,22 @@ class SnapshotStore:
             # writing the manifest: a manifest committed ahead of a failed
             # dup check would poison the path (every retry would hit
             # IndexAlreadyExistsError until manually deleted).
-            dups = VersionedIndex._dup_keys_in_batch(df, list(key))
-            if dups:
-                raise DuplicatedKeysError(dups)
+            # ONE pass serves both birth checks: the per-key counts the dup
+            # gate needs already sum to the total row count the partition
+            # layout needs, so the former separate ``df.count()`` scan is
+            # folded into the dup-check aggregation (at 100 TB: one full
+            # input pass removed from every bulk create). The ≤20-key error
+            # payload is only recomputed on the (rare) failure path.
+            n_rows, max_per_key = VersionedIndex._key_cardinality(df, list(key))
+            if max_per_key > 1:
+                raise DuplicatedKeysError(
+                    VersionedIndex._dup_keys_in_batch(df, list(key))
+                )
         self._write_manifest(m)
         if df is not None:
             if VERSION_COL not in df.columns:
                 df = df.withColumn(VERSION_COL, F.lit(str(uuid.uuid4())))
-            # initial load: one count of the raw input (no staged joins to
-            # double-evaluate here) buys an exact partition layout
-            n_parts = n_partitions or max(1, -(-df.count() // rows_per_partition))
+            n_parts = n_partitions or max(1, -(-n_rows // rows_per_partition))
             self.commit(df, list(key), rows_per_partition, n_partitions=n_parts)
         return self.latest()
 
@@ -1585,6 +1592,23 @@ class VersionedIndex(SortedIndex):
             batch.groupBy(*key).count().filter(F.col("count") > 1).select(*key).limit(20).collect()
         )
         return [tuple(r) for r in dups]
+
+    @staticmethod
+    def _key_cardinality(batch: DataFrame, key: list[str]) -> tuple[int, int]:
+        """(total rows, max rows per key) in ONE aggregation job — the
+        fused form of the dup-key gate plus the layout ``count()`` that
+        bulk creates need: the per-key counts the dup check computes
+        already sum to the total, so a second full-input pass just to
+        count rows is pure waste at scale. ``max_per_key > 1`` ⇔ the
+        batch has duplicate keys (callers then pay one extra job for the
+        ≤20-key error payload, on the failure path only)."""
+        row = (
+            batch.groupBy(*key)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(F.sum("__c").alias("__n"), F.max("__c").alias("__m"))
+            .first()
+        )
+        return int(row["__n"] or 0), int(row["__m"] or 0)
 
     def _dup_keys_local(self, rows: list[dict[str, Any]]) -> list[tuple]:
         """Intra-batch duplicate check without a Spark job — the batch is a
