@@ -54,32 +54,75 @@ def split_leakage(
     """Near-dup (Jaccard ≥ threshold) pairs crossing the train/val split:
     ``(train_id, val_id, jaccard)``. Empty result = no leakage at this
     threshold. Candidate generation is the banded LSH join — the split
-    filter applies AFTER banding so a pair is surfaced regardless of
-    which side each doc landed on, but BEFORE the exact-Jaccard verify:
-    at train_frac=0.9 most candidates are same-split, and verifying them
-    only to drop them would multiply the expensive stage ~5x."""
-    from index_spark.operators.dedup import jaccard_pairs, minhash_candidates
+    filter applies AS a self-join predicate, so a pair is surfaced
+    regardless of which side each doc landed on, but BEFORE the
+    exact-Jaccard verify: at train_frac=0.9 most candidates are
+    same-split, and verifying them only to drop them would multiply the
+    expensive stage ~5x.
 
-    tagged = hash_split(docs, id_col, train_frac)
-    cand = minhash_candidates(tagged, text_col, id_col, num_hashes, bands, shingle_k)
-    side = tagged.select(
-        F.col(id_col).alias("__sid"), F.col("split").alias("__split")
+    Plan shape follows ``minhash_near_dup_pairs``' fused one-UDF-pass
+    design: ONE (id, split, shingles, signature) projection is computed
+    and persisted; banding, both self-join sides, and both verify sides
+    read it back. The earlier composition of ``minhash_candidates`` +
+    ``jaccard_pairs`` + two split side-joins re-derived the UDF subtree
+    throughout the plan (40 Python-eval nodes / 140 Exchanges statically)
+    and measured ~3x slower same-session (3.0 s vs 1.0 s at sf0.1's
+    550-doc dup-injected corpus, identical 184-pair output). Carrying
+    ``split`` through banding also deletes the two id→split broadcast
+    joins the old shape paid after candidate generation."""
+    from index_spark.operators.dedup import (
+        _lsh_rows,
+        minhash_bands,
+        shingle_minhash_udf,
     )
-    a = side.withColumnRenamed("__sid", "id_a").withColumnRenamed("__split", "split_a")
-    b = side.withColumnRenamed("__sid", "id_b").withColumnRenamed("__split", "split_b")
-    cross_cand = (
-        cand.join(a, on="id_a")
-        .join(b, on="id_b")
-        .filter(F.col("split_a") != F.col("split_b"))
-    )
-    crossing = (
-        jaccard_pairs(
-            tagged, cross_cand.select("id_a", "id_b"), text_col, id_col, shingle_k
+
+    rows = _lsh_rows(num_hashes, bands)
+    enriched = (
+        hash_split(docs, id_col, train_frac)
+        .select(
+            F.col(id_col).alias("id"),
+            "split",
+            shingle_minhash_udf(num_hashes, shingle_k)(F.col(text_col)).alias("ss"),
         )
-        .filter(F.col("jaccard") >= F.lit(threshold))
-        .join(a, on="id_a")
-        .join(b, on="id_b")
+        .select("id", "split", F.col("ss.sh").alias("sh"), F.col("ss.sig").alias("sig"))
+        .persist()
     )
+    banded = enriched.select(
+        "id", "split", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bh")
+    ).select("id", "split", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cross_cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.split") != F.col("b.split")),
+        )
+        # split_a is functionally dependent on id_a, so carrying it through
+        # the distinct leaves the pair set untouched — and the other side's
+        # split is by construction the opposite, so split_b is never needed
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.split").alias("split_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    sh = enriched.select("id", "sh")
+    joined = (
+        cross_cand.join(
+            sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a"
+        ).join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    crossing = joined.select(
+        "id_a",
+        "id_b",
+        "split_a",
+        (inter.cast("double") / F.greatest(union, F.lit(1))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= F.lit(threshold))
     train_id = F.when(F.col("split_a") == "train", F.col("id_a")).otherwise(
         F.col("id_b")
     )
