@@ -496,6 +496,31 @@ def embedding_near_dups(
     )
 
 
+def shingle_sig_projection(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """ONE Arrow-UDF pass → ``(id, sh, sig)``: the shared substrate every
+    LSH consumer slices from (banding reads ``sig``, Jaccard verification
+    reads ``sh``). Callers that reuse it across jobs persist it
+    (:func:`minhash_near_dup_pairs`) or materialize it to storage — the
+    100 TB recipe (:func:`build_lsh_index` is the banded form)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        shingle_minhash_udf(num_hashes, shingle_k)(F.col(text_col)).alias("ss"),
+    ).select("id", F.col("ss.sh").alias("sh"), F.col("ss.sig").alias("sig"))
+
+
+def _banded_from_proj(proj: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, band, h) banding over a (id, sh, sig) projection."""
+    return proj.select(
+        "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bh")
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+
 def incremental_near_dups(
     corpus: DataFrame,
     batch: DataFrame,
@@ -505,17 +530,29 @@ def incremental_near_dups(
     bands: int = 8,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    corpus_projection: "DataFrame | None" = None,
 ) -> DataFrame:
     """Incremental-ingestion near-dup check: screen a NEW batch against an
     existing corpus without ever generating corpus-internal pairs — the
     shape that keeps continuous ingestion O(batch), not O(corpus²).
 
-    The corpus side is banded once (at 100 TB: a persisted (band, h, id)
-    LSH index maintained across ingests — band this DataFrame once and
-    reuse); batch bands probe it with an equi-join on (band, hash).
-    Verification joins shingle sets only for candidate ids — the corpus
-    shingle side is semi-join-pruned to candidates first, so verify cost
-    follows the candidate count, not the corpus size.
+    ONE UDF pass per side (the :func:`minhash_near_dup_pairs` discipline):
+    a persisted ``(id, sh, sig)`` projection feeds banding AND shingle
+    verification — the earlier composition shingled the corpus twice per
+    call (16-hash pass for banding + 1-hash pass for candidate shingles).
+    ``corpus_projection`` accepts a pre-computed (persisted or
+    storage-materialized) :func:`shingle_sig_projection` of the corpus —
+    the continuous-ingest recipe: compute it once, reuse it across every
+    micro-batch (:func:`index_spark.streaming.events.ingest_with_dedup`
+    does exactly this), so the corpus is never re-shingled per batch. The
+    per-call persists live with the returned plan (Spark LRU-evicts under
+    pressure; ``spark.catalog.clearCache()`` is the escape hatch), matching
+    the module's other fused operators.
+
+    Candidates probe the banded corpus with an equi-join on (band, hash);
+    verification joins shingle sets only for candidate ids — the corpus
+    shingle side is semi-join-pruned to candidates, so verify cost follows
+    the candidate count, not the corpus size.
 
     Returns one row per batch document:
     ``(id_col, n_candidates, best_jaccard, is_dup)`` — ``is_dup`` true
@@ -523,31 +560,23 @@ def incremental_near_dups(
     documents with no band collision report (0, null, false).
     """
     rows = _lsh_rows(num_hashes, bands)
-
-    def banded(df: DataFrame) -> DataFrame:
-        with_sig = df.select(
-            F.col(id_col).alias("id"),
-            shingle_minhash_udf(num_hashes, shingle_k)(F.col(text_col))["sig"].alias("sig"),
-        )
-        return with_sig.select(
-            "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bh")
-        ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
-
-    cb = banded(corpus).alias("c")
-    bb = banded(batch).alias("n")
+    cp = (
+        corpus_projection
+        if corpus_projection is not None
+        else shingle_sig_projection(corpus, text_col, id_col, num_hashes, shingle_k).persist()
+    )
+    bp = shingle_sig_projection(batch, text_col, id_col, num_hashes, shingle_k).persist()
+    cb = _banded_from_proj(cp, bands, rows).alias("c")
+    bb = _banded_from_proj(bp, bands, rows).alias("n")
     cand = (
         bb.join(cb, (F.col("n.band") == F.col("c.band")) & (F.col("n.h") == F.col("c.h")))
         .select(F.col("n.id").alias("bid"), F.col("c.id").alias("cid"))
         .distinct()
     )
-    sh_b = batch.select(
-        F.col(id_col).alias("bid"),
-        shingle_minhash_udf(1, shingle_k)(F.col(text_col))["sh"].alias("sh_b"),
+    sh_b = bp.select(F.col("id").alias("bid"), F.col("sh").alias("sh_b"))
+    sh_c = cp.select(F.col("id").alias("cid"), F.col("sh").alias("sh_c")).join(
+        cand.select("cid").distinct(), "cid", "left_semi"
     )
-    sh_c = corpus.select(
-        F.col(id_col).alias("cid"),
-        shingle_minhash_udf(1, shingle_k)(F.col(text_col))["sh"].alias("sh_c"),
-    ).join(cand.select("cid").distinct(), "cid", "left_semi")
     inter = F.size(F.array_intersect("sh_b", "sh_c"))
     union = F.size(F.array_union("sh_b", "sh_c"))
     scored = (
@@ -561,7 +590,7 @@ def incremental_near_dups(
         F.count(F.lit(1)).alias("n_candidates"), F.max("__j").alias("__bj")
     )
     return (
-        batch.select(F.col(id_col).alias("bid"))
+        bp.select(F.col("id").alias("bid"))
         .join(per, "bid", "left")
         .select(
             F.col("bid").alias(id_col),
@@ -611,26 +640,20 @@ def incremental_near_dups_indexed(
 ) -> DataFrame:
     """:func:`incremental_near_dups` against a PRE-BUILT band index
     (:func:`build_lsh_index` output): only the new batch is shingled and
-    signed; the corpus is touched just to fetch candidate shingle sets
-    (an id semi-join — at scale, point lookups into the document store)."""
+    signed — in ONE UDF pass (a persisted (id, sh, sig) projection feeds
+    banding and verification, same discipline as the un-indexed form); the
+    corpus is touched just to fetch candidate shingle sets (an id
+    semi-join — at scale, point lookups into the document store)."""
     rows = _lsh_rows(num_hashes, bands)
-    with_sig = batch.select(
-        F.col(id_col).alias("id"),
-        shingle_minhash_udf(num_hashes, shingle_k)(F.col(text_col))["sig"].alias("sig"),
-    )
-    bb = with_sig.select(
-        "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bh")
-    ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")).alias("n")
+    bp = shingle_sig_projection(batch, text_col, id_col, num_hashes, shingle_k).persist()
+    bb = _banded_from_proj(bp, bands, rows).alias("n")
     cb = index_df.alias("c")
     cand = (
         bb.join(cb, (F.col("n.band") == F.col("c.band")) & (F.col("n.h") == F.col("c.h")))
         .select(F.col("n.id").alias("bid"), F.col("c.id").alias("cid"))
         .distinct()
     )
-    sh_b = batch.select(
-        F.col(id_col).alias("bid"),
-        shingle_minhash_udf(1, shingle_k)(F.col(text_col))["sh"].alias("sh_b"),
-    )
+    sh_b = bp.select(F.col("id").alias("bid"), F.col("sh").alias("sh_b"))
     sh_c = corpus.select(
         F.col(id_col).alias("cid"),
         shingle_minhash_udf(1, shingle_k)(F.col(text_col))["sh"].alias("sh_c"),
@@ -646,7 +669,7 @@ def incremental_near_dups_indexed(
         F.count(F.lit(1)).alias("n_candidates"), F.max("__j").alias("__bj")
     )
     return (
-        batch.select(F.col(id_col).alias("bid"))
+        bp.select(F.col("id").alias("bid"))
         .join(per, "bid", "left")
         .select(
             F.col("bid").alias(id_col),

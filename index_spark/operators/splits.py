@@ -69,7 +69,20 @@ def split_leakage(
     and measured ~3x slower same-session (3.0 s vs 1.0 s at sf0.1's
     550-doc dup-injected corpus, identical 184-pair output). Carrying
     ``split`` through banding also deletes the two id→split broadcast
-    joins the old shape paid after candidate generation."""
+    joins the old shape paid after candidate generation. The docs scan is
+    spread to ``defaultParallelism`` before the UDF (``TX.spread_for_cpu``,
+    as ``minhash_candidates`` does): a single-row-group source would
+    otherwise run the hot shingle+minhash pass on one core, and the spread
+    frame feeds exactly one consumption (the persist materialization).
+
+    Cache lifetime: the persisted projection deliberately lives with the
+    returned lazy plan — unpersisting here would force a recompute per
+    join side. Spark LRU-evicts it under storage pressure; a caller done
+    with the result can drop it via ``spark.catalog.clearCache()``. At
+    100 TB, materialize the corpus projection to storage instead and run
+    this audit over the re-read (the ``simhash_candidates``
+    ``materialize_path`` recipe)."""
+    from index_spark.functions import text as TX
     from index_spark.operators.dedup import (
         _lsh_rows,
         minhash_bands,
@@ -78,7 +91,7 @@ def split_leakage(
 
     rows = _lsh_rows(num_hashes, bands)
     enriched = (
-        hash_split(docs, id_col, train_frac)
+        hash_split(TX.spread_for_cpu(docs), id_col, train_frac)
         .select(
             F.col(id_col).alias("id"),
             "split",

@@ -1928,14 +1928,25 @@ def q_stream_hourly(spark, sf_dir):
     import uuid as _uuid
 
     from index_spark.streaming import hourly_counts, read_events_stream, run_available_now
+    from index_spark.streaming.events import (
+        EVENT_TYPE_CATALOG_BOUND,
+        events_footer_stats,
+        stream_state_partitions,
+    )
 
     stream = read_events_stream(spark, sf_dir)
     # state partitions track state SIZE (hours × types here), not core
     # count — see run_available_now: every micro-batch commits every state
-    # store, so 32 near-empty stores pay 4× the commit constant of 8. At
-    # real scale the same knob goes UP with state volume.
+    # store, so near-empty stores are pure commit constant. The count is
+    # DERIVED pre-drain (zero Spark jobs: parquet-footer rows + ts span):
+    # state rows ≤ min(span_hours × type catalog, input rows).
+    n_rows, span_h = events_footer_stats(sf_dir)
     return run_available_now(
-        hourly_counts(stream), "sh" + _uuid.uuid4().hex[:10], shuffle_partitions=8
+        hourly_counts(stream),
+        "sh" + _uuid.uuid4().hex[:10],
+        shuffle_partitions=stream_state_partitions(
+            min(span_h * EVENT_TYPE_CATALOG_BOUND, n_rows) if span_h else n_rows
+        ),
     )
 
 
@@ -1946,10 +1957,17 @@ def q_stream_sessionize(spark, sf_dir):
     import uuid as _uuid
 
     from index_spark.streaming import read_events_stream, run_available_now, sessionized
+    from index_spark.streaming.events import events_footer_stats, stream_state_partitions
 
     stream = read_events_stream(spark, sf_dir)
+    # session_window state is session-cardinality-driven; sessions ≤ input
+    # rows, the zero-job footer bound (genuinely data-proportional state,
+    # unlike the calendar-bounded hourly drains).
+    n_rows, _ = events_footer_stats(sf_dir)
     sessions = run_available_now(
-        sessionized(stream), "ss" + _uuid.uuid4().hex[:10], shuffle_partitions=8
+        sessionized(stream),
+        "ss" + _uuid.uuid4().hex[:10],
+        shuffle_partitions=stream_state_partitions(n_rows),
     )
     return sessions.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
 
@@ -3230,10 +3248,22 @@ def q_stream_hourly_topk(spark, sf_dir):
     import uuid as _uuid
 
     from index_spark.streaming import hourly_counts, read_events_stream, run_available_now
+    from index_spark.streaming.events import (
+        EVENT_TYPE_CATALOG_BOUND,
+        events_footer_stats,
+        stream_state_partitions,
+    )
 
     stream = read_events_stream(spark, sf_dir)
+    # same derived state sizing as q_stream_hourly: hours × type catalog,
+    # bounded by input rows, all from parquet footers (zero Spark jobs)
+    n_rows, span_h = events_footer_stats(sf_dir)
     drained = run_available_now(
-        hourly_counts(stream), "st" + _uuid.uuid4().hex[:10], shuffle_partitions=8
+        hourly_counts(stream),
+        "st" + _uuid.uuid4().hex[:10],
+        shuffle_partitions=stream_state_partitions(
+            min(span_h * EVENT_TYPE_CATALOG_BOUND, n_rows) if span_h else n_rows
+        ),
     )
     w = Window.partitionBy("hour_us").orderBy(F.col("n").desc(), F.col("event_type").asc())
     return (
@@ -4524,12 +4554,22 @@ def q_stream_hll(spark, sf_dir):
 
     from index_spark.operators.sampling import hll_estimate
     from index_spark.streaming import read_events_stream, run_available_now
-    from index_spark.streaming.events import hll_registers_stream
+    from index_spark.streaming.events import (
+        EVENT_TYPE_CATALOG_BOUND,
+        events_footer_stats,
+        hll_registers_stream,
+        stream_state_partitions,
+    )
 
     stream = read_events_stream(spark, sf_dir)
+    # HLL state is bounded at groups × 2^p registers (p=10 default) and,
+    # like any grouped agg, by input rows — both known pre-drain.
+    n_rows, _ = events_footer_stats(sf_dir)
     regs = run_available_now(
         hll_registers_stream(stream), "sl" + _uuid.uuid4().hex[:10],
-        shuffle_partitions=8,
+        shuffle_partitions=stream_state_partitions(
+            min(EVENT_TYPE_CATALOG_BOUND * (1 << 10), n_rows)
+        ),
     )
     return hll_estimate(regs, ("event_type",))
 
@@ -4647,10 +4687,16 @@ def q_stream_cms(spark, sf_dir):
     from index_spark.streaming import read_events_stream, run_available_now
     from index_spark.streaming.events import cms_cells_stream
 
+    from index_spark.streaming.events import stream_state_partitions
+
     stream = read_events_stream(spark, sf_dir)
+    # CMS state is EXACTLY depth × width cells forever — the one drain
+    # whose state cardinality is a pure operator constant.
+    from index_spark.operators.sampling import CMS_DEPTH, CMS_WIDTH
+
     cells = run_available_now(
         cms_cells_stream(stream, "user_id"), "sc" + _uuid.uuid4().hex[:10],
-        shuffle_partitions=8,
+        shuffle_partitions=stream_state_partitions(CMS_DEPTH * CMS_WIDTH),
     )
     ev = load_table(spark, sf_dir, "events")
     true_counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
@@ -4683,15 +4729,25 @@ def q_stream_hll_hourly(spark, sf_dir):
 
     from index_spark.operators.sampling import hll_estimate
     from index_spark.streaming import read_events_stream, run_available_now
-    from index_spark.streaming.events import hll_registers_stream
+    from index_spark.streaming.events import (
+        events_footer_stats,
+        hll_registers_stream,
+        stream_state_partitions,
+    )
 
     stream = read_events_stream(spark, sf_dir).select(
         F.expr("ts_us div 3600000000").alias("hour_idx"), "user_id"
     )
+    # per-hour register state ≤ min(span_hours × 2^p, input rows): each
+    # input row touches one (hour, register) cell, so sparse hours never
+    # materialize their full register file — both bounds from footers.
+    n_rows, span_h = events_footer_stats(sf_dir)
     regs = run_available_now(
         hll_registers_stream(stream, "user_id", "hour_idx"),
         "sh" + _uuid.uuid4().hex[:10],
-        shuffle_partitions=8,
+        shuffle_partitions=stream_state_partitions(
+            min(span_h * (1 << 10), n_rows) if span_h else n_rows
+        ),
     )
     return hll_estimate(regs, ("hour_idx",))
 

@@ -159,7 +159,12 @@ class ShardedIndex:
         if max_per_key > 1:
             from index_spark.errors import DuplicatedKeysError
 
-            raise DuplicatedKeysError(VersionedIndex._dup_keys_in_batch(df, key))
+            # payload re-evaluates the plan; keep the raise truthful if a
+            # non-deterministic input recomputes to no dups (see create())
+            raise DuplicatedKeysError(
+                VersionedIndex._dup_keys_in_batch(df, key)
+                or [("<unstable input: recompute found no dups>",)]
+            )
         frac = min(1.0, sample_size / max(n, 1))
         sample = sorted(
             (tuple(r) for r in df.select(*key).sample(fraction=frac, seed=42).collect()),

@@ -217,8 +217,13 @@ class SnapshotStore:
             # payload is only recomputed on the (rare) failure path.
             n_rows, max_per_key = VersionedIndex._key_cardinality(df, list(key))
             if max_per_key > 1:
+                # the ≤20-key payload re-evaluates the input plan; a
+                # NON-DETERMINISTIC plan (e.g. rand()-derived keys) can
+                # disagree with the verdict and find none — keep the raise
+                # truthful rather than empty-handed
                 raise DuplicatedKeysError(
                     VersionedIndex._dup_keys_in_batch(df, list(key))
+                    or [("<unstable input: recompute found no dups>",)]
                 )
         self._write_manifest(m)
         if df is not None:

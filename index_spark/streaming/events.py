@@ -306,6 +306,102 @@ def dedup_stream(events: DataFrame, delay: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
 
 
+#: Floor for streaming state-store partition counts. Below ~8 partitions
+#: the drain loses nothing (every micro-batch commits every state store,
+#: so near-empty stores are pure commit overhead), and 8 keeps enough
+#: parallelism for the final in-partition aggregation work locally.
+STATE_PARTITIONS_FLOOR = 8
+
+#: Target state rows per state store. Stateful-agg state rows are a few
+#: dozen bytes each (key + running aggregate), so 64k rows/store keeps a
+#: store's working set in the low MB — small enough to commit cheaply,
+#: large enough that the per-store commit constant is amortized. This is
+#: a sizing default, not a semantic: results are partition-count-
+#: independent for aggregations.
+STATE_ROWS_PER_PARTITION = 64_000
+
+
+def stream_state_partitions(
+    expected_state_rows: int,
+    rows_per_partition: int = STATE_ROWS_PER_PARTITION,
+    floor: int = STATE_PARTITIONS_FLOOR,
+    cap: int = 2048,
+) -> int:
+    """State-store partition count derived from expected STATE SIZE (not
+    core count): every micro-batch commits every state store, so the
+    partition count should track how many state rows the query keeps —
+    ``ceil(expected_state_rows / rows_per_partition)``, floored at
+    :data:`STATE_PARTITIONS_FLOOR` (near-empty stores only add commit
+    constant) and capped to keep task counts sane. Callers estimate
+    ``expected_state_rows`` from pre-drain facts: parquet-footer row
+    counts and timestamp spans (:func:`events_footer_stats`), sketch
+    dimensions (``depth×width``, ``groups × 2^p``), or time-bucket counts
+    — each an UPPER bound, since over-estimating costs a few extra
+    commits while under-estimating concentrates state. At sf0.1 every
+    estimate lands on the floor (the r11 A/B measured the floor ~2×
+    faster than core-count partitioning on near-empty state); at real
+    scale the same formula raises the knob with state volume."""
+    import math
+
+    if expected_state_rows <= 0:
+        return floor
+    return max(floor, min(cap, math.ceil(expected_state_rows / rows_per_partition)))
+
+
+def events_footer_stats(sf_dir: str) -> "tuple[int, int]":
+    """(n_rows, span_hours) of ``{sf_dir}/events.parquet`` from parquet
+    FOOTER metadata only — zero Spark jobs, driver-side, O(files). Used to
+    estimate streaming state cardinality before a drain starts: state rows
+    for any grouped aggregation are bounded by input rows (each input row
+    creates at most one state row), and time-windowed state is bounded by
+    the timestamp span in hours × the group-key catalog. Returns
+    ``span_hours = 0`` when ts statistics are unavailable (callers fall
+    back to the row bound alone)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/events.parquet"
+    paths = (
+        sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        if _os.path.isdir(path)
+        else [path]
+    )
+    n_rows = 0
+    ts_min = ts_max = None
+    for p in paths:
+        try:
+            md = pq.ParquetFile(p).metadata
+        except Exception:
+            continue
+        n_rows += md.num_rows
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        i = idx.get("ts")
+        if i is None:
+            continue
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                continue
+            ts_min = st.min if ts_min is None else min(ts_min, st.min)
+            ts_max = st.max if ts_max is None else max(ts_max, st.max)
+    span_hours = 0
+    if ts_min is not None and ts_max is not None:
+        try:
+            span_hours = int((ts_max - ts_min).total_seconds() // 3600) + 1
+        except (TypeError, AttributeError):
+            # ts stored as raw int64 (NANOS fixtures read with nanosAsLong)
+            span_hours = int((int(ts_max) - int(ts_min)) // 3_600_000_000_000) + 1
+    return n_rows, span_hours
+
+
+#: Upper bound on the event-type catalog (a schema-level fact of the
+#: engine's event model, not a data statistic): event_type is a small
+#: enum, so time-windowed per-type state is bounded by hours × this.
+EVENT_TYPE_CATALOG_BOUND = 32
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,
@@ -571,21 +667,34 @@ def ingest_with_dedup(
     :func:`index_spark.operators.dedup.incremental_near_dups` and the
     per-doc verdicts append to ``out_path`` — the continuous-ingest shape
     where screening stays O(batch) because corpus-internal pairs are
-    never generated. ``transform`` (optional) maps the raw batch into the
-    (doc_id, text) screening input. Returns the number of batches."""
-    from index_spark.operators.dedup import incremental_near_dups
+    never generated. The corpus's ``(id, sh, sig)`` projection is computed
+    ONCE here, persisted, shared by every micro-batch, and unpersisted
+    after the drain — the corpus text crosses the Arrow UDF exactly once
+    per ingest run, not once (or twice) per micro-batch. ``transform``
+    (optional) maps the raw batch into the (doc_id, text) screening
+    input. Returns the number of batches."""
+    from index_spark.operators.dedup import incremental_near_dups, shingle_sig_projection
 
     n = {"n": 0}
+    corpus_proj = shingle_sig_projection(corpus).persist()
 
     def screen(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         b = transform(batch_df) if transform is not None else batch_df
-        incremental_near_dups(corpus, b).write.mode("append").parquet(out_path)
+        incremental_near_dups(
+            corpus, b, corpus_projection=corpus_proj
+        ).write.mode("append").parquet(out_path)
         n["n"] += 1
 
-    q = stream_df.writeStream.foreachBatch(screen).trigger(availableNow=True).start()
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"ingest_with_dedup did not drain within {timeout_s}s")
+    try:
+        q = stream_df.writeStream.foreachBatch(screen).trigger(availableNow=True).start()
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"ingest_with_dedup did not drain within {timeout_s}s")
+    finally:
+        # the drain is over and every verdict is on disk — unlike the lazy
+        # operators (whose result plans still reference their cache), this
+        # projection's lifetime ends here
+        corpus_proj.unpersist()
     return n["n"]
