@@ -11,7 +11,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="index_spark_tests", shuffle_partitions=8)
+    # Tests run on fixture-scale data (sf0.001, tens-to-thousands of rows):
+    # at local[32] the 32-way task scheduling is pure overhead on 8-partition
+    # shuffles — measured 135 s → 102 s on test_mutations.py and 140 s →
+    # 103 s on test_round3_property.py by pinning 12 cores (r12; full-suite
+    # effect ~25%, the driver-verify-window fix). This pins the TEST
+    # session only; bench.py keeps honoring $SPARK_GRAFT_CPUS so the
+    # driver's core-scaling measurement is untouched.
+    master = os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[12]")
+    s = get_spark(app_name="index_spark_tests", master=master, shuffle_partitions=8)
     yield s
 
 

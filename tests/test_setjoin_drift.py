@@ -21,20 +21,52 @@ def test_exact_join_equals_bruteforce_on_documents(spark, documents):
         ), t
 
 
-words = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
-doc_st = st.lists(words, min_size=1, max_size=6).map(lambda ws: " ".join(ws))
+VOCAB = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
-@given(texts=st.lists(doc_st, min_size=2, max_size=12),
-       t=st.sampled_from([0.34, 0.5, 0.75, 1.0]))
-def test_exact_join_recall_one_randomized(spark, texts, t):
-    """Prefix filtering must never miss a pair the brute-force join finds
-    (recall 1.0 is the operator's whole contract)."""
+def _rand_docs(seed: int, n: int, vocab=VOCAB, max_words: int = 6) -> list[str]:
+    """Seeded corpus from the same space the old hypothesis strategy drew
+    from (1–6 words over an 8-token vocab), plus the adversarial shapes
+    shrinking used to converge on: exact duplicates, single-token docs,
+    an all-one-token doc, and a full-vocab doc."""
+    import random
+
+    rng = random.Random(seed)
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, max_words)))
+        for _ in range(n)
+    ]
+    docs += [docs[0], docs[0], vocab[0], vocab[1], " ".join([vocab[2]] * 5), " ".join(vocab)]
+    return docs
+
+
+def _py_jaccard(texts: list[str], t: float) -> set:
+    sets = {i: set(txt.lower().split()) for i, txt in enumerate(texts)}
+    out = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                ratio = inter / len(sets[a] | sets[b])
+                if ratio >= t:
+                    out.add((a, b, round(ratio, 6)))
+    return out
+
+
+@pytest.mark.parametrize("t", [0.34, 0.5, 0.75, 1.0])
+def test_exact_join_recall_one_randomized(spark, t):
+    """Prefix filtering must never miss a pair the brute-force reference
+    finds (recall 1.0 is the operator's whole contract). One seeded
+    80-doc union corpus per threshold replaces the former 12 hypothesis
+    examples of ≤12 docs: same generator space, MORE pairs exercised
+    (~3k vs ≤66 per example), and the reference is pure Python — the
+    per-example Spark fixed overhead (~15 s × 12) was the entire cost of
+    the old form, not the property being checked. (Denominators ≤ 8 keep
+    round(·, 6) tie-free, so the Python reference rounds identically to
+    Spark's HALF_UP.)"""
+    texts = _rand_docs(seed=int(t * 100), n=74)
     docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
-    assert _pairs(jaccard_join_exact(docs, t)) == _pairs(
-        jaccard_join_bruteforce(docs, t)
-    )
+    assert _pairs(jaccard_join_exact(docs, t)) == _py_jaccard(texts, t)
 
 
 def test_exact_join_threshold_validation(spark, documents):
@@ -205,18 +237,24 @@ def test_edit_distance_join_basic(spark):
         assert got == _bf_edits(rows, k), k
 
 
-alpha_st = st.text(alphabet="abc", min_size=0, max_size=6)
-
-
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
-@given(texts=st.lists(alpha_st, min_size=2, max_size=10, unique=True),
-       k=st.sampled_from([0, 1, 2]))
-def test_edit_distance_join_randomized(spark, texts, k):
+@pytest.mark.parametrize("k", [0, 1, 2])
+def test_edit_distance_join_randomized(spark, k):
     """q-gram count filtering must be exact: every within-distance pair
-    the brute-force reference finds, including zero-shared-gram shorts."""
+    the brute-force reference finds, including zero-shared-gram shorts.
+    One seeded 60-string corpus per k replaces the former 15 hypothesis
+    examples of ≤10 strings (same 'abc'-alphabet ≤6-char space, the empty
+    string and length-boundary shorts pinned explicitly, ~1.8k pairs per
+    run vs ≤45 per example) — the cost of the old form was 15× the exact
+    join's fixed Spark overhead, not the property."""
+    import random
+
     from index_spark.operators.setjoin import edit_distance_join
 
-    rows = list(enumerate(texts))
+    rng = random.Random(97 + k)
+    seen = {"", "a", "b", "c", "ab", "ba", "abc", "cab", "aaaaaa", "ababab"}
+    while len(seen) < 60:
+        seen.add("".join(rng.choice("abc") for _ in range(rng.randint(0, 6))))
+    rows = list(enumerate(sorted(seen)))
     df = spark.createDataFrame(rows, "id long, name string")
     got = {(r.id_a, r.id_b, r.dist) for r in edit_distance_join(df, k=k).collect()}
     assert got == _bf_edits(rows, k)
@@ -286,14 +324,26 @@ def test_containment_join_asymmetric_quote_case(spark):
     assert _pairs(jaccard_join_exact(docs, 0.5)) == set()
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
-@given(texts=st.lists(doc_st, min_size=2, max_size=10),
-       t=st.sampled_from([0.5, 0.75, 1.0]))
-def test_containment_join_recall_one_randomized(spark, texts, t):
+def _py_containment(texts: list[str], t: float) -> set:
+    sets = {i: set(txt.lower().split()) for i, txt in enumerate(texts)}
+    out = set()
+    for a in sets:
+        for b in sets:
+            if a != b:
+                ratio = len(sets[a] & sets[b]) / len(sets[a])
+                if ratio >= t:
+                    out.add((a, b, round(ratio, 6)))
+    return out
+
+
+@pytest.mark.parametrize("t", [0.5, 0.75, 1.0])
+def test_containment_join_recall_one_randomized(spark, t):
+    """Same consolidation as the Jaccard twin: one seeded 80-doc union
+    corpus per threshold, pure-Python ordered-pair reference (containment
+    denominators are |T(a)| ≤ 8, so rounding is tie-free)."""
+    texts = _rand_docs(seed=1000 + int(t * 100), n=74)
     docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
-    assert _cpairs(containment_join_exact(docs, t)) == _cpairs(
-        containment_join_bruteforce(docs, t)
-    )
+    assert _cpairs(containment_join_exact(docs, t)) == _py_containment(texts, t)
 
 
 def test_containment_join_threshold_validation(spark, documents):

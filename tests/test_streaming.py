@@ -73,7 +73,14 @@ def test_sessionized_stream_equals_batch_and_lag_oracle(spark, sf_dir, events_ba
 
 def test_user_running_state(spark, sf_dir, events_batch):
     stream = read_events_stream(spark, sf_dir)
-    out = run_available_now(user_running_state(stream), _name(), output_mode="update")
+    # timer-armed drains (ProcessingTimeTimeout) never self-terminate, so
+    # run_available_now waits the FULL deadline before its completion poll
+    # — at the default 120 s this test spent 2 idle minutes. 15 s still
+    # exceeds the actual sf0.001 processing time many times over and
+    # exercises the same deadline-then-poll completion path.
+    out = run_available_now(
+        user_running_state(stream), _name(), output_mode="update", timeout_s=15
+    )
     # one final (non-closed) update row per user per micro-batch; the last
     # row per user carries the full running count
     last = (
