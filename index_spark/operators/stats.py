@@ -385,7 +385,10 @@ def equidepth_histogram(
     n = src.count()
     q, r = divmod(n, bins)
     cut = r * (q + 1)
-    merged = src.groupBy(value_col).agg(F.count(F.lit(1)).alias("__w"))
+    # same reuse shape as exact_quantiles_weighted: the (value, count)
+    # table feeds the sketch, the bucket totals, and the spanned-bin read —
+    # persist so the full-input aggregation runs once
+    merged = src.groupBy(value_col).agg(F.count(F.lit(1)).alias("__w")).persist()
     # n (pre-merge) is an upper bound on distinct values; sampling is
     # disabled because the sketch already runs over the aggregated table
     b = _adaptive_bucket_expr(merged, value_col, max(bins, _pick_n_cuts(n)), n_rows=None)
@@ -476,7 +479,15 @@ def exact_quantiles(
     # occupy the nulls-first ranks (a NULL-bucket hit would also silently
     # drop its q from the output — the NULL bucket key joins nothing)
     src = df.filter(F.col(value_col).isNotNull())
-    merged = src.groupBy(value_col).agg(F.count(F.lit(1)).alias("__wq"))
+    # the (value, count) pre-aggregate is the ONLY full-input pass, but the
+    # delegate consumes it four times (weight validation, GK sketch, bucket
+    # totals, per-bucket rank read) — each a separate action, so nothing
+    # reuses the exchange across them. Persist it: every pass after the
+    # first reads the distinct-value table from cache instead of re-running
+    # the full-input shuffle (measured 10.2 → ~4 s at a 15M-row probe, r12).
+    # The cache entry lives with the returned lazy plan (module convention:
+    # Spark LRU-evicts; spark.catalog.clearCache() is the escape hatch).
+    merged = src.groupBy(value_col).agg(F.count(F.lit(1)).alias("__wq")).persist()
     try:
         return exact_quantiles_weighted(merged, value_col, "__wq", qs, n_cuts)
     except ValueError as e:
@@ -560,7 +571,10 @@ def exact_quantiles_weighted(
     W, n_rows = int(tot["W"]), int(tot["rows"])
     rank_of = {float(q): max(1, math.ceil(float(q) * W)) for q in qs}
     targets = sorted(set(rank_of.values()))
-    merged = src.groupBy(value_col).agg(F.sum("__w").alias("__w"))
+    # consumed by three separate actions/branches (the GK sketch, the
+    # bucket-totals cumulative, the per-bucket rank read) — persist so only
+    # the first evaluates the input aggregation; see exact_quantiles
+    merged = src.groupBy(value_col).agg(F.sum("__w").alias("__w")).persist()
     # n_rows (pre-merge) sizes the cut count as an upper bound on the
     # merged row count; sampling is DISABLED (n_rows=None) because the
     # sketch runs over the already-aggregated distinct-value table, whose
