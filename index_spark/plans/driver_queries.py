@@ -1982,14 +1982,20 @@ def q_stream_user_state(spark, sf_dir):
     import uuid as _uuid
 
     from index_spark.streaming import read_events_stream, run_available_now
-    from index_spark.streaming.events import user_running_state
+    from index_spark.streaming.events import (
+        events_footer_stats,
+        stream_state_partitions,
+        user_running_state,
+    )
 
     stream = read_events_stream(spark, sf_dir)
+    # per-user state rows ≤ input rows (zero-job footer bound)
+    n_rows, _ = events_footer_stats(sf_dir)
     out = run_available_now(
         user_running_state(stream, timeout_ms=None),
         "su" + _uuid.uuid4().hex[:10],
         output_mode="update",
-        shuffle_partitions=8,
+        shuffle_partitions=stream_state_partitions(n_rows),
     )
     # update mode emits one row per (user, micro-batch) plus a closed row on
     # eviction; counts are monotone, so max() reduces to the final state
@@ -2011,14 +2017,20 @@ def q_stream_funnel(spark, sf_dir):
     import uuid as _uuid
 
     from index_spark.streaming import read_events_stream, run_available_now
-    from index_spark.streaming.events import user_funnel_state
+    from index_spark.streaming.events import (
+        events_footer_stats,
+        stream_state_partitions,
+        user_funnel_state,
+    )
 
     stream = read_events_stream(spark, sf_dir)
+    # per-user funnel state rows ≤ input rows (zero-job footer bound)
+    n_rows, _ = events_footer_stats(sf_dir)
     out = run_available_now(
         user_funnel_state(stream),
         "sf" + _uuid.uuid4().hex[:10],
         output_mode="update",
-        shuffle_partitions=8,
+        shuffle_partitions=stream_state_partitions(n_rows),
     )
     final = out.groupBy("user_id").agg(F.max("stage").alias("stage"))
     agg = final.agg(
@@ -2040,14 +2052,17 @@ def q_stream_join_attrib(spark, sf_dir):
     import uuid as _uuid
 
     from index_spark.streaming import attributed_purchases, read_events_stream, run_available_now
+    from index_spark.streaming.events import events_footer_stats, stream_state_partitions
 
     clicks = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
     purchases = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    # join state buffers both sides within the watermark ≤ input rows
+    n_rows, _ = events_footer_stats(sf_dir)
     pairs = run_available_now(
         attributed_purchases(clicks, purchases),
         "sj" + _uuid.uuid4().hex[:10],
         output_mode="append",
-        shuffle_partitions=8,
+        shuffle_partitions=stream_state_partitions(n_rows),
     )
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_attributed"))
 
@@ -2060,11 +2075,14 @@ def q_stream_dedup(spark, sf_dir):
     import uuid as _uuid
 
     from index_spark.streaming import dedup_stream, read_events_stream, run_available_now
+    from index_spark.streaming.events import events_footer_stats, stream_state_partitions
 
     doubled = read_events_stream(spark, sf_dir).unionByName(read_events_stream(spark, sf_dir))
+    # dedup state holds event ids within the watermark ≤ 2× input rows
+    n_rows, _ = events_footer_stats(sf_dir)
     survivors = run_available_now(
         dedup_stream(doubled), "sd" + _uuid.uuid4().hex[:10], output_mode="append",
-        shuffle_partitions=8,
+        shuffle_partitions=stream_state_partitions(2 * n_rows),
     )
     return survivors.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
@@ -7455,9 +7473,47 @@ _GATE_PRIORITY_R11 = [
 ]
 
 
+# Round-12 gate rotation (re-certification, not new coverage — the catalog
+# stays frozen at 235 per eight rounds of verdicts). Order per the r11
+# verdict's item 1: (a) the 17 r11-optimization-touched queries, whose
+# driver rows must postdate the r11 rewrites (only compact_files,
+# upsert_batch, sharded_range of them were in the r11 gate); (b) the 11
+# r12-optimization-touched queries (derived streaming state partitions
+# across all ten drains, the one-UDF-pass incremental-dedup fusion, the
+# quantile-family persists, the execute() payload cache behind
+# retention_delete's delete_where); (c) 22 fills from the 41-query
+# r07-latest cohort in catalog order (snapshot_diff, stream_hourly,
+# stream_sessionize, stream_dedup, stream_join_attrib of that cohort
+# already sit in (a)/(b)). 14 r07-latest queries remain for r13:
+# cosine_topk, ivf_label_topk, pipeline_end_to_end, multimodal_meta,
+# frame_plan, skew_salted_join, skew_two_phase_agg, stratified_sample,
+# pack_sequences, kmv_distinct, window_count_join, time_rollup,
+# events_type_summary, sql_interface.
+_GATE_PRIORITY_R12 = [
+    # (a) r11-touched (17)
+    "split_leakage", "hll_distinct", "hll_intersect", "stream_hll",
+    "stream_hll_hourly", "stream_hourly", "stream_sessionize",
+    "stream_hourly_topk", "stream_cms", "compact_files", "snapshot_diff",
+    "incremental_maint", "erase_roundtrip", "upsert_batch",
+    "merge_into_orders", "sharded_range", "projection_lookup",
+    # (b) r12-touched (11)
+    "stream_dedup_ingest", "incremental_dedup", "exact_quantiles",
+    "weighted_quantiles", "equidepth_hist", "conversion_latency",
+    "stream_dedup", "stream_user_state", "stream_funnel",
+    "stream_join_attrib", "retention_delete",
+    # (c) oldest r07-latest fills (22, catalog order)
+    "seek_pagination", "sharded_time_travel", "rollup_orders",
+    "cube_orders", "set_ops", "scalar_functions", "median_stats",
+    "array_agg", "distinct_parts", "dedup_exact_groups", "dedup_survivors",
+    "simhash16", "text_quality", "lang_id", "doc_fingerprint",
+    "bpe_token_stats", "rolling_fingerprint", "token_stats",
+    "grouping_sets", "jsonl_roundtrip", "top_bigrams", "vocab_coverage",
+]
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _catalog()
-    ordered = {k: base[k] for k in _GATE_PRIORITY_R11}
+    ordered = {k: base[k] for k in _GATE_PRIORITY_R12}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 

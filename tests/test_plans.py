@@ -187,13 +187,28 @@ def test_gate_priority_rotation_is_well_formed():
     build_queries() and take down bench, check_oracles, and the driver
     gate at once — so lock its invariants here: every name resolves, no
     duplicates, and the rotation actually leads the catalog order."""
-    from index_spark.plans.driver_queries import _GATE_PRIORITY_R11, _catalog
+    from index_spark.plans.driver_queries import _GATE_PRIORITY_R12, _catalog
 
     base = _catalog()
-    assert len(_GATE_PRIORITY_R11) == len(set(_GATE_PRIORITY_R11)) == 50
-    missing = [n for n in _GATE_PRIORITY_R11 if n not in base]
+    assert len(_GATE_PRIORITY_R12) == len(set(_GATE_PRIORITY_R12)) == 50
+    missing = [n for n in _GATE_PRIORITY_R12 if n not in base]
     assert not missing, missing
-    assert list(em.queries().keys())[:50] == _GATE_PRIORITY_R11
+    assert list(em.queries().keys())[:50] == _GATE_PRIORITY_R12
+    # the r12 rotation's whole point: every r11/r12-optimization-touched
+    # query must carry a post-change driver row — the 28 touched names all
+    # sit inside the 50-slot gate window
+    touched = {
+        "split_leakage", "hll_distinct", "hll_intersect", "stream_hll",
+        "stream_hll_hourly", "stream_hourly", "stream_sessionize",
+        "stream_hourly_topk", "stream_cms", "compact_files", "snapshot_diff",
+        "incremental_maint", "erase_roundtrip", "upsert_batch",
+        "merge_into_orders", "sharded_range", "projection_lookup",
+        "stream_dedup_ingest", "incremental_dedup", "exact_quantiles",
+        "weighted_quantiles", "equidepth_hist", "conversion_latency",
+        "stream_dedup", "stream_user_state", "stream_funnel",
+        "stream_join_attrib", "retention_delete",
+    }
+    assert touched <= set(_GATE_PRIORITY_R12)
 
 
 def test_asof_time_bound_reaches_the_scan(plans):
