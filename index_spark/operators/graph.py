@@ -277,17 +277,31 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     w2 = er.select(F.col("u"), F.col("v").alias("y"), F.col("rv").alias("ry"))
     wedges = w1.join(w2, on="u").where(F.col("rx") < F.col("ry")).select("x", "y")
     closing = er.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    tri = wedges.join(closing, on=["x", "y"], how="left_semi")
-    # five actions share the e/er lineage — persist both for the duration
+    # wedge count and triangle count in ONE pass over the wedge join —
+    # the earlier wedges.count() + semi-join count() pair ran the
+    # O(m^{3/2}) wedge-generation stage TWICE (the persist below covers
+    # e/er, not the wedge join above them). closing's (x, y) pairs are
+    # distinct edges, so the left join matches each wedge at most once
+    # and count(match) ≡ the semi-join count, exactly.
+    closed = wedges.join(
+        closing.withColumn("__closed", F.lit(1)), on=["x", "y"], how="left"
+    )
+    # the actions below share the e/er lineage — persist both for the duration
     e = e.persist()
     er = er.persist()
-    n_nodes = deg.count()
+    # node count and wedge-capacity sum fused into one aggregate as well:
+    # four actions total (deg agg, e count, wedge+triangle agg, and the
+    # persist materializations they trigger) instead of five
+    drow = deg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("t"),
+    ).collect()[0]
+    n_nodes, n_triples = drow["n"], drow["t"]
     n_edges = e.count()
-    n_wedges = wedges.count()
-    n_tri = tri.count()
-    n_triples = deg.select(
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("t")
-    ).collect()[0]["t"]
+    wrow = closed.agg(
+        F.count(F.lit(1)).alias("w"), F.count("__closed").alias("tri")
+    ).collect()[0]
+    n_wedges, n_tri = wrow["w"], wrow["tri"]
     e.unpersist()
     er.unpersist()
     spark = edges.sparkSession
