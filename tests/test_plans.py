@@ -206,7 +206,7 @@ def test_gate_priority_rotation_is_well_formed():
         "stream_dedup_ingest", "incremental_dedup", "exact_quantiles",
         "weighted_quantiles", "equidepth_hist", "conversion_latency",
         "stream_dedup", "stream_user_state", "stream_funnel",
-        "stream_join_attrib", "retention_delete",
+        "stream_join_attrib", "retention_delete", "triangle_parts",
     }
     assert touched <= set(_GATE_PRIORITY_R12)
 
