@@ -7481,15 +7481,15 @@ _GATE_PRIORITY_R11 = [
 # r12-optimization-touched queries (derived streaming state partitions
 # across all ten drains, the one-UDF-pass incremental-dedup fusion, the
 # quantile-family persists, the execute() payload cache behind
-# retention_delete's delete_where, the triangle wedge-pass fusion);
-# (c) 21 fills from the 41-query r07-latest cohort in catalog order
-# (snapshot_diff, stream_hourly, stream_sessionize, stream_dedup,
-# stream_join_attrib of that cohort already sit in (a)/(b)). 15
-# r07-latest queries remain for r13: cosine_topk, ivf_label_topk,
-# pipeline_end_to_end, multimodal_meta, frame_plan, skew_salted_join,
-# skew_two_phase_agg, stratified_sample, pack_sequences, kmv_distinct,
-# window_count_join, time_rollup, events_type_summary, sql_interface,
-# vocab_coverage.
+# retention_delete's delete_where, the triangle wedge-pass fusion, the
+# ks_drift merge persist); (c) 20 fills from the 41-query r07-latest
+# cohort in catalog order (snapshot_diff, stream_hourly,
+# stream_sessionize, stream_dedup, stream_join_attrib of that cohort
+# already sit in (a)/(b)). 16 r07-latest queries remain for r13:
+# cosine_topk, ivf_label_topk, pipeline_end_to_end, multimodal_meta,
+# frame_plan, skew_salted_join, skew_two_phase_agg, stratified_sample,
+# pack_sequences, kmv_distinct, window_count_join, time_rollup,
+# events_type_summary, sql_interface, vocab_coverage, top_bigrams.
 _GATE_PRIORITY_R12 = [
     # (a) r11-touched (17)
     "split_leakage", "hll_distinct", "hll_intersect", "stream_hll",
@@ -7497,19 +7497,21 @@ _GATE_PRIORITY_R12 = [
     "stream_hourly_topk", "stream_cms", "compact_files", "snapshot_diff",
     "incremental_maint", "erase_roundtrip", "upsert_batch",
     "merge_into_orders", "sharded_range", "projection_lookup",
-    # (b) r12-touched (12)
+    # (b) r12-touched (13)
     "stream_dedup_ingest", "incremental_dedup", "exact_quantiles",
     "weighted_quantiles", "equidepth_hist", "conversion_latency",
     "stream_dedup", "stream_user_state", "stream_funnel",
     "stream_join_attrib", "retention_delete", "triangle_parts",
-    # (c) oldest r07-latest fills (21, catalog order; vocab_coverage
-    # moves to the r13 remainder to make room for triangle_parts)
+    "ks_drift",
+    # (c) oldest r07-latest fills (20, catalog order; vocab_coverage and
+    # top_bigrams move to the r13 remainder to make room for the last two
+    # touched entries)
     "seek_pagination", "sharded_time_travel", "rollup_orders",
     "cube_orders", "set_ops", "scalar_functions", "median_stats",
     "array_agg", "distinct_parts", "dedup_exact_groups", "dedup_survivors",
     "simhash16", "text_quality", "lang_id", "doc_fingerprint",
     "bpe_token_stats", "rolling_fingerprint", "token_stats",
-    "grouping_sets", "jsonl_roundtrip", "top_bigrams",
+    "grouping_sets", "jsonl_roundtrip",
 ]
 
 

@@ -207,6 +207,7 @@ def test_gate_priority_rotation_is_well_formed():
         "weighted_quantiles", "equidepth_hist", "conversion_latency",
         "stream_dedup", "stream_user_state", "stream_funnel",
         "stream_join_attrib", "retention_delete", "triangle_parts",
+        "ks_drift",
     }
     assert touched <= set(_GATE_PRIORITY_R12)
 
